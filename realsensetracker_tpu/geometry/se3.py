@@ -78,7 +78,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -98,7 +98,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    small = theta < 1e-4
+    small = theta < 1e-2
     scale = jnp.where(small, 0.5 + theta**2 / 12.0, theta / (2.0 * jnp.sin(theta)))
     return scale[..., None] * vee
 
@@ -111,7 +111,7 @@ def exp(twist: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     c = jnp.where(
         small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
@@ -132,7 +132,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) W^2
     coef = jnp.where(
         small,

@@ -1,0 +1,72 @@
+"""Depth/vertex pyramids for coarse-to-fine projective ICP.
+
+The reference controls problem size with voxel downsampling
+(rs_replay_app.cpp:246-247); the TPU-native hot path instead keeps frames on
+the image grid and builds a pyramid by validity-aware 2x2 pooling. Pure
+reshapes/reductions -> fuses into one XLA program with unprojection and
+normal estimation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.ops import normals as normals_mod
+
+
+class PyramidLevel(NamedTuple):
+    vertex_map: jnp.ndarray  # (H, W, 3)
+    normal_map: jnp.ndarray  # (H, W, 3)
+    valid: jnp.ndarray  # (H, W) bool: vertex AND normal valid
+    vertex_valid: jnp.ndarray  # (H, W) bool: vertex valid (normals optional)
+
+
+def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2x2 validity-aware mean pooling of a depth map.
+
+    A coarse pixel is valid if any of its 4 children are; its depth is the
+    mean of valid children. Depth edges are handled by the downstream
+    distance-compatibility gate in the ICP step rather than a median filter.
+    """
+    h, w = depth.shape[-2] // 2 * 2, depth.shape[-1] // 2 * 2
+    d = depth[..., :h, :w].reshape(*depth.shape[:-2], h // 2, 2, w // 2, 2)
+    m = valid[..., :h, :w].reshape(*valid.shape[:-2], h // 2, 2, w // 2, 2)
+    cnt = jnp.sum(m, axis=(-3, -1))
+    s = jnp.sum(jnp.where(m, d, 0.0), axis=(-3, -1))
+    out_valid = cnt > 0
+    out = jnp.where(out_valid, s / jnp.maximum(cnt, 1), 0.0)
+    return out, out_valid
+
+
+def build_pyramid(
+    depth: jnp.ndarray,
+    intr: camera.Intrinsics,
+    num_levels: int = 3,
+    min_depth: float = 0.05,
+    max_depth: float = 10.0,
+) -> tuple[list[PyramidLevel], list[camera.Intrinsics]]:
+    """Depth image -> list of (vertex, normal, valid) levels, fine to coarse."""
+    levels: list[PyramidLevel] = []
+    intrs: list[camera.Intrinsics] = []
+    depth = depth.astype(jnp.float32)  # framework-wide compute dtype
+    valid = camera.valid_mask(depth, min_depth, max_depth)
+    d = jnp.where(valid, depth, 0.0)
+    cur_intr = intr
+    for _ in range(num_levels):
+        vmap = camera.unproject_depth(d, cur_intr)
+        nmap, n_ok = normals_mod.grid_normals(vmap, valid)
+        levels.append(
+            PyramidLevel(
+                vertex_map=vmap,
+                normal_map=nmap,
+                valid=valid & n_ok,
+                vertex_valid=valid,
+            )
+        )
+        intrs.append(cur_intr)
+        d, valid = downsample_depth(d, valid)
+        cur_intr = cur_intr.scaled(0.5)
+    return levels, intrs

@@ -1,0 +1,92 @@
+"""Projective point-to-plane ICP on synthetic raycast frames: BASELINE
+config 1 (single-pair registration, CPU-runnable)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.ops import pyramid
+
+INTR = camera.Intrinsics(fx=160.0, fy=160.0, cx=79.5, cy=59.5, width=160, height=120)
+
+
+def _register(motion, cfg=None, intr=INTR):
+    d0, d1, T_true = synthetic.render_pair(intr, jnp.asarray(motion, jnp.float32))
+    src_levels, intrs = pyramid.build_pyramid(d1, intr, num_levels=3)
+    dst_levels, _ = pyramid.build_pyramid(d0, intr, num_levels=3)
+    cfg = cfg or projective.ProjectiveIcpConfig(iters=(6, 6, 10), samples=2048)
+    res = projective.projective_icp(src_levels, dst_levels, tuple(intrs), cfg=cfg)
+    return res, T_true
+
+
+def _pose_err(T_est, T_true):
+    delta = se3.compose(se3.inverse(T_true), T_est)
+    tw = np.asarray(se3.log(delta))
+    return np.abs(tw[:3]).max(), np.abs(tw[3:]).max()
+
+
+class TestPyramid:
+    def test_levels_shapes(self):
+        d0, _, _ = synthetic.render_pair(INTR, jnp.zeros(6))
+        levels, intrs = pyramid.build_pyramid(d0, INTR, num_levels=3)
+        assert levels[0].vertex_map.shape == (120, 160, 3)
+        assert levels[1].vertex_map.shape == (60, 80, 3)
+        assert levels[2].vertex_map.shape == (30, 40, 3)
+        assert intrs[1].fx == pytest.approx(80.0)
+
+    def test_downsample_validity(self):
+        depth = jnp.array([[1.0, 0.0], [0.0, 0.0]])
+        valid = depth > 0
+        d, v = pyramid.downsample_depth(depth, valid)
+        assert bool(v[0, 0])
+        assert float(d[0, 0]) == pytest.approx(1.0)
+
+    def test_grid_normals_against_scene(self):
+        # Flat wall at z=4 fills the image center: normals should be -z.
+        scene = synthetic.Scene(
+            sphere_centers=jnp.zeros((1, 3)) + 100.0, sphere_radii=jnp.ones(1) * 0.01,
+            floor_y=100.0, wall_z=4.0,
+        )
+        d = synthetic.render_depth(INTR, se3.identity(), scene)
+        levels, _ = pyramid.build_pyramid(d, INTR, num_levels=1)
+        n = np.asarray(levels[0].normal_map[40:80, 40:120])
+        ok = np.asarray(levels[0].valid[40:80, 40:120])
+        assert ok.mean() > 0.9
+        np.testing.assert_allclose(n[ok], np.tile([0, 0, -1.0], (ok.sum(), 1)), atol=1e-3)
+
+
+class TestProjectiveIcp:
+    def test_identity_motion(self):
+        res, _ = _register(np.zeros(6))
+        t_err, r_err = _pose_err(res.transform, se3.identity())
+        assert t_err < 1e-4 and r_err < 1e-4
+        assert float(res.inlier_fraction) > 0.5
+
+    def test_small_translation(self):
+        res, T_true = _register([0.02, -0.01, 0.015, 0, 0, 0])
+        t_err, r_err = _pose_err(res.transform, T_true)
+        assert t_err < 2e-3 and r_err < 2e-3
+
+    def test_small_rotation(self):
+        res, T_true = _register([0, 0, 0, 0.02, -0.015, 0.01])
+        t_err, r_err = _pose_err(res.transform, T_true)
+        assert t_err < 2e-3 and r_err < 2e-3
+
+    def test_combined_motion(self):
+        res, T_true = _register([0.03, 0.01, -0.02, 0.02, 0.01, -0.02])
+        t_err, r_err = _pose_err(res.transform, T_true)
+        assert t_err < 3e-3 and r_err < 3e-3
+
+    def test_result_finite_on_empty_frames(self):
+        # All-invalid depth must not produce NaNs (rank-deficient H guard).
+        d = jnp.zeros((120, 160))
+        levels, intrs = pyramid.build_pyramid(d, INTR, num_levels=3)
+        res = projective.projective_icp(
+            levels, levels, tuple(intrs),
+            cfg=projective.ProjectiveIcpConfig(iters=(2, 2, 2), samples=512),
+        )
+        assert np.all(np.isfinite(np.asarray(res.transform)))
+        np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-5)
