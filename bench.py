@@ -1,0 +1,75 @@
+"""Benchmark: registered 640x480 depth-frame pairs/sec/chip.
+
+Runs the flagship batched projective point-to-plane ICP pipeline (BASELINE
+config 4: 64 pairs per step via vmap) on whatever accelerator JAX sees, and
+prints ONE JSON line. vs_baseline is measured throughput / the BASELINE.json
+north-star target of 1000 pairs/sec/chip (the reference publishes no numbers
+of its own -- see SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from realsensetracker_tpu.align import projective
+    from realsensetracker_tpu.data import synthetic
+    from realsensetracker_tpu.geometry import camera
+    from realsensetracker_tpu.parallel import batched
+
+    intr = camera.TUM_FR1  # 640x480
+    cfg = projective.ProjectiveIcpConfig(iters=(4, 5, 10), samples=4096)
+    batch = 64
+
+    # Synthetic but geometrically real frames (raycast scene, small motion),
+    # perturbed per pair so every batch element is distinct data.
+    import numpy as np
+
+    scene = synthetic.default_scene(seed=0)
+    d0, d1, _ = synthetic.render_pair(
+        intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32), scene
+    )
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(
+        np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
+    )
+    dst = jnp.asarray(
+        np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
+    )
+
+    def step(s, d):
+        return batched.register_batch(s, d, intr, cfg).transform
+
+    step_jit = jax.jit(step)
+    # Warmup / compile.
+    jax.block_until_ready(step_jit(src, dst))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        # Block every step: honest steady-state wall clock, no async pileup.
+        jax.block_until_ready(step_jit(src, dst))
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * n_iters / dt
+    n_chips = max(1, len(jax.devices()))
+    value = pairs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "registered_640x480_pairs_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(value / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

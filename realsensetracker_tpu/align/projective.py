@@ -63,8 +63,15 @@ def sample_level(level: PyramidLevel, count: int):
     return pts, nrm, ok
 
 
-def _step(T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig):
-    """One GN iteration: associate -> weight -> build 6x6 -> solve -> update."""
+def build_normal_equations(
+    T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
+):
+    """Associate + weight + accumulate the 6x6 GN system for one iteration.
+
+    Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)). Pure reduction
+    over sample points -- the unit that multi-chip point sharding psums over
+    (parallel/sharded.py) and that the Pallas kernel fuses (kernels/).
+    """
     p = se3.transform_points(T, src_pts)  # (P, 3)
     u, v, z = camera.project(p, intr)
     inb = camera.in_bounds(u, v, intr) & (z > cfg.min_depth)
@@ -88,18 +95,34 @@ def _step(T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, 
     Jw = J * w[:, None]
     H = jnp.matmul(Jw.T, J, preferred_element_type=jnp.float32)  # (6, 6)
     b = Jw.T @ r  # (6,)
+    aux = (
+        jnp.sum(w * r * r).astype(jnp.float32),
+        jnp.sum(w).astype(jnp.float32),
+        jnp.sum(ok).astype(jnp.int32),
+    )
+    return H, b, aux
+
+
+def solve_update(T, H, b, aux, num_samples: int, cfg: ProjectiveIcpConfig):
+    """Damped 6x6 solve + left-multiplied SE(3) update from reduced H, b."""
     lam = cfg.damping * jnp.trace(H) + 1e-12
-    H = H + lam * jnp.eye(6, dtype=H.dtype)
-    delta = -jnp.linalg.solve(H, b)
+    Hd = H + lam * jnp.eye(6, dtype=H.dtype)
+    delta = -jnp.linalg.solve(Hd, b)
     # Guard rank-deficient geometry: keep pose if the solve went non-finite.
     delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
     T_new = se3.compose(se3.exp(delta), T)
 
-    wsum = jnp.sum(w) + 1e-12
-    rmse = jnp.sqrt(jnp.sum(w * r * r) / wsum).astype(jnp.float32)
-    frac = (jnp.sum(ok) / ok.shape[0]).astype(jnp.float32)
-    stats = (rmse, frac, jnp.sum(ok).astype(jnp.int32))
+    wsse, wsum, ok_count = aux
+    rmse = jnp.sqrt(wsse / (wsum + 1e-12)).astype(jnp.float32)
+    frac = (ok_count / num_samples).astype(jnp.float32)
+    stats = (rmse, frac, ok_count)
     return T_new, stats
+
+
+def _step(T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig):
+    """One GN iteration: associate -> weight -> build 6x6 -> solve -> update."""
+    H, b, aux = build_normal_equations(T, src_pts, src_ok, dst_level, intr, cfg)
+    return solve_update(T, H, b, aux, src_pts.shape[0], cfg)
 
 
 @partial(jax.jit, static_argnames=("intrs", "cfg"))
@@ -140,3 +163,23 @@ def projective_icp(
         inlier_fraction=inlier_frac.astype(jnp.float32),
         num_matched=matched,
     )
+
+
+def register_depth_pair(
+    src_depth: jnp.ndarray,
+    dst_depth: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: ProjectiveIcpConfig = ProjectiveIcpConfig(),
+    init_transform: jnp.ndarray | None = None,
+) -> ProjectiveIcpResult:
+    """End-to-end single-pair registration: depths in -> SE(3) out.
+
+    The whole pipeline (unproject -> normals -> pyramid -> coarse-to-fine GN)
+    traces into one XLA program; vmap over leading axes for batching.
+    """
+    from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+    num_levels = len(cfg.iters)
+    src_levels, intrs = build_pyramid(src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
+    dst_levels, _ = build_pyramid(dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
+    return projective_icp(src_levels, dst_levels, tuple(intrs), init_transform, cfg)
