@@ -55,7 +55,7 @@ def nearest_neighbors(
     n = src_points.shape[0]
     pad = (-n) % chunk
     q = jnp.pad(src_points, ((0, pad), (0, 0)))
-    q = q.reshape(-1, chunk, 3)
+    q = q.reshape(-1, chunk, src_points.shape[-1])
 
     def body(qc):
         d2 = _masked_sqdist(qc, dst)

@@ -1,0 +1,134 @@
+"""Tracking-layer tests: frame-to-frame VO, keyframe tracking, trajectory
+I/O and ATE (BASELINE configs 2-3)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.tracking.frame_to_frame import FrameToFrameTracker
+from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
+from realsensetracker_tpu.tracking.trajectory import Trajectory, absolute_trajectory_error
+
+INTR = camera.Intrinsics(fx=120.0, fy=120.0, cx=59.5, cy=44.5, width=120, height=90)
+CFG = projective.ProjectiveIcpConfig(iters=(6, 6, 8), samples=2048)
+
+
+def _trajectory_frames(n=8, seed=0, step=0.02):
+    depths, poses = synthetic.render_trajectory(INTR, n, seed=seed, step_scale=step)
+    return depths, poses
+
+
+def _ate_of(tracker, depths, poses_gt):
+    for i in range(depths.shape[0]):
+        tracker.process(depths[i], timestamp=float(i))
+    gt = Trajectory()
+    for i in range(depths.shape[0]):
+        gt.append(float(i), np.asarray(poses_gt[i]))
+    return absolute_trajectory_error(tracker.trajectory, gt)
+
+
+class TestFrameToFrame:
+    def test_tracks_synthetic_trajectory(self):
+        depths, poses = _trajectory_frames(8)
+        tracker = FrameToFrameTracker(INTR, CFG)
+        ate = _ate_of(tracker, depths, poses)
+        assert ate["pairs"] == 8
+        assert ate["rmse"] < 0.02
+
+    def test_world_model_grows(self):
+        depths, _ = _trajectory_frames(4)
+        tracker = FrameToFrameTracker(INTR, CFG, map_capacity=65536, map_voxel_size=0.05)
+        for i in range(4):
+            tracker.process(depths[i])
+        assert int(tracker.world_map.count()) > 100
+
+    def test_failure_holds_pose_and_reference(self):
+        depths, _ = _trajectory_frames(3)
+        tracker = FrameToFrameTracker(INTR, CFG, min_inlier_fraction=0.2)
+        tracker.process(depths[0])
+        pose_before = np.asarray(tracker.pose)
+        # An empty frame cannot register: failure branch must hold the pose
+        # (ref rs_replay_app.cpp:266-273).
+        res = tracker.process(jnp.zeros_like(depths[0]))
+        assert not res.success
+        np.testing.assert_array_equal(np.asarray(tracker.pose), pose_before)
+        # Recovery: next good frame registers against the HELD reference.
+        res2 = tracker.process(depths[1])
+        assert res2.success
+
+    def test_reset(self):
+        depths, _ = _trajectory_frames(2)
+        tracker = FrameToFrameTracker(INTR, CFG)
+        tracker.process(depths[0])
+        tracker.process(depths[1])
+        tracker.reset()
+        assert len(tracker.trajectory) == 0
+        res = tracker.process(depths[0])
+        assert res.frame_index == 0
+
+
+class TestKeyframe:
+    def test_tracks_with_fewer_reference_switches(self):
+        depths, poses = _trajectory_frames(8, step=0.01)
+        tracker = KeyframeTracker(INTR, CFG)
+        n_kf = 0
+        for i in range(8):
+            res = tracker.process(depths[i])
+            assert res.success
+            n_kf += int(res.is_new_keyframe)
+        assert n_kf < 8  # small motion: most frames track the same keyframe
+        gt = Trajectory()
+        for i in range(8):
+            gt.append(float(i), np.asarray(poses[i]))
+        ate = absolute_trajectory_error(tracker.trajectory, gt)
+        assert ate["rmse"] < 0.02
+
+    def test_large_motion_promotes_keyframe(self):
+        depths, _ = _trajectory_frames(2, step=0.03)
+        tracker = KeyframeTracker(INTR, CFG, max_translation=1e-9, max_rotation=1e-9)
+        tracker.process(depths[0])
+        res = tracker.process(depths[1])
+        assert res.is_new_keyframe  # any motion exceeds the zero threshold
+
+
+class TestTrajectoryIO:
+    def test_tum_roundtrip(self, tmp_path):
+        traj = Trajectory()
+        rng = np.random.RandomState(0)
+        for i in range(5):
+            T = np.asarray(
+                se3.exp(jnp.asarray(0.3 * rng.randn(6), jnp.float32))
+            )
+            traj.append(i * 0.1, T)
+        path = os.path.join(tmp_path, "traj.txt")
+        traj.save_tum(path)
+        loaded = Trajectory.load_tum(path)
+        assert len(loaded) == 5
+        for a, b in zip(traj.poses, loaded.poses):
+            np.testing.assert_allclose(a[:3], b[:3], atol=1e-4)
+
+    def test_ate_zero_for_identical(self):
+        traj = Trajectory()
+        for i in range(4):
+            T = np.eye(4)
+            T[:3, 3] = [i * 0.1, 0, 0]
+            traj.append(float(i), T)
+        ate = absolute_trajectory_error(traj, traj)
+        assert ate["rmse"] < 1e-9
+
+    def test_ate_invariant_to_global_transform(self):
+        rng = np.random.RandomState(1)
+        gt = Trajectory()
+        est = Trajectory()
+        G = np.asarray(se3.exp(jnp.asarray(rng.randn(6) * 0.5, jnp.float32)), np.float64)
+        for i in range(6):
+            T = np.eye(4)
+            T[:3, 3] = rng.randn(3)
+            gt.append(float(i), T)
+            est.append(float(i), G @ T)
+        ate = absolute_trajectory_error(est, gt)
+        assert ate["rmse"] < 1e-5
