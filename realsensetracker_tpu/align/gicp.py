@@ -1,0 +1,167 @@
+"""GICP: plane-to-plane registration with Mahalanobis whitening.
+
+Replaces the reference's Ceres-based stack (align_gicp.cpp + gicp_cost.hpp)
+with an analytic Gauss-Newton/Levenberg solver on se(3):
+
+* per-point neighborhood covariances: ComputeCovariances
+  (point_cloud_utils.cpp:100-161) -- 32-NN excluding self, scatter/(k-1),
+  with the optional GICP regularization that rebuilds the covariance from
+  singular vectors with singular values (1, 1, 1e-2);
+* residual r = (C_dst + R C_src R^T)^{-1/2} (R p + t - q), exactly the
+  GICPCost functor (gicp_cost.hpp:40-73), with the whitening matrix held
+  fixed per iteration (standard GICP linearization) instead of autodiffed
+  through the eigendecomposition as Ceres does -- identical fixed points
+  when residuals vanish;
+* robust loss: Ceres HuberLoss(0.5) IRLS weights (align_gicp.cpp:67);
+* outer loop: kMaxIter=16 rounds of correspondences -> solve, re-seeded
+  from the running estimate (align_gicp.cpp:134-159), each round running a
+  fixed number of damped GN steps in place of Ceres LM's <=1024 iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realsensetracker_tpu.geometry import se3
+from realsensetracker_tpu.ops import correspond
+from realsensetracker_tpu.ops.cloud import Cloud
+
+
+@partial(jax.jit, static_argnames=("k", "use_gicp"))
+def compute_covariances(cloud: Cloud, k: int = 32, use_gicp: bool = False) -> jnp.ndarray:
+    """Per-point neighborhood covariances (N, 3, 3).
+
+    Reference ComputeCovariances (point_cloud_utils.cpp:100-161): searches
+    k+1 neighbors and skips the first (self), centers on the neighbor
+    centroid, and either divides by (k-1) or applies the GICP
+    singular-value remap (1, 1, 1e-2).
+    """
+    idx, _ = correspond.knn_self(cloud, k)
+    nbrs = cloud.points[idx]  # (N, k, 3)
+    ctr = jnp.mean(nbrs, axis=-2, keepdims=True)
+    delta = nbrs - ctr
+    cov = jnp.einsum("nki,nkj->nij", delta, delta)
+    if use_gicp:
+        # Covariance is symmetric PSD: singular vectors = eigenvectors,
+        # descending singular values = reversed ascending eigenvalues.
+        _, vecs = jnp.linalg.eigh(cov)
+        u = vecs[..., ::-1]  # descending order columns
+        vals = jnp.asarray([1.0, 1.0, 1e-2], cov.dtype)
+        return jnp.einsum("nik,k,njk->nij", u, vals, u)
+    return cov / (k - 1)
+
+
+def _whitening(M: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric inverse square root of PSD 3x3 matrices (gicp_cost.hpp:57-68)."""
+    vals, vecs = jnp.linalg.eigh(M)
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(vals, 1e-12))
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, inv_sqrt, vecs)
+
+
+def _huber_weight(s: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Ceres HuberLoss rho'(s) for squared residual norm s, b = delta^2."""
+    b = delta * delta
+    return jnp.where(s <= b, 1.0, jnp.sqrt(b / jnp.maximum(s, 1e-30)))
+
+
+class GicpResult(NamedTuple):
+    transform: jnp.ndarray
+    cost: jnp.ndarray  # 0.5 * sum rho(|r|^2), Ceres final_cost convention
+    num_valid: jnp.ndarray
+
+
+def solve_alignment(
+    src_points: jnp.ndarray,  # (N, 3) matched source points
+    dst_points: jnp.ndarray,  # (N, 3) matched destination points
+    src_covs: jnp.ndarray,  # (N, 3, 3)
+    dst_covs: jnp.ndarray,  # (N, 3, 3)
+    pair_mask: jnp.ndarray,  # (N,)
+    seed: jnp.ndarray,  # (4, 4)
+    inner_iters: int = 8,
+    huber_delta: float = 0.5,
+    damping: float = 1e-6,
+):
+    """Inner NLLS solve (ref inner ComputeAlignment, align_gicp.cpp:41-103).
+
+    Damped Gauss-Newton with per-iteration re-whitening; returns (T, cost).
+    """
+    m = pair_mask.astype(jnp.float32)
+
+    def body(_, carry):
+        T, _cost = carry
+        R = se3.rotation(T)
+        p = se3.transform_points(T, src_points)  # R p + t
+        e = p - dst_points  # (N, 3)
+        M = dst_covs + jnp.einsum("ij,njk,lk->nil", R, src_covs, R)
+        W = _whitening(M)
+        r = jnp.einsum("nij,nj->ni", W, e)  # whitened residual
+        s = jnp.sum(r * r, axis=-1)
+        w = _huber_weight(s, huber_delta) * m
+
+        # J_pt = [I | -hat(p')] for left twist [v, w]; J = W @ J_pt (N,3,6).
+        hat_p = se3.hat(p)  # (N, 3, 3)
+        J_rot = -jnp.einsum("nij,njk->nik", W, hat_p)
+        J = jnp.concatenate([W, J_rot], axis=-1)  # (N, 3, 6)
+        H = jnp.einsum("n,nri,nrj->ij", w, J, J)
+        g = jnp.einsum("n,nri,nr->i", w, J, r)
+        lam = damping * jnp.trace(H) + 1e-12
+        delta = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), g)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        T_new = se3.compose(se3.exp(delta), T)
+
+        b = huber_delta * huber_delta
+        rho = jnp.where(s <= b, s, 2.0 * jnp.sqrt(b * jnp.maximum(s, 0.0)) - b)
+        cost = 0.5 * jnp.sum(rho * m)
+        return T_new, cost
+
+    return jax.lax.fori_loop(
+        0, inner_iters, body, (seed, jnp.float32(0.0))
+    )
+
+
+@partial(jax.jit, static_argnames=("max_outer", "inner_iters", "cov_k", "use_gicp_cov", "chunk"))
+def align_gicp(
+    src: Cloud,
+    dst: Cloud,
+    max_outer: int = 16,
+    inner_iters: int = 8,
+    cov_k: int = 32,
+    use_gicp_cov: bool = False,
+    huber_delta: float = 0.5,
+    chunk: int = 2048,
+) -> GicpResult:
+    """Full GICP (ref outer ComputeAlignment, align_gicp.cpp:105-163).
+
+    Note the reference passes use_gicp=false to ComputeCovariances
+    (align_gicp.cpp:121-123), i.e. plain scatter/(k-1) covariances by
+    default; set use_gicp_cov=True for the regularized textbook variant.
+    """
+    src_covs = compute_covariances(src, cov_k, use_gicp_cov)
+    dst_covs = compute_covariances(dst, cov_k, use_gicp_cov)
+
+    def outer(_, carry):
+        T, _cost = carry
+        p = se3.transform_points(T, src.points)
+        nn_idx, _ = correspond.nearest_neighbors(p, dst, chunk=chunk)
+        T_new, cost = solve_alignment(
+            src.points,
+            dst.points[nn_idx],
+            src_covs,
+            dst_covs[nn_idx],
+            src.mask,
+            T,
+            inner_iters=inner_iters,
+            huber_delta=huber_delta,
+        )
+        # NaN guard (align_gicp.cpp:146-151): keep previous estimate.
+        ok = jnp.all(jnp.isfinite(T_new))
+        return jnp.where(ok, T_new, T), cost
+
+    T, cost = jax.lax.fori_loop(
+        0, max_outer, outer, (se3.identity(), jnp.float32(0.0))
+    )
+    return GicpResult(transform=T, cost=cost, num_valid=jnp.sum(src.mask))

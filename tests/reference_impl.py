@@ -125,3 +125,85 @@ def orient_normals_np(points, normals, viewpoint):
         if np.dot(points[i] - viewpoint, normals[i]) > 0:
             normals[i] *= -1
     return normals
+
+
+def compute_pfh_np(p1, n1, p2, n2):
+    """ComputePfh (fpfh.cpp:21-67). Returns (f (3,), success)."""
+    delta = p2 - p1
+    distance = np.linalg.norm(delta)
+    if distance == 0.0:
+        return np.zeros(3, np.float32), False
+    delta = delta / distance
+    n1_d = float(np.dot(n1, delta))
+    n2_d = float(np.dot(n2, delta))
+    if abs(n1_d) < abs(n2_d):
+        u_d, nt_d = -n2_d, -n1_d
+    else:
+        u_d, nt_d = n1_d, n2_d
+    if abs(u_d) >= 1.0:
+        return np.zeros(3, np.float32), False
+    v_norm = np.sqrt(1.0 - u_d * u_d)
+    n1n2 = float(np.dot(n1, n2))
+    f = np.zeros(3, np.float32)
+    f[0] = np.arctan2(nt_d - n1n2 * u_d, n1n2 * v_norm)
+    f[1] = float(np.dot(delta, np.cross(n1, n2))) / v_norm
+    f[2] = u_d
+    return f, True
+
+
+def compute_fpfh_np(points, normals, radius):
+    """ComputeSpfh + ComputeFpfhImpl (fpfh.cpp:69-176), radius neighborhoods."""
+    points = np.asarray(points, np.float32)
+    n = len(points)
+    num_bins, size = 11, 33
+    scale = np.array([1.0 / (2 * np.pi), 0.5, 0.5])
+    d = np.linalg.norm(points[:, None] - points[None, :], axis=-1)
+    nbrs = [np.where(d[i] <= radius)[0] for i in range(n)]  # includes self
+
+    spfhs = np.zeros((n, size), np.float32)
+    for i in range(n):
+        nb = nbrs[i]
+        if len(nb) <= 1:
+            continue
+        dhist = 1.0 / (len(nb) - 1)
+        for j in nb:
+            if j == i:
+                continue
+            f, suc = compute_pfh_np(points[i], normals[i], points[j], normals[j])
+            if suc:
+                for k in range(3):
+                    h = int(np.floor(num_bins * (f[k] * scale[k] + 0.5)))
+                    h = max(0, min(num_bins - 1, h))
+                    spfhs[i, k * num_bins + h] += dhist
+
+    fpfh = np.zeros((n, size), np.float32)
+    for i in range(n):
+        for j in nbrs[i]:
+            if j == i:
+                continue
+            fpfh[i] += (1.0 / d[i, j]) * spfhs[j]
+        for k in range(3):
+            seg = fpfh[i, k * num_bins : (k + 1) * num_bins]
+            q = seg.sum()
+            if q > 0:
+                fpfh[i, k * num_bins : (k + 1) * num_bins] = seg / q
+    return fpfh
+
+
+def prune_matches_lowe_np(matches, src_fpfh, dst_fpfh, lowe_ratio):
+    """PruneMatchesLowe (rs_align_app.cpp:177-217)."""
+    pairs, weights = [], []
+    k_var = 0.25 * 0.25
+    for i in range(matches.shape[0]):
+        j0, j1 = int(matches[i, 0]), int(matches[i, 1])
+        d0 = float(((src_fpfh[i] - dst_fpfh[j0]) ** 2).sum())
+        d1 = float(((src_fpfh[i] - dst_fpfh[j1]) ** 2).sum())
+        if d0 < d1:
+            if d0 < lowe_ratio * d1:
+                pairs.append((i, j0))
+                weights.append(np.exp(-d0 / k_var))
+        else:
+            if d1 < lowe_ratio * d0:
+                pairs.append((i, j1))
+                weights.append(np.exp(-d1 / k_var))
+    return pairs, weights

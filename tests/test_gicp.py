@@ -1,0 +1,123 @@
+"""GICP tests: covariance parity with the C++ semantics + pose recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import gicp as gicp_mod
+from realsensetracker_tpu.geometry import se3
+from realsensetracker_tpu.ops import cloud as cloud_mod
+
+
+def _random_cloud(key, n, scale=1.0):
+    return scale * jax.random.normal(key, (n, 3), dtype=jnp.float32)
+
+
+def _covariances_np(points, k=8, use_gicp=False):
+    """Scalar transcription of ComputeCovariances (point_cloud_utils.cpp:
+    100-161): k+1 NN, skip self, centroid over k, scatter, /(k-1) or
+    singular-value remap."""
+    points = np.asarray(points, np.float32)
+    n = len(points)
+    d2 = ((points[:, None] - points[None]) ** 2).sum(-1)
+    covs = np.zeros((n, 3, 3), np.float32)
+    for i in range(n):
+        idx = np.argsort(d2[i], kind="stable")[1 : k + 1]  # skip self
+        nb = points[idx]
+        ctr = nb.mean(0)
+        cov = np.zeros((3, 3), np.float32)
+        for p in nb:
+            cov += np.outer(p - ctr, p - ctr)
+        if use_gicp:
+            u, s, _ = np.linalg.svd(cov)
+            cov = np.zeros((3, 3), np.float32)
+            for kk in range(3):
+                v = 1.0 if kk < 2 else 1e-2
+                cov += v * np.outer(u[:, kk], u[:, kk])
+        else:
+            cov /= k - 1
+        covs[i] = cov
+    return covs
+
+
+class TestCovariances:
+    def test_plain_covariance_parity(self):
+        pts = np.asarray(_random_cloud(jax.random.PRNGKey(0), 40))
+        ref = _covariances_np(pts, k=8, use_gicp=False)
+        got = np.asarray(
+            gicp_mod.compute_covariances(
+                cloud_mod.from_points(jnp.asarray(pts)), k=8, use_gicp=False
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_gicp_covariance_parity(self):
+        pts = np.asarray(_random_cloud(jax.random.PRNGKey(1), 40))
+        ref = _covariances_np(pts, k=8, use_gicp=True)
+        got = np.asarray(
+            gicp_mod.compute_covariances(
+                cloud_mod.from_points(jnp.asarray(pts)), k=8, use_gicp=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_gicp_covariance_eigenvalues(self):
+        pts = _random_cloud(jax.random.PRNGKey(2), 30)
+        covs = gicp_mod.compute_covariances(
+            cloud_mod.from_points(pts), k=8, use_gicp=True
+        )
+        vals = np.linalg.eigvalsh(np.asarray(covs))
+        np.testing.assert_allclose(vals[:, 2], 1.0, atol=1e-4)
+        np.testing.assert_allclose(vals[:, 0], 1e-2, atol=1e-4)
+
+
+class TestGicpAlignment:
+    def test_recovers_exact_transform(self):
+        src = _random_cloud(jax.random.PRNGKey(3), 120)
+        T_true = se3.exp(
+            jnp.array([0.05, -0.03, 0.04, 0.04, -0.03, 0.05], jnp.float32)
+        )
+        dst = se3.transform_points(T_true, src)
+        res = gicp_mod.align_gicp(
+            cloud_mod.from_points(src), cloud_mod.from_points(dst),
+            max_outer=8, inner_iters=8, cov_k=8,
+        )
+        err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
+        assert err.max() < 1e-4
+
+    def test_gicp_cov_variant_recovers(self):
+        src = _random_cloud(jax.random.PRNGKey(4), 100)
+        T_true = se3.exp(jnp.array([0.02, 0.03, -0.02, -0.03, 0.02, 0.02], jnp.float32))
+        dst = se3.transform_points(T_true, src)
+        res = gicp_mod.align_gicp(
+            cloud_mod.from_points(src), cloud_mod.from_points(dst),
+            max_outer=8, inner_iters=8, cov_k=8, use_gicp_cov=True,
+        )
+        err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
+        assert err.max() < 1e-3
+
+    def test_huber_rejects_outliers(self):
+        key = jax.random.PRNGKey(5)
+        src = _random_cloud(key, 100)
+        T_true = se3.exp(jnp.array([0.03, 0, 0, 0, 0.03, 0], jnp.float32))
+        dst = np.array(se3.transform_points(T_true, src))
+        dst[:10] += 5.0  # corrupt 10% of destinations
+        res = gicp_mod.align_gicp(
+            cloud_mod.from_points(src), cloud_mod.from_points(jnp.asarray(dst)),
+            max_outer=8, inner_iters=8, cov_k=8,
+        )
+        err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
+        assert err.max() < 5e-2
+
+    def test_masked_points_ignored(self):
+        src = _random_cloud(jax.random.PRNGKey(6), 80)
+        T_true = se3.exp(jnp.array([0.02, -0.02, 0.02, 0.02, 0.02, -0.02], jnp.float32))
+        dst = se3.transform_points(T_true, src)
+        src_aug = jnp.concatenate([src, 50.0 + _random_cloud(jax.random.PRNGKey(7), 20)])
+        mask = jnp.concatenate([jnp.ones(80, bool), jnp.zeros(20, bool)])
+        res = gicp_mod.align_gicp(
+            cloud_mod.Cloud(src_aug, mask), cloud_mod.from_points(dst),
+            max_outer=8, inner_iters=8, cov_k=8,
+        )
+        err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
+        assert err.max() < 1e-3
