@@ -1,0 +1,179 @@
+"""Robust global registration: GNC-TLS rotation + component-wise translation.
+
+TPU-native replacement for the reference's TEASER++ bridge
+(teaser_interface.cpp:20-133). The reference configures TEASER++ with:
+GNC_TLS rotation (2048 iters, gnc_factor 1.4, cost threshold 1e-6),
+cbar2 = 1, no scale estimation, and the k-core heuristic (threshold 0.5)
+instead of exact max-clique (teaser_interface.cpp:79-99). Correspondences
+come from mutual (cross-checked) FPFH matching (:66-68) and >=3 are required
+(:71-73).
+
+The TPU formulation keeps that estimation pipeline but swaps graph
+algorithms for dense tensor ops:
+
+1. mutual 1-NN feature matching (two dense kNN passes, MXU);
+2. pairwise translation-invariant consistency graph: pairs (i, j) are
+   compatible when ||p_i-p_j| - |q_i-q_j|| <= 2*noise_bound; the k-core
+   screen becomes a degree threshold on this dense boolean matrix;
+3. GNC-TLS rotation over translation-invariant measurements (TIMs) built
+   from a random pair basis, solved by iterating weighted-SVD Kabsch
+   (rotation-only) with the standard GNC-TLS mu schedule;
+4. component-wise translation by consensus voting + inlier mean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realsensetracker_tpu.geometry import se3
+from realsensetracker_tpu.ops import correspond
+from realsensetracker_tpu.ops.cloud import Cloud
+
+
+class RobustRegistrationResult(NamedTuple):
+    transform: jnp.ndarray  # (4, 4)
+    valid: jnp.ndarray  # bool: enough consistent correspondences
+    num_correspondences: jnp.ndarray
+    num_inliers: jnp.ndarray
+    rotation_inlier_fraction: jnp.ndarray
+
+
+def mutual_matches(
+    src_feats: jnp.ndarray,
+    dst_feats: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+):
+    """Cross-checked 1-NN feature correspondences (Matcher cross_check=true,
+    teaser_interface.cpp:66-68). Returns (dst_index (N,), keep (N,))."""
+    fwd_idx, _ = correspond.nearest_neighbors(src_feats, Cloud(dst_feats, dst_mask))
+    bwd_idx, _ = correspond.nearest_neighbors(dst_feats, Cloud(src_feats, src_mask))
+    n = src_feats.shape[0]
+    keep = (bwd_idx[fwd_idx] == jnp.arange(n)) & src_mask
+    return fwd_idx, keep
+
+
+def _gnc_tls_rotation(
+    a: jnp.ndarray,  # (M, 3) source TIMs
+    b: jnp.ndarray,  # (M, 3) destination TIMs
+    mask: jnp.ndarray,  # (M,)
+    noise_bound: float,
+    max_iters: int = 64,
+    gnc_factor: float = 1.4,
+):
+    """GNC-TLS rotation search (teaser params, teaser_interface.cpp:83-91).
+
+    Iterates: weighted rotation-only Kabsch -> TLS residuals -> GNC weight
+    update with mu *= gnc_factor. Returns (R, weights).
+    """
+    m = mask.astype(jnp.float32)
+    cbar2 = noise_bound * noise_bound  # cbar2 multiplier = 1 (:81)
+
+    def solve_rotation(w):
+        cov = jnp.einsum("m,mi,mj->ij", w, b, a)
+        u, _, vt = jnp.linalg.svd(cov)
+        R = u @ vt
+        det = jnp.linalg.det(R)
+        return R.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
+
+    # Initialize mu from the max residual (standard GNC-TLS schedule).
+    R0 = solve_rotation(m)
+    r2_0 = jnp.sum((b - a @ R0.T) ** 2, axis=-1) * m
+    r2_max = jnp.maximum(jnp.max(r2_0), cbar2 * (1.0 + 1e-6))
+    mu0 = 1.0 / (2.0 * r2_max / cbar2 - 1.0)
+
+    def body(carry, _):
+        R, mu = carry
+        r2 = jnp.sum((b - a @ R.T) ** 2, axis=-1)
+        lo = mu / (mu + 1.0) * cbar2
+        hi = (mu + 1.0) / mu * cbar2
+        w_mid = jnp.sqrt(cbar2 * mu * (mu + 1.0) / jnp.maximum(r2, 1e-30)) - mu
+        w = jnp.where(r2 <= lo, 1.0, jnp.where(r2 >= hi, 0.0, jnp.clip(w_mid, 0.0, 1.0)))
+        w = w * m
+        R_new = solve_rotation(w)
+        return (R_new, mu * gnc_factor), None
+
+    (R, _), _ = jax.lax.scan(body, (R0, mu0), None, length=max_iters)
+    r2 = jnp.sum((b - a @ R.T) ** 2, axis=-1)
+    inlier = (r2 <= cbar2) & mask
+    return R, inlier
+
+
+def _consensus_translation(t_cand: jnp.ndarray, mask: jnp.ndarray, beta: float):
+    """Component-wise translation voting: per axis, pick the candidate whose
+    +-beta window contains the most votes, then average that window
+    (TEASER's adaptive voting, dense formulation)."""
+    def per_axis(x):
+        diff = jnp.abs(x[:, None] - x[None, :])  # (M, M)
+        votes = (diff <= beta) & mask[None, :] & mask[:, None]
+        counts = jnp.sum(votes, axis=-1)
+        best = jnp.argmax(counts)
+        sel = votes[best]
+        w = sel.astype(x.dtype)
+        return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    return jax.vmap(per_axis, in_axes=1)(t_cand)
+
+
+@partial(jax.jit, static_argnames=("max_tims", "gnc_iters", "min_degree_frac"))
+def register_robust(
+    src: Cloud,
+    dst: Cloud,
+    src_feats: jnp.ndarray,
+    dst_feats: jnp.ndarray,
+    noise_bound: float = 0.25,
+    max_tims: int = 1024,
+    gnc_iters: int = 64,
+    min_degree_frac: float = 0.5,
+) -> RobustRegistrationResult:
+    """Full robust global registration (ref RegisterTeaser,
+    teaser_interface.cpp:20-133): FPFH mutual matching -> degree screening
+    -> GNC-TLS rotation on TIMs -> consensus translation."""
+    n = src.capacity
+    match_idx, keep = mutual_matches(src_feats, dst_feats, src.mask, dst.mask)
+    p = src.points
+    q = dst.points[match_idx]
+
+    # Dense pairwise consistency graph (k-core heuristic stand-in,
+    # teaser_interface.cpp:99: kcore 0.5 "skip max clique").
+    dp = jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
+    dq = jnp.linalg.norm(q[:, None, :] - q[None, :, :], axis=-1)
+    compat = (jnp.abs(dp - dq) <= 2.0 * noise_bound) & keep[:, None] & keep[None, :]
+    degree = jnp.sum(compat, axis=-1) - keep  # exclude self
+    n_keep = jnp.maximum(jnp.sum(keep), 1)
+    screened = keep & (degree >= min_degree_frac * jnp.mean(
+        jnp.where(keep, degree, 0) * n / n_keep
+    ))
+
+    # TIMs from a shifted-pair basis (chain + strides) bounded by max_tims.
+    m = min(max_tims, n)
+    shifts = (1, 2, 5, 11)
+    idx_i = jnp.concatenate([jnp.arange(m) for _ in shifts])
+    idx_j = jnp.concatenate([(jnp.arange(m) + s) % n for s in shifts])
+    a = p[idx_i] - p[idx_j]
+    b = q[idx_i] - q[idx_j]
+    tim_mask = screened[idx_i] & screened[idx_j]
+
+    R, rot_inliers = _gnc_tls_rotation(
+        a, b, tim_mask, 2.0 * noise_bound, max_iters=gnc_iters
+    )
+
+    t_cand = q - p @ R.T  # (N, 3) translation votes
+    t = _consensus_translation(t_cand, screened, noise_bound)
+
+    resid = jnp.linalg.norm(q - (p @ R.T + t), axis=-1)
+    inliers = screened & (resid <= noise_bound)
+    T = se3.from_rt(R.astype(jnp.float32), t.astype(jnp.float32))
+    n_corr = jnp.sum(keep)
+    return RobustRegistrationResult(
+        transform=T,
+        valid=n_corr > 3,  # teaser_interface.cpp:71-73
+        num_correspondences=n_corr,
+        num_inliers=jnp.sum(inliers),
+        rotation_inlier_fraction=jnp.sum(rot_inliers)
+        / jnp.maximum(jnp.sum(tim_mask), 1),
+    )
