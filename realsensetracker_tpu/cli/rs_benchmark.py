@@ -1,0 +1,101 @@
+"""rs-benchmark: throughput/latency benchmark CLI.
+
+Measures registered pairs/sec for any pipeline at any batch size and
+resolution, with honest timing (distinct per-call inputs, blocking steady
+state). The repo-root bench.py wraps the default flagship configuration.
+
+Usage:
+  python -m realsensetracker_tpu.cli.rs_benchmark --batch 64 --iters 10
+  python -m realsensetracker_tpu.cli.rs_benchmark --pipeline gnc-icp --points 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rs-benchmark", description=__doc__)
+    p.add_argument("--pipeline", default="projective-icp")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--samples", type=int, default=4096)
+    p.add_argument("--points", type=int, default=4096, help="cloud pipelines")
+    p.add_argument("--level-iters", default="4,5,10")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from realsensetracker_tpu.align import projective
+    from realsensetracker_tpu.data import synthetic
+    from realsensetracker_tpu.geometry import camera
+
+    intr = camera.Intrinsics(
+        fx=args.width * 0.8, fy=args.width * 0.8,
+        cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
+        width=args.width, height=args.height,
+    )
+    rng = np.random.RandomState(0)
+
+    if args.pipeline == "projective-icp":
+        from realsensetracker_tpu.parallel import batched
+
+        iters = tuple(int(x) for x in args.level_iters.split(","))
+        cfg = projective.ProjectiveIcpConfig(iters=iters, samples=args.samples)
+        d0, d1, _ = synthetic.render_pair(
+            intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32)
+        )
+        src = jnp.asarray(np.asarray(d1)[None] + 0.001 * rng.randn(
+            args.batch, args.height, args.width).astype(np.float32))
+        dst = jnp.asarray(np.asarray(d0)[None] + 0.001 * rng.randn(
+            args.batch, args.height, args.width).astype(np.float32))
+        step = jax.jit(lambda s, d: batched.register_batch(s, d, intr, cfg).transform)
+        jax.block_until_ready(step(src, dst))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            jax.block_until_ready(step(src, dst))
+        dt = time.perf_counter() - t0
+        per_pair = args.batch * args.iters / dt
+    elif args.pipeline in ("gnc-icp", "gicp"):
+        from realsensetracker_tpu.models import get_pipeline
+        from realsensetracker_tpu.ops import cloud as cloud_mod
+
+        run = get_pipeline(args.pipeline)
+        batch_run = jax.jit(jax.vmap(lambda s, d: run(
+            cloud_mod.Cloud(s, jnp.ones(s.shape[0], bool)),
+            cloud_mod.Cloud(d, jnp.ones(d.shape[0], bool)),
+        ).transform))
+        src = jnp.asarray(rng.randn(args.batch, args.points, 3).astype(np.float32))
+        dst = src + 0.01
+        jax.block_until_ready(batch_run(src, dst))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            jax.block_until_ready(batch_run(src, dst))
+        dt = time.perf_counter() - t0
+        per_pair = args.batch * args.iters / dt
+    else:
+        raise SystemExit(f"unsupported pipeline for benchmarking: {args.pipeline}")
+
+    n_chips = max(1, len(jax.devices()))
+    print(json.dumps({
+        "pipeline": args.pipeline,
+        "batch": args.batch,
+        "resolution": f"{args.width}x{args.height}",
+        "pairs_per_sec_per_chip": round(per_pair / n_chips, 2),
+        "ms_per_batch": round(1000 * dt / args.iters, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

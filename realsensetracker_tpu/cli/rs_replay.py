@@ -1,0 +1,126 @@
+"""rs-replay: offline tracking over a recorded clip or TUM sequence.
+
+CLI port of rs_replay_app (rs_replay_app.cpp:159-415): glob/replay recorded
+data, per-frame registration, pose accumulation, world-model growth, and
+(new, required by the ATE metric) trajectory output + optional ATE report
+against groundtruth.
+
+Usage:
+  python -m realsensetracker_tpu.cli.rs_replay --record clip.rsc \
+      --trajectory-out traj.txt --method projective
+  python -m realsensetracker_tpu.cli.rs_replay --tum /data/fr1_desk --ate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rs-replay", description=__doc__)
+    p.add_argument("--record", "-r", default="", help="Input .rsc clip file")
+    p.add_argument("--tum", default="", help="TUM sequence directory")
+    p.add_argument(
+        "--frame-interval", "-f", type=float, default=0.0,
+        help="Frame interval in ms (reference default 1000; 0 = as fast as possible)",
+    )
+    p.add_argument("--method", default="projective",
+                   choices=["projective", "keyframe", "icp", "gicp"])
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--trajectory-out", default="")
+    p.add_argument("--map-capacity", type=int, default=0)
+    p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
+    p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
+    p.add_argument("--json", action="store_true", help="Machine-readable per-frame output")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from realsensetracker_tpu.api import Tracker, TrackerConfig
+    from realsensetracker_tpu.data import recorded, stream as stream_mod
+
+    gt = None
+    if args.tum:
+        from realsensetracker_tpu.data import tum
+
+        seq = tum.TumSequence.open(args.tum)
+        if not len(seq):
+            print(f"no depth frames in {args.tum}", file=sys.stderr)
+            return 1
+        first = seq.depth(0)
+        h, w = first.shape
+        from realsensetracker_tpu.geometry import camera
+
+        intr = camera.TUM_FR1 if (w, h) == (640, 480) else camera.Intrinsics(
+            fx=w * 0.8, fy=w * 0.8, cx=(w - 1) / 2, cy=(h - 1) / 2, width=w, height=h
+        )
+        frames = stream_mod.stream_tum(
+            seq, stop=args.max_frames or None
+        )
+        if args.ate and seq.groundtruth:
+            gt = seq.groundtruth_trajectory()
+    elif args.record:
+        clip = recorded.read_clip(args.record)
+        intr = clip.intrinsics
+        stop = args.max_frames or len(clip)
+        frames = ((clip.timestamps[i], clip.depths[i]) for i in range(stop))
+    else:
+        print("need --record or --tum", file=sys.stderr)
+        return 1
+
+    cfg = TrackerConfig(intrinsics=intr, method=args.method, map_capacity=args.map_capacity)
+    tracker = Tracker(cfg)
+
+    n = 0
+    t_start = time.perf_counter()
+    for ts, depth in frames:
+        res = tracker.process(depth, ts)
+        if args.json:
+            import numpy as np
+
+            print(json.dumps({
+                "frame": res.frame_index,
+                "timestamp": ts,
+                "success": bool(res.success),
+                "rmse": float(res.rmse),
+                "inliers": float(res.inlier_fraction),
+                "pose": np.asarray(res.pose).reshape(-1).round(6).tolist(),
+            }))
+        else:
+            tag = "ok" if res.success else "ALIGNMENT FAILED"
+            print(f"frame {res.frame_index:4d} t={ts:.3f} [{tag}] "
+                  f"rmse={res.rmse:.4f} inliers={res.inlier_fraction:.2f}")
+        if args.render_dir and tracker.world_map is not None:
+            import os
+
+            import numpy as np
+
+            from realsensetracker_tpu.vis import render_cloud_png
+
+            m = tracker.world_map
+            pts = np.asarray(m.points)[np.asarray(m.mask)]
+            render_cloud_png(os.path.join(args.render_dir, f"model_{n:04d}.png"),
+                             [(pts, "gray")])
+        if args.frame_interval > 0:
+            time.sleep(args.frame_interval / 1000.0)
+        n += 1
+    dt = time.perf_counter() - t_start
+    print(f"processed {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
+
+    if args.trajectory_out:
+        tracker.save_trajectory(args.trajectory_out)
+        print(f"trajectory -> {args.trajectory_out}")
+    if gt is not None:
+        from realsensetracker_tpu.tracking.trajectory import absolute_trajectory_error
+
+        ate = absolute_trajectory_error(tracker.trajectory, gt)
+        print("ATE:", json.dumps(ate))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

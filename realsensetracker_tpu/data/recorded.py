@@ -1,0 +1,106 @@
+"""Recorded-clip format (.rsc): the framework's record/replay path.
+
+The reference records per-frame protobuf point clouds from the viewer
+(rs_viewer.cpp:105-112) and replays them by glob pattern
+(rs_replay_app.cpp:132-165, 219-225). The TPU framework records DEPTH
+IMAGES instead (the pipeline is image-native); a clip is one binary .rsc
+file holding all frames, so replay is a single sequential read that feeds
+the device-resident pipeline.
+
+Layout (little-endian):
+  magic  'RSCLIP01'                      8 bytes
+  header int32[6]: num_frames, height, width, dtype(0=u16mm,1=f32m),
+                   fx_mantissa... -- intrinsics stored as 4 float32 after
+  intr   float32[4]: fx, fy, cx, cy
+  stamps float64[num_frames]
+  frames num_frames * H * W * (2 or 4) bytes
+
+When the native C++ codec (realsensetracker_tpu.native.clip_io) is built it
+handles the (de)serialization; this module is the format owner and Python
+fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from realsensetracker_tpu.geometry import camera
+
+MAGIC = b"RSCLIP01"
+DTYPE_U16_MM = 0  # uint16 millimeters (compact, RealSense/TUM-style)
+DTYPE_F32_M = 1  # float32 meters
+
+
+@dataclass
+class Clip:
+    depths: np.ndarray  # (F, H, W) float32 meters
+    timestamps: np.ndarray  # (F,) float64 seconds
+    intrinsics: camera.Intrinsics
+
+    def __len__(self) -> int:
+        return self.depths.shape[0]
+
+
+def write_clip(path: str, depths, timestamps, intr: camera.Intrinsics,
+               dtype: int = DTYPE_U16_MM) -> None:
+    depths = np.asarray(depths, np.float32)
+    timestamps = np.asarray(timestamps, np.float64)
+    f_count, h, w = depths.shape
+    assert timestamps.shape == (f_count,)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<iiii", f_count, h, w, dtype))
+        f.write(struct.pack("<ffff", intr.fx, intr.fy, intr.cx, intr.cy))
+        f.write(timestamps.tobytes())
+        if dtype == DTYPE_U16_MM:
+            mm = np.clip(np.round(depths * 1000.0), 0, 65535).astype("<u2")
+            f.write(mm.tobytes())
+        else:
+            f.write(depths.astype("<f4").tobytes())
+
+
+def read_clip(path: str) -> Clip:
+    try:
+        from realsensetracker_tpu.native import clip_io
+
+        return clip_io.read_clip(path)
+    except Exception:
+        return read_clip_py(path)
+
+
+def read_clip_py(path: str) -> Clip:
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not an RSC clip (magic={magic!r})")
+        f_count, h, w, dtype = struct.unpack("<iiii", f.read(16))
+        fx, fy, cx, cy = struct.unpack("<ffff", f.read(16))
+        stamps = np.frombuffer(f.read(8 * f_count), dtype="<f8").copy()
+        if dtype == DTYPE_U16_MM:
+            raw = np.frombuffer(f.read(f_count * h * w * 2), dtype="<u2")
+            depths = raw.reshape(f_count, h, w).astype(np.float32) / 1000.0
+        elif dtype == DTYPE_F32_M:
+            raw = np.frombuffer(f.read(f_count * h * w * 4), dtype="<f4")
+            depths = raw.reshape(f_count, h, w).astype(np.float32)
+        else:
+            raise ValueError(f"unknown clip dtype {dtype}")
+    intr = camera.Intrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
+    return Clip(depths=depths, timestamps=stamps, intrinsics=intr)
+
+
+def record_synthetic_clip(path: str, num_frames: int = 30, seed: int = 0,
+                          width: int = 640, height: int = 480) -> Clip:
+    """Produce a clip from the raycast scene (dataset-free record path)."""
+    from realsensetracker_tpu.data import synthetic
+
+    intr = camera.Intrinsics(
+        fx=width * 0.8, fy=width * 0.8, cx=(width - 1) / 2, cy=(height - 1) / 2,
+        width=width, height=height,
+    )
+    depths, _ = synthetic.render_trajectory(intr, num_frames, seed=seed)
+    stamps = np.arange(num_frames, dtype=np.float64) / 30.0
+    write_clip(path, np.asarray(depths), stamps, intr)
+    return read_clip(path)

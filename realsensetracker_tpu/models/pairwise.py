@@ -1,0 +1,84 @@
+"""Coarse-to-fine pairwise cloud alignment: the rs_align_app pipeline.
+
+Port of the rs_align_app main flow (rs_align_app.cpp:243-314): voxel
+downsample both clouds, FPFH features, 2-NN feature matches, Lowe
+ratio pruning with Gaussian weights, weighted Kabsch seed, GNC-ICP refine,
+optional robust global registration -- all as one composable function over
+fixed-capacity masked clouds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from realsensetracker_tpu.align import icp as icp_mod
+from realsensetracker_tpu.align import kabsch as kabsch_mod
+from realsensetracker_tpu.align import robust_global
+from realsensetracker_tpu.api.config import AlignConfig
+from realsensetracker_tpu.geometry import se3
+from realsensetracker_tpu.ops import cloud as cloud_mod
+from realsensetracker_tpu.ops import fpfh as fpfh_mod
+from realsensetracker_tpu.ops import voxel as voxel_mod
+
+
+class AlignPairResult(NamedTuple):
+    transform: jnp.ndarray
+    num_matches: jnp.ndarray
+    icp_mean_cost: jnp.ndarray
+    success: bool
+
+
+def align_pair(
+    src: cloud_mod.Cloud,
+    dst: cloud_mod.Cloud,
+    cfg: AlignConfig = AlignConfig(),
+    viewpoint: jnp.ndarray | None = None,
+) -> AlignPairResult:
+    """Register src onto dst following the rs_align_app recipe."""
+    if viewpoint is None:
+        viewpoint = jnp.zeros(3, jnp.float32)  # rs_align_app.cpp:275-278
+
+    src_d = voxel_mod.downsample_voxel(src, cfg.voxel_size)
+    dst_d = voxel_mod.downsample_voxel(dst, cfg.voxel_size)
+
+    xfm = se3.identity()
+    n_matches = jnp.int32(0)
+    src_f = dst_f = None
+    if cfg.init_with_fpfh or cfg.use_robust:
+        src_f = fpfh_mod.compute_fpfh(
+            src_d, viewpoint, cfg.normal_k, cfg.feature_radius, cfg.fpfh_max_neighbors
+        )
+        dst_f = fpfh_mod.compute_fpfh(
+            dst_d, viewpoint, cfg.normal_k, cfg.feature_radius, cfg.fpfh_max_neighbors
+        )
+
+    if cfg.init_with_fpfh:
+        matches, _ = fpfh_mod.compute_matches(src_f, dst_f, src_d.mask, dst_d.mask, 2)
+        j_best, weights, keep = fpfh_mod.prune_matches_lowe(
+            matches, src_f, dst_f, cfg.lowe_ratio, src_d.mask
+        )
+        n_matches = jnp.sum(keep)
+        xfm = kabsch_mod.solve_kabsch(
+            src_d.points, dst_d.points[j_best], weights=weights, mask=keep
+        )
+
+    icp_cost = jnp.float32(0.0)
+    if cfg.refine_with_icp:
+        res = icp_mod.align_icp(src_d, dst_d, cfg.icp_max_iter, init_transform=xfm)
+        xfm = res.transform
+        icp_cost = res.mean_cost
+
+    if cfg.use_robust:
+        rr = robust_global.register_robust(
+            src_d, dst_d, src_f, dst_f, cfg.noise_bound
+        )
+        xfm = jnp.where(rr.valid, rr.transform, xfm)
+
+    return AlignPairResult(
+        transform=xfm,
+        num_matches=n_matches,
+        icp_mean_cost=icp_cost,
+        success=bool(jnp.all(jnp.isfinite(xfm))),
+    )

@@ -1,0 +1,70 @@
+"""Profiling utilities.
+
+The reference sprinkles cho::util::UTimer stopwatches through the hot path
+(align_icp.cpp:81-93). Here: the same microsecond stopwatch for host code, a
+per-stage aggregator for pipeline reports, and a jax.profiler trace helper
+for real device profiling. Device timings must block_until_ready -- JAX
+dispatch is async and, through this container's remote relay, repeated
+identical executions can be memoized, so benchmark loops should vary input
+data (see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+class UTimer:
+    """Microsecond stopwatch (cho::util::UTimer analog, align_icp.cpp:81)."""
+
+    def __init__(self, start: bool = True):
+        self._t0 = time.perf_counter() if start else None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop_and_get_elapsed_time(self) -> float:
+        """Elapsed microseconds since start."""
+        return (time.perf_counter() - self._t0) * 1e6
+
+
+class StageTimes:
+    """Accumulate named stage durations; report mean/total per stage."""
+
+    def __init__(self):
+        self._times = defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, block_on=None):
+        t0 = time.perf_counter()
+        yield
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        self._times[name].append(time.perf_counter() - t0)
+
+    def add(self, name: str, seconds: float) -> None:
+        self._times[name].append(seconds)
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "count": len(v),
+                "mean_ms": 1e3 * sum(v) / len(v),
+                "total_ms": 1e3 * sum(v),
+            }
+            for name, v in self._times.items()
+        }
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context -- open with TensorBoard / xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,137 @@
+"""Offline visualization writers.
+
+The reference renders through a live SubprocessViewer (rs_viewer.cpp,
+rs_align_app.cpp DrawAxis/DrawCloud/DrawMatches :135-241) -- an interactive
+window this headless framework replaces with PNG/PLY writers covering the
+same debugging views: colored clouds, correspondence lines, FPFH-PCA false
+coloring (ComputePCAProjection/ApplyPCAProjection, rs_align_app.cpp:90-133),
+PLY export (basic_capture.cpp:45), and the xyzrgb text format
+(view_xyzrgb.cpp:14-39).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _scatter(ax, pts, colors, size=1.0):
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=colors, s=size, linewidths=0)
+
+
+def _setup_axes(fig):
+    ax = fig.add_subplot(111, projection="3d")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    # Axis triad (DrawAxis analog, rs_align_app.cpp:135-166).
+    for vec, c in zip(np.eye(3) * 0.1, ["r", "g", "b"]):
+        ax.plot([0, vec[0]], [0, vec[1]], [0, vec[2]], c=c, linewidth=2)
+    return ax
+
+
+def render_cloud_png(path: str, clouds: list, size: float = 1.0) -> None:
+    """Render [(points, color_or_rgbarray), ...] to a PNG scatter plot."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = _setup_axes(fig)
+    for pts, color in clouds:
+        pts = np.asarray(pts)
+        if len(pts):
+            _scatter(ax, pts, color, size)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def render_depth_png(path: str, depth, max_depth: float = 5.0) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    im = ax.imshow(np.asarray(depth), cmap="viridis", vmin=0, vmax=max_depth)
+    fig.colorbar(im, ax=ax, label="depth [m]")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def render_matches_png(path: str, src_pts, dst_pts, pairs, color="b") -> None:
+    """Correspondence lines (DrawMatches analog, rs_align_app.cpp:219-241)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = _setup_axes(fig)
+    src_pts, dst_pts = np.asarray(src_pts), np.asarray(dst_pts)
+    _scatter(ax, src_pts, "r", 1.0)
+    _scatter(ax, dst_pts, "g", 1.0)
+    for i, j in pairs:
+        a, b = src_pts[i], dst_pts[j]
+        ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], c=color, linewidth=0.3)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def fpfh_pca_colors(fpfh: np.ndarray) -> np.ndarray:
+    """FPFH -> RGB in [0,1] via whitened 3-component PCA.
+
+    ComputePCAProjection + ApplyPCAProjection + the (x+2)/4 color mapping
+    (rs_align_app.cpp:90-120, :345-353).
+    """
+    f = np.asarray(fpfh, np.float64)
+    n = len(f)
+    center = f.mean(0)
+    centered = (f - center).T  # (33, N)
+    u, s, _ = np.linalg.svd(centered, full_matrices=False)
+    scale = np.sqrt(max(n - 1.0, 1.0)) / np.maximum(s[:3], 1e-12)
+    proj = (u[:, :3] * scale).T  # (3, 33)
+    coords = (proj @ centered).T  # (N, 3)
+    return np.clip((coords + 2.0) / 4.0, 0.0, 1.0)
+
+
+def export_ply(path: str, points, colors=None) -> None:
+    """ASCII PLY export (basic_capture.cpp:45 export_to_ply analog)."""
+    points = np.asarray(points)
+    n = len(points)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        if colors is None:
+            for p in points:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        else:
+            c8 = np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+            for p, c in zip(points, c8):
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+
+
+def save_xyzrgb(path: str, points, colors) -> None:
+    """xyzrgb text format writer (counterpart of view_xyzrgb.cpp:14-39)."""
+    points = np.asarray(points)
+    colors = np.asarray(colors)
+    with open(path, "w") as f:
+        for p, c in zip(points, colors):
+            f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+
+
+def load_xyzrgb(path: str):
+    """xyzrgb text parser (LoadXyzrgb, view_xyzrgb.cpp:14-39)."""
+    pts, cols = [], []
+    with open(path) as f:
+        for line in f:
+            vals = line.split()
+            if len(vals) < 6:
+                continue
+            pts.append([float(v) for v in vals[:3]])
+            cols.append([float(v) for v in vals[3:6]])
+    return np.asarray(pts, np.float32), np.asarray(cols, np.float32)
