@@ -55,7 +55,10 @@ def add_cloud(
     """Insert a (camera-frame) cloud transformed to world; existing voxel
     entries win over new points (ref AddCloud first-insert semantics)."""
     C = acc.capacity
-    p_w = se3.transform_points(transform, cloud.points)
+    # Pin to the framework compute dtype (callers may pass f64 under x64).
+    p_w = se3.transform_points(
+        jnp.asarray(transform, jnp.float32), cloud.points.astype(jnp.float32)
+    )
     new_keys = voxel.pack_keys(
         voxel.voxel_coords(p_w, voxel_size, mode="trunc"), cloud.mask
     )
