@@ -1,0 +1,117 @@
+"""Multi-stream tracking: S concurrent frame streams in one compiled step.
+
+BASELINE config 5 ("8 concurrent streams at 30 FPS with live pose output"):
+per-stream state (pose + reference pyramid) lives on device as batched
+arrays; one jitted step registers every stream's new frame against its own
+reference and updates pose/reference only where tracking succeeded.
+Streams shard over the mesh data axis for multi-chip scaling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+
+class StreamState(NamedTuple):
+    poses: jnp.ndarray  # (S, 4, 4) world_from_camera
+    ref_levels: tuple  # pytree of batched PyramidLevels (reference frames)
+    initialized: jnp.ndarray  # (S,) bool
+    frame_count: jnp.ndarray  # (S,) int32
+
+
+class StreamStepResult(NamedTuple):
+    poses: jnp.ndarray  # (S, 4, 4)
+    success: jnp.ndarray  # (S,)
+    rmse: jnp.ndarray  # (S,)
+    inlier_fraction: jnp.ndarray  # (S,)
+
+
+def _build_levels(depths, intr, cfg):
+    def one(d):
+        levels, intrs = build_pyramid(d, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth)
+        return tuple(levels), tuple(intrs)
+
+    batched = jax.vmap(lambda d: one(d)[0])(depths)
+    _, intrs = one(depths[0])
+    return batched, intrs
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "num_streams"))
+def init_streams(
+    first_depths: jnp.ndarray,  # (S, H, W)
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    num_streams: int | None = None,
+) -> StreamState:
+    s = first_depths.shape[0] if num_streams is None else num_streams
+    levels, _ = _build_levels(first_depths, intr, cfg)
+    return StreamState(
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (s, 4, 4)),
+        ref_levels=levels,
+        initialized=jnp.ones((s,), bool),
+        frame_count=jnp.ones((s,), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams(
+    state: StreamState,
+    depths: jnp.ndarray,  # (S, H, W) one new frame per stream
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[StreamState, StreamStepResult]:
+    """Advance every stream by one frame in a single compiled step."""
+    new_levels, intrs = _build_levels(depths, intr, cfg)
+
+    def one(ref_lv, new_lv):
+        return projective.projective_icp(new_lv, ref_lv, tuple(intrs), cfg=cfg)
+
+    res = jax.vmap(one)(state.ref_levels, new_levels)
+    finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
+    success = finite & (res.inlier_fraction >= min_inlier_fraction)
+
+    new_pose = se3.compose(state.poses, res.transform)
+    poses = jnp.where(success[:, None, None], new_pose, state.poses)
+    # Failure semantics (ref rs_replay_app.cpp:266-273): keep the old
+    # reference frame and pose where registration failed.
+    ref_levels = jax.tree.map(
+        lambda new, old: jnp.where(
+            success.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        ),
+        new_levels,
+        state.ref_levels,
+    )
+    new_state = StreamState(
+        poses=poses,
+        ref_levels=ref_levels,
+        initialized=state.initialized,
+        frame_count=state.frame_count + 1,
+    )
+    return new_state, StreamStepResult(
+        poses=poses,
+        success=success,
+        rmse=res.rmse,
+        inlier_fraction=res.inlier_fraction,
+    )
+
+
+def shard_streams(state: StreamState, mesh, data_axis: str = "data") -> StreamState:
+    """Shard per-stream state over the mesh's data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(data_axis))
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1)))))
+
+    del sharding
+    return jax.tree.map(put, state)

@@ -1,0 +1,108 @@
+"""Multi-stream batched tracking (config 5) + checkpoint/resume tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.parallel import streams
+from realsensetracker_tpu.tracking import checkpoint
+from realsensetracker_tpu.tracking.frame_to_frame import FrameToFrameTracker
+
+INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=49.5, cy=37.0, width=100, height=75)
+CFG = projective.ProjectiveIcpConfig(iters=(5, 5, 6), samples=1024)
+
+
+def _stream_data(s=4, frames=4):
+    """S independent trajectories through different scenes."""
+    all_depths, all_poses = [], []
+    for i in range(s):
+        scene = synthetic.default_scene(seed=10 + i)
+        d, p = synthetic.render_trajectory(INTR, frames, scene=scene, seed=i, step_scale=0.015)
+        all_depths.append(d)
+        all_poses.append(p)
+    return jnp.stack(all_depths, 1), jnp.stack(all_poses, 1)  # (F, S, H, W), (F, S, 4, 4)
+
+
+class TestMultiStream:
+    def test_streams_track_independently(self):
+        depths, poses = _stream_data(s=4, frames=4)
+        state = streams.init_streams(depths[0], INTR, CFG)
+        for f in range(1, 4):
+            state, res = streams.step_streams(state, depths[f], INTR, CFG)
+            assert bool(jnp.all(res.success))
+        for i in range(4):
+            err = np.abs(np.asarray(se3.log(
+                se3.compose(se3.inverse(poses[3, i]), state.poses[i])))).max()
+            assert err < 0.05
+
+    def test_failed_stream_holds_pose_and_reference(self):
+        depths, _ = _stream_data(s=2, frames=3)
+        state = streams.init_streams(depths[0], INTR, CFG)
+        # Kill stream 0's second frame.
+        bad = depths[1].at[0].set(0.0)
+        state1, res = streams.step_streams(state, bad, INTR, CFG)
+        assert not bool(res.success[0])
+        assert bool(res.success[1])
+        np.testing.assert_array_equal(
+            np.asarray(state1.poses[0]), np.eye(4, dtype=np.float32)
+        )
+        # Stream 0's reference must still be frame 0: the next good frame
+        # registers against it successfully.
+        state2, res2 = streams.step_streams(state1, depths[1], INTR, CFG)
+        assert bool(res2.success[0])
+
+    def test_sharded_streams_on_mesh(self):
+        from realsensetracker_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(8)
+        depths, _ = _stream_data(s=8, frames=2)
+        state = streams.init_streams(depths[0], INTR, CFG)
+        state = streams.shard_streams(state, mesh)
+        sharded_depths = jax.device_put(
+            depths[1],
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None, None)),
+        )
+        state, res = streams.step_streams(state, sharded_depths, INTR, CFG)
+        assert res.poses.shape == (8, 4, 4)
+        assert bool(jnp.all(res.success))
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        depths, _ = _stream_data(s=1, frames=3)
+        seq = depths[:, 0]
+        t1 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        t1.process(seq[0], 0.0)
+        t1.process(seq[1], 1.0)
+        path = os.path.join(tmp_path, "ckpt.npz")
+        checkpoint.save_tracker(path, t1)
+
+        t2 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        checkpoint.load_tracker(path, t2)
+        assert t2._index == t1._index
+        assert len(t2.trajectory) == 2
+        np.testing.assert_array_equal(np.asarray(t2.pose), np.asarray(t1.pose))
+        assert int(t2.world_map.count()) == int(t1.world_map.count())
+
+        # Resumed tracker continues identically to the original.
+        r1 = t1.process(seq[2], 2.0)
+        r2 = t2.process(seq[2], 2.0)
+        np.testing.assert_allclose(
+            np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-6
+        )
+
+    def test_version_check(self, tmp_path):
+        path = os.path.join(tmp_path, "bad.npz")
+        np.savez(path, format_version=np.int64(999), frame_index=np.int64(0),
+                 traj_timestamps=np.zeros(0), traj_poses=np.zeros((0, 4, 4)))
+        t = FrameToFrameTracker(INTR, CFG)
+        try:
+            checkpoint.load_tracker(path, t)
+            assert False
+        except ValueError:
+            pass
