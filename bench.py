@@ -23,7 +23,7 @@ def main() -> None:
     from realsensetracker_tpu.parallel import batched
 
     intr = camera.TUM_FR1  # 640x480
-    cfg = projective.ProjectiveIcpConfig(iters=(4, 5, 10), samples=4096)
+    cfg = projective.ProjectiveIcpConfig()  # flagship defaults
     batch = 64
 
     # Synthetic but geometrically real frames (raycast scene, small motion),

@@ -27,8 +27,10 @@ from realsensetracker_tpu.ops.pyramid import PyramidLevel
 class ProjectiveIcpConfig(NamedTuple):
     """Static solver configuration (hashable -> usable as jit static arg)."""
 
-    iters: tuple[int, ...] = (4, 5, 10)  # per level, coarse -> fine order
-    samples: int = 4096  # source points sampled per level
+    iters: tuple[int, ...] = (6, 5, 4)  # per level, coarse -> fine order
+    samples: int = 4096  # source points sampled at the FINEST level
+    coarse_sample_divisor: int = 4  # level l uses samples / divisor**l
+    min_samples: int = 256  # floor for the coarsest levels
     dist_threshold: float = 0.25  # meters; correspondence gate
     normal_threshold: float = 0.6  # min cos(angle) between normals
     gnc_mu: float = 1e-2  # GNC weight scale on plane residual^2
@@ -78,9 +80,13 @@ def build_normal_equations(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
 
-    q = dst_level.vertex_map[vi, ui]  # (P, 3)
-    n = dst_level.normal_map[vi, ui]
-    ok = src_ok & inb & dst_level.valid[vi, ui]
+    # Single gather of the packed [vertex | normal | validf | 0] table:
+    # one 2D gather is ~3x cheaper than separate vertex/normal/valid
+    # gathers on TPU, and invalid pixels carry zero normals (J rows vanish).
+    rows = dst_level.packed[vi, ui]  # (P, 8)
+    q = rows[..., 0:3]
+    n = rows[..., 3:6]
+    ok = src_ok & inb & (rows[..., 6] > 0.5)
 
     diff = p - q
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -146,7 +152,8 @@ def projective_icp(
     stats = (jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
     for li in range(num_levels - 1, -1, -1):  # coarse -> fine
         level_iters = cfg.iters[num_levels - 1 - li]
-        src_pts, _, src_ok = sample_level(src_levels[li], cfg.samples)
+        level_samples = max(cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples)
+        src_pts, _, src_ok = sample_level(src_levels[li], level_samples)
         dst_level = dst_levels[li]
         intr = intrs[li]
 

@@ -19,9 +19,13 @@ from realsensetracker_tpu.ops import normals as normals_mod
 
 class PyramidLevel(NamedTuple):
     vertex_map: jnp.ndarray  # (H, W, 3)
-    normal_map: jnp.ndarray  # (H, W, 3)
+    normal_map: jnp.ndarray  # (H, W, 3); zero where invalid
     valid: jnp.ndarray  # (H, W) bool: vertex AND normal valid
     vertex_valid: jnp.ndarray  # (H, W) bool: vertex valid (normals optional)
+    packed: jnp.ndarray  # (H, W, 8): [vertex, normal, validf, 0] -- the ICP
+    # hot loop gathers this single table per correspondence (one 2D gather
+    # beats three separate ones ~3x on TPU; invalid pixels carry zero
+    # normals so they contribute nothing to the GN system)
 
 
 def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -58,12 +62,23 @@ def build_pyramid(
     for _ in range(num_levels):
         vmap = camera.unproject_depth(d, cur_intr)
         nmap, n_ok = normals_mod.grid_normals(vmap, valid)
+        lvl_valid = valid & n_ok
+        packed = jnp.concatenate(
+            [
+                vmap,
+                nmap,
+                lvl_valid[..., None].astype(vmap.dtype),
+                jnp.zeros_like(vmap[..., :1]),
+            ],
+            axis=-1,
+        )
         levels.append(
             PyramidLevel(
                 vertex_map=vmap,
                 normal_map=nmap,
-                valid=valid & n_ok,
+                valid=lvl_valid,
                 vertex_valid=valid,
+                packed=packed,
             )
         )
         intrs.append(cur_intr)

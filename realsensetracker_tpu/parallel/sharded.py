@@ -51,7 +51,10 @@ def register_batch_point_sharded(
         rmse = jax.lax.pcast(jnp.float32(0.0), (data_axis,), to="varying")
         for li in range(num_levels - 1, -1, -1):  # coarse -> fine
             level_iters = cfg.iters[num_levels - 1 - li]
-            pts, _, ok = projective.sample_level(src_levels[li], cfg.samples)
+            level_samples = max(
+                cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples
+            )
+            pts, _, ok = projective.sample_level(src_levels[li], level_samples)
             # Effective per-level sample count (coarse levels may have fewer
             # pixels than cfg.samples); each point-axis member takes its
             # contiguous slice. A remainder tail (< point_size points) is

@@ -25,6 +25,7 @@ def _flatten_levels(levels) -> dict:
         out[f"level{i}_normal"] = np.asarray(lv.normal_map)
         out[f"level{i}_valid"] = np.asarray(lv.valid)
         out[f"level{i}_vertex_valid"] = np.asarray(lv.vertex_valid)
+        out[f"level{i}_packed"] = np.asarray(lv.packed)
     out["num_levels"] = np.int64(len(levels))
     return out
 
@@ -42,6 +43,7 @@ def _restore_levels(data) -> list | None:
             normal_map=jnp.asarray(data[f"level{i}_normal"]),
             valid=jnp.asarray(data[f"level{i}_valid"]),
             vertex_valid=jnp.asarray(data[f"level{i}_vertex_valid"]),
+            packed=jnp.asarray(data[f"level{i}_packed"]),
         )
         for i in range(n)
     ]
