@@ -80,13 +80,13 @@ def build_normal_equations(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
 
-    # Single gather of the packed [vertex | normal | validf | 0] table:
-    # one 2D gather is ~3x cheaper than separate vertex/normal/valid
+    # Single gather of the packed planar [vertex | normal | validf | 0]
+    # table: one 2D gather is ~3x cheaper than separate vertex/normal/valid
     # gathers on TPU, and invalid pixels carry zero normals (J rows vanish).
-    rows = dst_level.packed[vi, ui]  # (P, 8)
-    q = rows[..., 0:3]
-    n = rows[..., 3:6]
-    ok = src_ok & inb & (rows[..., 6] > 0.5)
+    rows = dst_level.packed[:, vi, ui]  # (8, P)
+    q = rows[0:3].T
+    n = rows[3:6].T
+    ok = src_ok & inb & (rows[6] > 0.5)
 
     diff = p - q
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -187,6 +187,9 @@ def register_depth_pair(
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     num_levels = len(cfg.iters)
-    src_levels, intrs = build_pyramid(src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
+    # Source role never reads normals (point-to-plane uses dst normals only).
+    src_levels, intrs = build_pyramid(
+        src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth, with_normals=False
+    )
     dst_levels, _ = build_pyramid(dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
     return projective_icp(src_levels, dst_levels, tuple(intrs), init_transform, cfg)

@@ -22,10 +22,12 @@ class PyramidLevel(NamedTuple):
     normal_map: jnp.ndarray  # (H, W, 3); zero where invalid
     valid: jnp.ndarray  # (H, W) bool: vertex AND normal valid
     vertex_valid: jnp.ndarray  # (H, W) bool: vertex valid (normals optional)
-    packed: jnp.ndarray  # (H, W, 8): [vertex, normal, validf, 0] -- the ICP
-    # hot loop gathers this single table per correspondence (one 2D gather
-    # beats three separate ones ~3x on TPU; invalid pixels carry zero
-    # normals so they contribute nothing to the GN system)
+    packed: jnp.ndarray  # (8, H, W) planar: [vertex xyz, normal xyz, validf,
+    # 0]. The ICP hot loop gathers this single table per correspondence (one
+    # 2D gather beats separate vertex/normal/valid gathers ~3x on TPU;
+    # invalid pixels carry zero normals so they contribute nothing to the GN
+    # system). Planar layout keeps the last two dims (H, W) -- the shape the
+    # TPU tiles natively and the Pallas builder kernel emits.
 
 
 def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -51,8 +53,16 @@ def build_pyramid(
     num_levels: int = 3,
     min_depth: float = 0.05,
     max_depth: float = 10.0,
+    with_normals: bool = True,
 ) -> tuple[list[PyramidLevel], list[camera.Intrinsics]]:
-    """Depth image -> list of (vertex, normal, valid) levels, fine to coarse."""
+    """Depth image -> list of (vertex, normal, valid, packed) levels, fine to
+    coarse.
+
+    with_normals=False builds a SOURCE-role pyramid: projective point-to-
+    plane ICP only reads the destination frame's normals, so source frames
+    skip normal estimation and table packing entirely (the placeholder
+    zeros are dead-code-eliminated by XLA when unused).
+    """
     levels: list[PyramidLevel] = []
     intrs: list[camera.Intrinsics] = []
     depth = depth.astype(jnp.float32)  # framework-wide compute dtype
@@ -61,17 +71,22 @@ def build_pyramid(
     cur_intr = intr
     for _ in range(num_levels):
         vmap = camera.unproject_depth(d, cur_intr)
-        nmap, n_ok = normals_mod.grid_normals(vmap, valid)
-        lvl_valid = valid & n_ok
-        packed = jnp.concatenate(
-            [
-                vmap,
-                nmap,
-                lvl_valid[..., None].astype(vmap.dtype),
-                jnp.zeros_like(vmap[..., :1]),
-            ],
-            axis=-1,
-        )
+        if with_normals:
+            nmap, n_ok = normals_mod.grid_normals(vmap, valid)
+            lvl_valid = valid & n_ok
+            packed = jnp.concatenate(
+                [
+                    jnp.moveaxis(vmap, -1, 0),
+                    jnp.moveaxis(nmap, -1, 0),
+                    lvl_valid[None].astype(vmap.dtype),
+                    jnp.zeros((1,) + vmap.shape[:-1], vmap.dtype),
+                ],
+                axis=0,
+            )
+        else:
+            nmap = jnp.zeros_like(vmap)
+            lvl_valid = valid
+            packed = jnp.zeros((8,) + vmap.shape[:-1], vmap.dtype)
         levels.append(
             PyramidLevel(
                 vertex_map=vmap,
