@@ -47,6 +47,14 @@ def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarra
     return out, out_valid
 
 
+def _use_pallas_kernel(use_kernel: str | bool) -> bool:
+    if use_kernel == "auto":
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    return bool(use_kernel)
+
+
 def build_pyramid(
     depth: jnp.ndarray,
     intr: camera.Intrinsics,
@@ -54,6 +62,7 @@ def build_pyramid(
     min_depth: float = 0.05,
     max_depth: float = 10.0,
     with_normals: bool = True,
+    use_kernel: str | bool = "auto",
 ) -> tuple[list[PyramidLevel], list[camera.Intrinsics]]:
     """Depth image -> list of (vertex, normal, valid, packed) levels, fine to
     coarse.
@@ -62,6 +71,10 @@ def build_pyramid(
     plane ICP only reads the destination frame's normals, so source frames
     skip normal estimation and table packing entirely (the placeholder
     zeros are dead-code-eliminated by XLA when unused).
+
+    use_kernel: 'auto' runs the fused Pallas level builder
+    (kernels/level_kernel.py) on TPU and the XLA composition on CPU; pass
+    True/False to force either. Both paths are parity-tested.
     """
     levels: list[PyramidLevel] = []
     intrs: list[camera.Intrinsics] = []
@@ -69,9 +82,17 @@ def build_pyramid(
     valid = camera.valid_mask(depth, min_depth, max_depth)
     d = jnp.where(valid, depth, 0.0)
     cur_intr = intr
+    pallas_ok = with_normals and _use_pallas_kernel(use_kernel)
     for _ in range(num_levels):
-        vmap = camera.unproject_depth(d, cur_intr)
-        if with_normals:
+        if pallas_ok:
+            from realsensetracker_tpu.kernels.level_kernel import build_level_packed
+
+            packed = build_level_packed(d, cur_intr)
+            vmap = jnp.moveaxis(packed[0:3], 0, -1)
+            nmap = jnp.moveaxis(packed[3:6], 0, -1)
+            lvl_valid = packed[6] > 0.5
+        elif with_normals:
+            vmap = camera.unproject_depth(d, cur_intr)
             nmap, n_ok = normals_mod.grid_normals(vmap, valid)
             lvl_valid = valid & n_ok
             packed = jnp.concatenate(
@@ -84,6 +105,7 @@ def build_pyramid(
                 axis=0,
             )
         else:
+            vmap = camera.unproject_depth(d, cur_intr)
             nmap = jnp.zeros_like(vmap)
             lvl_valid = valid
             packed = jnp.zeros((8,) + vmap.shape[:-1], vmap.dtype)

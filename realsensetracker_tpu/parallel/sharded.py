@@ -41,8 +41,15 @@ def register_batch_point_sharded(
     num_levels = len(cfg.iters)
 
     def one_pair(src_depth, dst_depth):
-        src_levels, intrs = build_pyramid(src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
-        dst_levels, _ = build_pyramid(dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
+        # XLA pyramid path: the Pallas level kernel does not yet carry vma
+        # metadata through shard_map's collective-safety checking.
+        src_levels, intrs = build_pyramid(
+            src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth,
+            with_normals=False, use_kernel=False,
+        )
+        dst_levels, _ = build_pyramid(
+            dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth, use_kernel=False
+        )
         pidx = jax.lax.axis_index(point_axis)
 
         # Mark the carry as varying over the data axis so the fori_loop carry

@@ -1,0 +1,54 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.kernels import level_kernel
+from realsensetracker_tpu.ops import pyramid
+
+INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=63.5, cy=31.5, width=128, height=64)
+
+
+def _depth():
+    d = synthetic.render_depth(INTR, jnp.eye(4), synthetic.default_scene(seed=3))
+    # Punch some invalid holes to exercise validity propagation.
+    d = d.at[10:14, 20:30].set(0.0)
+    return d
+
+
+class TestLevelKernel:
+    def test_matches_xla_reference(self):
+        d = _depth()
+        levels, _ = pyramid.build_pyramid(d, INTR, num_levels=1)
+        ref = np.asarray(levels[0].packed)
+        got = np.asarray(
+            level_kernel.build_level_packed(d, INTR, tile_h=16, interpret=True)
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_validity_channel_binary(self):
+        d = _depth()
+        got = np.asarray(
+            level_kernel.build_level_packed(d, INTR, tile_h=16, interpret=True)
+        )
+        vals = np.unique(got[6])
+        assert set(vals.tolist()) <= {0.0, 1.0}
+
+    def test_borders_invalid(self):
+        d = _depth()
+        got = np.asarray(
+            level_kernel.build_level_packed(d, INTR, tile_h=16, interpret=True)
+        )
+        assert got[6, 0].max() == 0.0 and got[6, -1].max() == 0.0
+        assert got[6, :, 0].max() == 0.0 and got[6, :, -1].max() == 0.0
+
+    def test_odd_tile_fallback(self):
+        intr = camera.Intrinsics(fx=50.0, fy=50.0, cx=63.5, cy=17.5, width=128, height=36)
+        d = synthetic.render_depth(intr, jnp.eye(4), synthetic.default_scene(seed=4))
+        levels, _ = pyramid.build_pyramid(d, intr, num_levels=1)
+        got = np.asarray(
+            level_kernel.build_level_packed(d, intr, tile_h=16, interpret=True)
+        )
+        np.testing.assert_allclose(got, np.asarray(levels[0].packed), atol=2e-5)
