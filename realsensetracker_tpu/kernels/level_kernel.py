@@ -113,12 +113,11 @@ def build_level_packed(
     """
     depth = depth.astype(jnp.float32)
     h, w = depth.shape
+    # Mosaic requires the second-to-last block dim to be a multiple of 8 or
+    # equal to the array dim: prefer a multiple-of-8 tile that divides H,
+    # else process the whole image as one block (small pyramid levels).
     if h % tile_h != 0:
-        # Fall back to a tile height that divides H.
-        for cand in (8, 4, 2, 1):
-            if h % cand == 0:
-                tile_h = cand
-                break
+        tile_h = 8 if h % 8 == 0 else h
     grid = h // tile_h
     kernel = functools.partial(
         _level_kernel,
