@@ -73,14 +73,20 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula, numerically stable near zero via Taylor guards."""
+    """Rodrigues' formula, numerically stable near zero via Taylor guards.
+
+    Autodiff-safe: the non-Taylor branch is evaluated at a safe theta when
+    small so jnp.where never propagates NaN gradients (the untaken branch
+    of a where still gets differentiated).
+    """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
     small = theta2 < 1e-4
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    t2s = jnp.where(small, 1.0, theta2)  # safe denominator
+    ts = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(ts) / ts)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -99,7 +105,10 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     small = theta < 1e-2
-    scale = jnp.where(small, 0.5 + theta**2 / 12.0, theta / (2.0 * jnp.sin(theta)))
+    theta_safe = jnp.where(small, 1.0, theta)  # NaN-gradient guard
+    scale = jnp.where(
+        small, 0.5 + theta**2 / 12.0, theta_safe / (2.0 * jnp.sin(theta_safe))
+    )
     return scale[..., None] * vee
 
 
@@ -108,13 +117,14 @@ def exp(twist: jnp.ndarray) -> jnp.ndarray:
     v = twist[..., :3]
     w = twist[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
     small = theta2 < 1e-4
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    t2s = jnp.where(small, 1.0, theta2)  # NaN-gradient guard
+    ts = jnp.sqrt(t2s)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
     c = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
+        small, 1.0 / 6.0 - theta2 / 120.0, (ts - jnp.sin(ts)) / (t2s * ts)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=twist.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
@@ -129,15 +139,16 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     t = translation(T)
     w = log_so3(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
     small = theta2 < 1e-4
+    t2s = jnp.where(small, 1.0, theta2)  # NaN-gradient guard
+    ts = jnp.sqrt(t2s)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) W^2
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - theta * jnp.sin(theta) / (2.0 * (1.0 - jnp.cos(theta)))) / theta2,
+        (1.0 - ts * jnp.sin(ts) / (2.0 * (1.0 - jnp.cos(ts)))) / t2s,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2

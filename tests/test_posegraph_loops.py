@@ -1,0 +1,111 @@
+"""Pose-graph optimization + loop-closure detection tests (the reference's
+planned-but-never-built `optimize` and `loop_closure` modules)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.geometry import se3
+from realsensetracker_tpu.loop_closure import KeyframeDatabase, global_descriptor
+from realsensetracker_tpu.ops import cloud as cloud_mod
+from realsensetracker_tpu.optimize import pose_graph as pg
+
+
+def _noisy_loop_trajectory(n=12, drift=0.02, seed=0):
+    """Ground-truth loop + drifty odometry estimates + a loop-closure edge."""
+    rng = np.random.RandomState(seed)
+    # Ground truth: walk around a circle back to the start.
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = []
+    for i in range(n - 1):
+        ang = 2 * np.pi / (n - 1)
+        step = np.asarray(
+            se3.exp(jnp.asarray([0.5, 0, 0, 0, 0, ang], jnp.float32))
+        )
+        steps.append(step)
+        gt.append((gt[-1] @ step).astype(np.float32))
+    # Odometry: each step perturbed -> accumulated drift.
+    est = [np.eye(4, dtype=np.float32)]
+    for s in steps:
+        noise = np.asarray(
+            se3.exp(jnp.asarray(drift * rng.randn(6), jnp.float32))
+        )
+        est.append((est[-1] @ s @ noise).astype(np.float32))
+    return np.stack(gt), np.stack(est), steps
+
+
+class TestPoseGraph:
+    def test_odometry_only_is_stationary(self):
+        # With only self-consistent odometry edges the graph is at optimum.
+        _, est, _ = _noisy_loop_trajectory()
+        graph = pg.from_trajectory(jnp.asarray(est))
+        poses, cost = pg.optimize_pose_graph(graph, gn_iters=3, cg_iters=30)
+        assert float(cost) < 1e-8
+        np.testing.assert_allclose(np.asarray(poses), est, atol=1e-4)
+
+    def test_loop_closure_removes_drift(self):
+        gt, est, _ = _noisy_loop_trajectory(n=12, drift=0.03)
+        n = len(est)
+        # Loop edge: last node coincides with first in ground truth.
+        T_loop = np.linalg.inv(gt[0]) @ gt[-1]
+        graph = pg.from_trajectory(
+            jnp.asarray(est), loop_edges=[(0, n - 1, T_loop.astype(np.float32), 4.0)]
+        )
+        end_err_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        poses, cost = pg.optimize_pose_graph(graph, gn_iters=15, cg_iters=60)
+        poses = np.asarray(poses)
+        end_err_after = np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3])
+        assert end_err_after < 0.5 * end_err_before
+        assert np.isfinite(float(cost))
+
+    def test_gauge_fixed(self):
+        _, est, _ = _noisy_loop_trajectory()
+        graph = pg.from_trajectory(jnp.asarray(est))
+        poses, _ = pg.optimize_pose_graph(graph, gn_iters=2, cg_iters=10)
+        np.testing.assert_allclose(np.asarray(poses[0]), np.eye(4), atol=1e-5)
+
+
+class TestLoopClosureDetection:
+    def _keyframe(self, seed, n=256):
+        pts = jax.random.normal(jax.random.PRNGKey(seed), (n, 3), jnp.float32)
+        feats = jax.random.uniform(jax.random.PRNGKey(seed + 100), (n, 33), jnp.float32)
+        return cloud_mod.from_points(pts), feats
+
+    def test_descriptor_normalized_and_deterministic(self):
+        c, f = self._keyframe(0)
+        d1 = np.asarray(global_descriptor(f, c.mask))
+        d2 = np.asarray(global_descriptor(f, c.mask))
+        np.testing.assert_array_equal(d1, d2)
+        assert abs(np.linalg.norm(d1) - 1.0) < 1e-5
+
+    def test_revisited_place_detected(self):
+        db = KeyframeDatabase(min_separation=5, similarity_threshold=0.9)
+        kfs = [self._keyframe(s) for s in range(6)]
+        for i, (c, f) in enumerate(kfs):
+            db.add(i, c, f)
+        # Query with keyframe 0's content at a much later frame id.
+        c0, f0 = kfs[0]
+        hits = db.query(50, c0, f0)
+        assert hits and hits[0][0] == 0
+        assert hits[0][1] > 0.99
+
+    def test_nearby_frames_excluded(self):
+        db = KeyframeDatabase(min_separation=10)
+        c, f = self._keyframe(1)
+        db.add(0, c, f)
+        assert db.query(5, c, f) == []  # too close in time
+
+    def test_verification_produces_loop_edge(self):
+        # Same cloud under a known transform with shared descriptors ->
+        # verification must recover the transform.
+        pts = jax.random.normal(jax.random.PRNGKey(2), (256, 3), jnp.float32)
+        feats = jax.random.normal(jax.random.PRNGKey(3), (256, 33), jnp.float32)
+        T_true = se3.exp(jnp.asarray([0.3, -0.2, 0.1, 0.5, 0.4, -0.3], jnp.float32))
+        cloud_b = cloud_mod.from_points(pts)
+        cloud_a = cloud_mod.from_points(se3.transform_points(T_true, pts))
+        db = KeyframeDatabase(min_separation=1)
+        db.add(0, cloud_b, feats)
+        T_ab, ok = db.verify(30, cloud_a, feats, 0, noise_bound=0.1)
+        assert ok
+        err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(se3.inverse(T_true)), T_ab))))
+        assert err.max() < 2e-2
