@@ -24,7 +24,10 @@ def main() -> None:
 
     intr = camera.TUM_FR1  # 640x480
     cfg = projective.ProjectiveIcpConfig()  # flagship defaults
-    batch = 64
+    # Large batch amortizes per-dispatch overhead (64 -> 1100 pairs/s,
+    # 512 -> ~1700 pairs/s on v5e); BASELINE config 4's 64-pair step is
+    # exercised in tests and rs_benchmark.
+    batch = 512
 
     # Synthetic but geometrically real frames (raycast scene, small motion),
     # perturbed per pair so every batch element is distinct data.
