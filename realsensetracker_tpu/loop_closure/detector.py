@@ -78,14 +78,25 @@ class KeyframeDatabase:
         return out
 
     def verify(self, frame_id_a: int, cloud_a, feats_a, candidate_id: int,
-               noise_bound: float = 0.25, min_inliers: int = 10):
+               noise_bound: float = 0.25, min_inliers: int = 10,
+               min_inlier_fraction: float = 0.3):
         """Geometric verification: robust global registration of the query
-        against a candidate. Returns (T_ab (4,4), ok) -- a loop edge when ok."""
+        against a candidate. Returns (T_ab (4,4), ok) -- a loop edge when ok.
+
+        ok requires enough ABSOLUTE inliers and a minimum inlier FRACTION of
+        the correspondences (weak-overlap matches produce confidently wrong
+        transforms otherwise)."""
         from realsensetracker_tpu.align import robust_global
 
         k = self._ids.index(candidate_id)
         res = robust_global.register_robust(
             cloud_a, self._clouds[k], feats_a, self._feats[k], noise_bound
         )
-        ok = bool(res.valid) and int(res.num_inliers) >= min_inliers
+        n_corr = max(int(res.num_correspondences), 1)
+        frac = int(res.num_inliers) / n_corr
+        ok = (
+            bool(res.valid)
+            and int(res.num_inliers) >= min_inliers
+            and frac >= min_inlier_fraction
+        )
         return res.transform, ok

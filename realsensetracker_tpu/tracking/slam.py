@@ -1,0 +1,170 @@
+"""Mapping tracker: keyframe VO + loop closure + pose-graph optimization.
+
+Completes the pipeline the reference author planned but never built
+(structure.txt:1-9 lists `loop_closure`, `optimize`, `mapping` with no
+implementation): keyframe odometry (tracking/keyframe.py) feeds a keyframe
+database (loop_closure/detector.py); detected + verified loop closures
+become edges of a pose graph optimized on-device (optimize/pose_graph.py);
+the voxel world model rebuilds from optimized keyframe poses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.api.config import AlignConfig
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.loop_closure.detector import KeyframeDatabase
+from realsensetracker_tpu.ops import cloud as cloud_mod
+from realsensetracker_tpu.ops import fpfh as fpfh_mod
+from realsensetracker_tpu.ops import voxel as voxel_mod
+from realsensetracker_tpu.optimize import pose_graph as pg
+from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
+from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+@dataclass
+class SlamConfig:
+    intrinsics: camera.Intrinsics = camera.TUM_DEFAULT
+    icp: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
+    align: AlignConfig = field(default_factory=AlignConfig)
+    loop_similarity: float = 0.95
+    loop_min_separation: int = 5  # in keyframes
+    loop_noise_bound: float = 0.25
+    loop_weight: float = 4.0
+    # Odometry gate: reject loop transforms that contradict the current
+    # trajectory estimate by more than this twist norm (drift bound).
+    loop_odometry_gate: float = 0.3
+    optimize_every: int = 0  # 0 = only on demand via optimize()
+    keyframe_cloud_capacity: int = 4096
+
+
+@dataclass
+class _Keyframe:
+    index: int  # keyframe index (graph node id)
+    frame_index: int
+    pose: np.ndarray  # world_from_keyframe at insertion time
+    cloud: object
+    feats: object
+
+
+class SlamTracker:
+    """Streaming SLAM: depth frames in -> loop-consistent trajectory out."""
+
+    def __init__(self, config: SlamConfig | None = None):
+        self.config = config or SlamConfig()
+        self._vo = KeyframeTracker(self.config.intrinsics, self.config.icp)
+        self._db = KeyframeDatabase(
+            min_separation=self.config.loop_min_separation,
+            similarity_threshold=self.config.loop_similarity,
+        )
+        self._keyframes: list[_Keyframe] = []
+        self._loop_edges: list[tuple] = []  # (kf_i, kf_j, T_ij, weight)
+        self.num_loop_closures = 0
+
+    @property
+    def trajectory(self) -> Trajectory:
+        return self._vo.trajectory
+
+    @property
+    def keyframe_count(self) -> int:
+        return len(self._keyframes)
+
+    def process(self, depth, timestamp: float | None = None):
+        res = self._vo.process(depth, timestamp)
+        if res.is_new_keyframe:
+            self._on_keyframe(depth, res)
+        return res
+
+    def _frame_cloud(self, depth):
+        cfg = self.config
+        from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+        levels, _ = build_pyramid(jnp.asarray(depth), cfg.intrinsics, 1,
+                                  use_kernel=False)
+        h, w = levels[0].valid.shape
+        pts = levels[0].vertex_map.reshape(h * w, 3)
+        ok = levels[0].vertex_valid.reshape(h * w)
+        c = voxel_mod.downsample_voxel(
+            cloud_mod.Cloud(points=pts, mask=ok), cfg.align.voxel_size
+        )
+        cap = cfg.keyframe_cloud_capacity
+        return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
+
+    def _on_keyframe(self, depth, res) -> None:
+        cfg = self.config
+        kf_idx = len(self._keyframes)
+        cloud = self._frame_cloud(depth)
+        feats = fpfh_mod.compute_fpfh(
+            cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
+            cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
+        )
+        kf = _Keyframe(
+            index=kf_idx,
+            frame_index=res.frame_index,
+            pose=np.asarray(res.pose),
+            cloud=cloud,
+            feats=feats,
+        )
+        # Query BEFORE adding (never match self).
+        hits = self._db.query(kf_idx, cloud, feats)
+        for cand_idx, _sim in hits:
+            T_ab, ok = self._db.verify(
+                kf_idx, cloud, feats, cand_idx, cfg.loop_noise_bound
+            )
+            if ok:
+                # verify() registers this kf (src) onto the candidate (dst),
+                # returning T mapping this-kf coords -> candidate coords.
+                # The pose-graph edge (i=cand, j=this) measures
+                # T_i^-1 T_j = cand_from_this, which is exactly that T.
+                T_meas = np.asarray(T_ab)
+                # Odometry gate: a true loop transform agrees with the
+                # current estimate up to accumulated drift; confidently
+                # wrong global registrations do not.
+                pred = np.linalg.inv(self._keyframes[cand_idx].pose) @ np.asarray(
+                    res.pose
+                )
+                delta = np.asarray(
+                    se3.log(
+                        jnp.asarray(np.linalg.inv(T_meas) @ pred, jnp.float32)
+                    )
+                )
+                if np.linalg.norm(delta) > cfg.loop_odometry_gate:
+                    continue
+                self._loop_edges.append(
+                    (cand_idx, kf_idx, T_meas, cfg.loop_weight)
+                )
+                self.num_loop_closures += 1
+        self._db.add(kf_idx, cloud, feats)
+        self._keyframes.append(kf)
+
+    def optimize(self, gn_iters: int = 10, cg_iters: int = 60):
+        """Run pose-graph optimization over keyframes; returns optimized
+        keyframe poses (K, 4, 4). Loop edges measured candidate<-this."""
+        if len(self._keyframes) < 2:
+            return np.stack([k.pose for k in self._keyframes]) if self._keyframes else None
+        poses = jnp.asarray(np.stack([k.pose for k in self._keyframes]), jnp.float32)
+        loop_edges = [
+            (i, j, jnp.asarray(T, jnp.float32), w) for (i, j, T, w) in self._loop_edges
+        ]
+        graph = pg.from_trajectory(poses, loop_edges=loop_edges)
+        opt_poses, cost = pg.optimize_pose_graph(graph, gn_iters=gn_iters, cg_iters=cg_iters)
+        opt = np.asarray(opt_poses)
+        for k, kf in enumerate(self._keyframes):
+            kf.pose = opt[k]
+        return opt
+
+    def build_map(self, voxel_size: float = 0.05, capacity: int = 1 << 18):
+        """World model from (optimized) keyframe poses + clouds."""
+        from realsensetracker_tpu.tracking import accumulator as acc_mod
+
+        acc = acc_mod.init_map(capacity)
+        for kf in self._keyframes:
+            acc = acc_mod.add_cloud(
+                acc, jnp.asarray(kf.pose, jnp.float32), kf.cloud, voxel_size
+            )
+        return acc

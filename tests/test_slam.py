@@ -1,0 +1,88 @@
+"""SLAM integration test: keyframe VO + loop closure + pose-graph
+optimization over a synthetic trajectory that revisits its start."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=49.5, cy=37.0, width=100, height=75)
+
+
+def _loop_sequence(n=10):
+    """Out-and-back trajectory: the final frames revisit the first pose."""
+    scene = synthetic.default_scene(seed=21)
+    half = n // 2
+    twists = []
+    step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+    twists = [step] * half + [-step] * (n - 1 - half)
+    poses = [se3.identity()]
+    for tw in twists:
+        poses.append(se3.compose(poses[-1], se3.exp(tw)))
+    depths = jnp.stack([synthetic.render_depth(INTR, T, scene) for T in poses])
+    return depths, jnp.stack(poses)
+
+
+def _make_tracker(force_keyframes=True):
+    cfg = SlamConfig(
+        intrinsics=INTR,
+        icp=projective.ProjectiveIcpConfig(iters=(5, 5, 6), samples=1024),
+        loop_min_separation=3,
+        loop_similarity=0.8,
+        keyframe_cloud_capacity=1024,
+    )
+    cfg.align.fpfh_max_neighbors = 32
+    tracker = SlamTracker(cfg)
+    if force_keyframes:
+        # Promote every frame to keyframe for a dense graph in this test.
+        tracker._vo.max_translation = 1e-6
+        tracker._vo.max_rotation = 1e-6
+    return tracker
+
+
+class TestSlam:
+    def test_tracks_and_builds_keyframes(self):
+        depths, _ = _loop_sequence(6)
+        tracker = _make_tracker()
+        for i in range(6):
+            res = tracker.process(depths[i], float(i))
+            assert res.success
+        assert tracker.keyframe_count >= 5
+        assert len(tracker.trajectory) == 6
+
+    def test_loop_closure_detected_on_revisit(self):
+        depths, _ = _loop_sequence(10)
+        tracker = _make_tracker()
+        for i in range(10):
+            tracker.process(depths[i], float(i))
+        # Out-and-back: the final keyframes see the start again.
+        assert tracker.num_loop_closures >= 1
+
+    def test_optimize_improves_endpoint(self):
+        depths, poses_gt = _loop_sequence(10)
+        tracker = _make_tracker()
+        for i in range(10):
+            tracker.process(depths[i], float(i))
+        if tracker.num_loop_closures == 0:
+            import pytest
+
+            pytest.skip("no loop closures found on this synthetic sequence")
+        before = np.stack([k.pose for k in tracker._keyframes])
+        gt_end = np.asarray(poses_gt[-1])
+        err_before = np.linalg.norm(before[-1][:3, 3] - gt_end[:3, 3])
+        opt = tracker.optimize(gn_iters=8, cg_iters=40)
+        err_after = np.linalg.norm(opt[-1][:3, 3] - gt_end[:3, 3])
+        assert np.isfinite(opt).all()
+        # Loop closure must not make the endpoint worse.
+        assert err_after <= err_before + 1e-4
+
+    def test_map_builds_from_keyframes(self):
+        depths, _ = _loop_sequence(6)
+        tracker = _make_tracker()
+        for i in range(6):
+            tracker.process(depths[i], float(i))
+        m = tracker.build_map(voxel_size=0.1, capacity=1 << 14)
+        assert int(m.count()) > 100
