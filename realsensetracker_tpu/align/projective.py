@@ -29,6 +29,7 @@ class ProjectiveIcpConfig(NamedTuple):
 
     iters: tuple[int, ...] = (6, 5, 4)  # per level, coarse -> fine order
     samples: int = 4096  # source points sampled at the FINEST level
+    sample_mode: str = "stride"  # "stride" | "normal_space" (config 3)
     coarse_sample_divisor: int = 4  # level l uses samples / divisor**l
     min_samples: int = 256  # floor for the coarsest levels
     dist_threshold: float = 0.25  # meters; correspondence gate
@@ -63,6 +64,52 @@ def sample_level(level: PyramidLevel, count: int):
     nrm = level.normal_map.reshape(npix, 3)[idx]
     ok = level.valid.reshape(npix)[idx]
     return pts, nrm, ok
+
+
+def sample_level_normal_space(level: PyramidLevel, count: int, bins: int = 6):
+    """Normal-space sampling (BASELINE config 3): pick samples balanced
+    across surface orientations so sliding-dominant geometry (e.g. one big
+    wall) cannot starve the constraint directions.
+
+    TPU formulation: bucket normals by dominant signed axis (6 bins), stable
+    argsort on (bin, pixel index), then take count/bins entries from each
+    bin's segment via dynamic slices. Under-full bins spill into neighboring
+    segments (still valid points, slightly unbalanced). Requires a pyramid
+    built with normals.
+    """
+    h, w = level.valid.shape
+    npix = h * w
+    count = min(count, npix)
+    n = level.normal_map.reshape(npix, 3)
+    ok = level.valid.reshape(npix)
+    axis = jnp.argmax(jnp.abs(n), axis=-1)  # 0..2
+    sign = jnp.take_along_axis(n, axis[:, None], axis=-1)[:, 0] < 0
+    bin_id = jnp.where(ok, axis + 3 * sign.astype(jnp.int32), bins)  # invalid -> bins
+    order = jnp.argsort(bin_id, stable=True)  # segments per bin, pixel order kept
+    counts = jnp.sum(jax.nn.one_hot(bin_id, bins + 1, dtype=jnp.int32), axis=0)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    per_bin = count // bins
+    picks = []
+    pick_ok = []
+    lane = jnp.arange(per_bin)
+    for b in range(bins):
+        # Clamp the slice so it stays in range even for empty bins.
+        start = jnp.minimum(starts[b], npix - per_bin)
+        picks.append(jax.lax.dynamic_slice_in_dim(order, start, per_bin))
+        # Slots beyond this bin's population would spill into the next
+        # segment and bias the balance: mask them out instead.
+        pick_ok.append(lane < counts[b])
+    rem = count - bins * per_bin
+    if rem:
+        picks.append(order[:rem])
+        pick_ok.append(jnp.ones(rem, bool))
+    idx = jnp.concatenate(picks)
+    seg_ok = jnp.concatenate(pick_ok)
+    pts = level.vertex_map.reshape(npix, 3)[idx]
+    nrm = n[idx]
+    ok_out = ok[idx] & seg_ok
+    return pts, nrm, ok_out
 
 
 def build_normal_equations(
@@ -153,7 +200,10 @@ def projective_icp(
     for li in range(num_levels - 1, -1, -1):  # coarse -> fine
         level_iters = cfg.iters[num_levels - 1 - li]
         level_samples = max(cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples)
-        src_pts, _, src_ok = sample_level(src_levels[li], level_samples)
+        if cfg.sample_mode == "normal_space":
+            src_pts, _, src_ok = sample_level_normal_space(src_levels[li], level_samples)
+        else:
+            src_pts, _, src_ok = sample_level(src_levels[li], level_samples)
         dst_level = dst_levels[li]
         intr = intrs[li]
 
@@ -187,9 +237,11 @@ def register_depth_pair(
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     num_levels = len(cfg.iters)
-    # Source role never reads normals (point-to-plane uses dst normals only).
+    # Source role never reads normals (point-to-plane uses dst normals only)
+    # -- unless normal-space sampling needs them for orientation binning.
     src_levels, intrs = build_pyramid(
-        src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth, with_normals=False
+        src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth,
+        with_normals=(cfg.sample_mode == "normal_space"),
     )
     dst_levels, _ = build_pyramid(dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
     return projective_icp(src_levels, dst_levels, tuple(intrs), init_transform, cfg)

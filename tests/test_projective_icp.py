@@ -90,3 +90,33 @@ class TestProjectiveIcp:
         )
         assert np.all(np.isfinite(np.asarray(res.transform)))
         np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-5)
+
+
+class TestNormalSpaceSampling:
+    def test_bins_are_balanced_on_box_scene(self):
+        # Wall + floor scene: stride sampling is wall-dominated; normal-space
+        # sampling must allocate a fair share to the floor orientation.
+        scene = synthetic.Scene(
+            sphere_centers=jnp.full((1, 3), 100.0),
+            sphere_radii=jnp.full((1,), 0.01),
+            floor_y=0.8, wall_z=3.0,
+        )
+        d = synthetic.render_depth(INTR, se3.identity(), scene)
+        levels, _ = pyramid.build_pyramid(d, INTR, 1)
+        pts, nrm, ok = projective.sample_level_normal_space(levels[0], 1200)
+        okn = np.asarray(ok)
+        n = np.asarray(nrm)[okn]
+        floorish = (np.abs(n[:, 1]) > 0.9).mean()
+        wallish = (np.abs(n[:, 2]) > 0.9).mean()
+        assert floorish > 0.2 and wallish > 0.2  # both orientations present
+        # Two-plane scene populates 2 of 6 orientation bins: ~1/3 of the
+        # fixed-capacity slots carry valid samples.
+        assert okn.mean() > 0.25
+
+    def test_normal_space_config_registers(self):
+        cfg = projective.ProjectiveIcpConfig(
+            iters=(6, 6, 8), samples=1536, sample_mode="normal_space"
+        )
+        res, T_true = _register([0.02, -0.01, 0.01, 0.01, -0.01, 0.01], cfg=cfg)
+        t_err, r_err = _pose_err(res.transform, T_true)
+        assert t_err < 1e-2 and r_err < 1e-2
