@@ -44,7 +44,6 @@ def register_batch_sharded(
     pipeline (pyramids + GN iterations) with no communication between pairs.
     """
     batch_sharding = NamedSharding(mesh, P(data_axis))
-    replicated = NamedSharding(mesh, P())
 
     fn = jax.jit(
         lambda s, d: register_batch(s, d, intr, cfg),
@@ -58,5 +57,4 @@ def register_batch_sharded(
     )
     src = jax.device_put(src_depths, batch_sharding)
     dst = jax.device_put(dst_depths, batch_sharding)
-    del replicated
     return fn(src, dst)
