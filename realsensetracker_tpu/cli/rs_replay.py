@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="Frame interval in ms (reference default 1000; 0 = as fast as possible)",
     )
     p.add_argument("--method", default="projective",
-                   choices=["projective", "keyframe", "icp", "gicp"])
+                   choices=["projective", "keyframe", "icp", "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--trajectory-out", default="")
     p.add_argument("--map-capacity", type=int, default=0)
@@ -72,8 +72,14 @@ def main(argv=None) -> int:
         print("need --record or --tum", file=sys.stderr)
         return 1
 
-    cfg = TrackerConfig(intrinsics=intr, method=args.method, map_capacity=args.map_capacity)
-    tracker = Tracker(cfg)
+    if args.method == "slam":
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        tracker = SlamTracker(SlamConfig(intrinsics=intr))
+    else:
+        cfg = TrackerConfig(intrinsics=intr, method=args.method,
+                            map_capacity=args.map_capacity)
+        tracker = Tracker(cfg)
 
     n = 0
     t_start = time.perf_counter()
@@ -94,7 +100,7 @@ def main(argv=None) -> int:
             tag = "ok" if res.success else "ALIGNMENT FAILED"
             print(f"frame {res.frame_index:4d} t={ts:.3f} [{tag}] "
                   f"rmse={res.rmse:.4f} inliers={res.inlier_fraction:.2f}")
-        if args.render_dir and tracker.world_map is not None:
+        if args.render_dir and getattr(tracker, "world_map", None) is not None:
             import os
 
             import numpy as np
@@ -111,8 +117,14 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t_start
     print(f"processed {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
 
+    if args.method == "slam":
+        opt = tracker.optimize()
+        print(f"keyframes={tracker.keyframe_count} "
+              f"loop_closures={tracker.num_loop_closures} "
+              f"optimized={'yes' if opt is not None else 'no'}")
+
     if args.trajectory_out:
-        tracker.save_trajectory(args.trajectory_out)
+        tracker.trajectory.save_tum(args.trajectory_out)
         print(f"trajectory -> {args.trajectory_out}")
     if gt is not None:
         from realsensetracker_tpu.tracking.trajectory import absolute_trajectory_error

@@ -156,3 +156,25 @@ class TestCli:
         rc = capture.main(["--frames", "2", "--out", out])
         assert rc == 0
         assert os.path.exists(os.path.join(tmp_path, "00.ply"))
+
+
+class TestReplayTumAte:
+    def test_tum_replay_with_ate(self, tmp_path, capsys):
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data import tum
+
+        root = tum.synthesize_tum_sequence(str(tmp_path), num_frames=4, width=64, height=48)
+        rc = rs_replay.main(["--tum", root, "--ate", "--max-frames", "4"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "ATE" in out
+
+    def test_slam_method_runs(self, tmp_path, capsys):
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data import recorded
+
+        clip_path = os.path.join(tmp_path, "c.rsc")
+        recorded.record_synthetic_clip(clip_path, num_frames=3, width=64, height=48)
+        rc = rs_replay.main(["--record", clip_path, "--method", "slam"])
+        assert rc == 0
+        assert "keyframes=" in capsys.readouterr().out
