@@ -44,7 +44,7 @@ def compute_covariances(cloud: Cloud, k: int = 32, use_gicp: bool = False) -> jn
     nbrs = cloud.points[idx]  # (N, k, 3)
     ctr = jnp.mean(nbrs, axis=-2, keepdims=True)
     delta = nbrs - ctr
-    cov = jnp.einsum("nki,nkj->nij", delta, delta)
+    cov = jnp.einsum("nki,nkj->nij", delta, delta, precision=jax.lax.Precision.HIGHEST)
     if use_gicp:
         # Covariance is symmetric PSD: singular vectors = eigenvectors,
         # descending singular values = reversed ascending eigenvalues.
@@ -96,18 +96,18 @@ def solve_alignment(
         R = se3.rotation(T)
         p = se3.transform_points(T, src_points)  # R p + t
         e = p - dst_points  # (N, 3)
-        M = dst_covs + jnp.einsum("ij,njk,lk->nil", R, src_covs, R)
+        M = dst_covs + jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=jax.lax.Precision.HIGHEST)
         W = _whitening(M)
-        r = jnp.einsum("nij,nj->ni", W, e)  # whitened residual
+        r = jnp.einsum("nij,nj->ni", W, e, precision=jax.lax.Precision.HIGHEST)  # whitened residual
         s = jnp.sum(r * r, axis=-1)
         w = _huber_weight(s, huber_delta) * m
 
         # J_pt = [I | -hat(p')] for left twist [v, w]; J = W @ J_pt (N,3,6).
         hat_p = se3.hat(p)  # (N, 3, 3)
-        J_rot = -jnp.einsum("nij,njk->nik", W, hat_p)
+        J_rot = -jnp.einsum("nij,njk->nik", W, hat_p, precision=jax.lax.Precision.HIGHEST)
         J = jnp.concatenate([W, J_rot], axis=-1)  # (N, 3, 6)
-        H = jnp.einsum("n,nri,nrj->ij", w, J, J)
-        g = jnp.einsum("n,nri,nr->i", w, J, r)
+        H = jnp.einsum("n,nri,nrj->ij", w, J, J, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.einsum("n,nri,nr->i", w, J, r, precision=jax.lax.Precision.HIGHEST)
         lam = damping * jnp.trace(H) + 1e-12
         delta = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), g)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))

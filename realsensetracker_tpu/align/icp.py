@@ -94,7 +94,7 @@ def align_icp(
         # Weighted covariance with ORIGINAL src coords (align_icp.cpp:126-136).
         dd = matched.astype(acc) - dst_mean64
         ds = (src.points.astype(acc) - src_mean64) * w[:, None].astype(acc)
-        cov = dd.T @ ds
+        cov = jnp.matmul(dd.T, ds, precision=jax.lax.Precision.HIGHEST)
 
         new_xfm = kabsch_from_cross_covariance(cov, src_mean, dst_mean)
         return new_xfm, cost, mu

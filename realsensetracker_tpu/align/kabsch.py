@@ -63,7 +63,7 @@ def solve_kabsch(
     w = m if weights is None else m * weights.astype(acc)
     ds = (src64 - src_mean[..., None, :]) * w[..., None]
     dd = dst64 - dst_mean[..., None, :]
-    cov = jnp.einsum("...ni,...nj->...ij", dd, ds)
+    cov = jnp.einsum("...ni,...nj->...ij", dd, ds, precision=jax.lax.Precision.HIGHEST)
     return kabsch_from_cross_covariance(
         cov, src_mean.astype(jnp.float32), dst_mean.astype(jnp.float32)
     )

@@ -82,8 +82,8 @@ def align_photometric(
         J = jax.jacfwd(lambda tw: r_of_twist(tw)[0])(zero)
         w = _huber_w(r, cfg.huber_delta) * (ok & src_ok).astype(r.dtype)
         Jw = J * w[:, None]
-        H = Jw.T @ J
-        g = Jw.T @ r
+        H = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)
         lam = cfg.damping * jnp.trace(H) + 1e-12
         delta = -jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), g)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))

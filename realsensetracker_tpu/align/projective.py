@@ -146,8 +146,10 @@ def build_normal_equations(
 
     J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (P, 6), twist [v, w]
     Jw = J * w[:, None]
-    H = jnp.matmul(Jw.T, J, preferred_element_type=jnp.float32)  # (6, 6)
-    b = Jw.T @ r  # (6,)
+    # precision=HIGHEST: bf16 operand rounding (TPU matmul default) would
+    # bias the normal equations by ~5e-4 relative -- millimeters of pose.
+    H = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST)  # (6, 6)
+    b = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)  # (6,)
     aux = (
         jnp.sum(w * r * r).astype(jnp.float32),
         jnp.sum(w).astype(jnp.float32),

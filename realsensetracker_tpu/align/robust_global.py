@@ -74,7 +74,7 @@ def _gnc_tls_rotation(
     cbar2 = noise_bound * noise_bound  # cbar2 multiplier = 1 (:81)
 
     def solve_rotation(w):
-        cov = jnp.einsum("m,mi,mj->ij", w, b, a)
+        cov = jnp.einsum("m,mi,mj->ij", w, b, a, precision=jax.lax.Precision.HIGHEST)
         u, _, vt = jnp.linalg.svd(cov)
         R = u @ vt
         det = jnp.linalg.det(R)
@@ -82,13 +82,13 @@ def _gnc_tls_rotation(
 
     # Initialize mu from the max residual (standard GNC-TLS schedule).
     R0 = solve_rotation(m)
-    r2_0 = jnp.sum((b - a @ R0.T) ** 2, axis=-1) * m
+    r2_0 = jnp.sum((b - jnp.matmul(a, R0.T, precision=jax.lax.Precision.HIGHEST)) ** 2, axis=-1) * m
     r2_max = jnp.maximum(jnp.max(r2_0), cbar2 * (1.0 + 1e-6))
     mu0 = 1.0 / (2.0 * r2_max / cbar2 - 1.0)
 
     def body(carry, _):
         R, mu = carry
-        r2 = jnp.sum((b - a @ R.T) ** 2, axis=-1)
+        r2 = jnp.sum((b - jnp.matmul(a, R.T, precision=jax.lax.Precision.HIGHEST)) ** 2, axis=-1)
         lo = mu / (mu + 1.0) * cbar2
         hi = (mu + 1.0) / mu * cbar2
         w_mid = jnp.sqrt(cbar2 * mu * (mu + 1.0) / jnp.maximum(r2, 1e-30)) - mu
@@ -98,7 +98,7 @@ def _gnc_tls_rotation(
         return (R_new, mu * gnc_factor), None
 
     (R, _), _ = jax.lax.scan(body, (R0, mu0), None, length=max_iters)
-    r2 = jnp.sum((b - a @ R.T) ** 2, axis=-1)
+    r2 = jnp.sum((b - jnp.matmul(a, R.T, precision=jax.lax.Precision.HIGHEST)) ** 2, axis=-1)
     inlier = (r2 <= cbar2) & mask
     return R, inlier
 
@@ -162,7 +162,7 @@ def register_robust(
         a, b, tim_mask, 2.0 * noise_bound, max_iters=gnc_iters
     )
 
-    t_cand = q - p @ R.T  # (N, 3) translation votes
+    t_cand = q - jnp.matmul(p, R.T, precision=jax.lax.Precision.HIGHEST)  # (N, 3) translation votes
     t = _consensus_translation(t_cand, screened, noise_bound)
 
     resid = jnp.linalg.norm(q - (p @ R.T + t), axis=-1)

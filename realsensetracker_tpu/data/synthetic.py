@@ -50,7 +50,9 @@ def render_depth(intr: camera.Intrinsics, T_wc: jnp.ndarray, scene: Scene) -> jn
     )  # (H, W, 3), z = 1 so ray parameter t == z-depth
     R = se3.rotation(T_wc)
     o = se3.translation(T_wc)
-    w = d_cam @ R.T  # world-frame ray directions
+    # precision=HIGHEST: the TPU's default bf16 matmul would bend rays by
+    # ~5e-4 relative, breaking the exact-geometry guarantee tests rely on.
+    w = jnp.matmul(d_cam, R.T, precision=jax.lax.Precision.HIGHEST)
 
     t_best = jnp.full(uu.shape, _INF, dtype=jnp.float32)
 

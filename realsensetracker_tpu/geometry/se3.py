@@ -12,7 +12,13 @@ All functions broadcast over leading batch dimensions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU matmuls default to bf16 operand precision (~5e-4 relative error) --
+# catastrophic for millimeter-scale geometry. Every matmul in this module is
+# tiny (3x3 / 4x4 contractions), so full f32 precision costs nothing.
+_HI = jax.lax.Precision.HIGHEST
 
 _EPS = 1e-8
 
@@ -41,21 +47,26 @@ def translation(T: jnp.ndarray) -> jnp.ndarray:
 
 def compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
     """Ta @ Tb (apply Tb first, then Ta) - matches Eigen operator* semantics."""
-    return jnp.matmul(Ta, Tb)
+    return jnp.matmul(Ta, Tb, precision=_HI)
 
 
 def inverse(T: jnp.ndarray) -> jnp.ndarray:
     R = rotation(T)
     t = translation(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return from_rt(Rt, -jnp.squeeze(Rt @ t[..., :, None], -1))
+    return from_rt(
+        Rt, -jnp.squeeze(jnp.matmul(Rt, t[..., :, None], precision=_HI), -1)
+    )
 
 
 def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Apply pose(s) to points (..., N, 3)."""
+    """Apply pose(s) to points (..., N, 3) at full f32 precision."""
     R = rotation(T)
     t = translation(T)
-    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return (
+        jnp.matmul(points, jnp.swapaxes(R, -1, -2), precision=_HI)
+        + t[..., None, :]
+    )
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
