@@ -28,7 +28,7 @@ class ProjectiveIcpConfig(NamedTuple):
     """Static solver configuration (hashable -> usable as jit static arg)."""
 
     iters: tuple[int, ...] = (6, 5, 4)  # per level, coarse -> fine order
-    samples: int = 4096  # source points sampled at the FINEST level
+    samples: int = 2048  # source points sampled at the FINEST level
     sample_mode: str = "stride"  # "stride" | "normal_space" (config 3)
     coarse_sample_divisor: int = 4  # level l uses samples / divisor**l
     min_samples: int = 256  # floor for the coarsest levels
@@ -127,19 +127,20 @@ def build_normal_equations(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
 
-    # Single gather of the packed planar [vertex | normal | validf | 0]
-    # table: one 2D gather is ~3x cheaper than separate vertex/normal/valid
-    # gathers on TPU, and invalid pixels carry zero normals (J rows vanish).
-    rows = dst_level.packed[:, vi, ui]  # (8, P)
-    q = rows[0:3].T
-    n = rows[3:6].T
-    ok = src_ok & inb & (rows[6] > 0.5)
+    # Single gather of the planar PLANE table [n | d = n . q]: 4 floats per
+    # correspondence (vs 8 for vertex+normal+valid; gathers are the hot-loop
+    # bottleneck). Invalid pixels carry n = 0 -> Jacobian rows vanish and
+    # validity is |n|^2 > 0.5 for free.
+    rows = dst_level.packed[:, vi, ui]  # (4, P)
+    n = rows[0:3].T
+    d_plane = rows[3]
+    ok = src_ok & inb & (jnp.sum(n * n, axis=-1) > 0.5)
 
-    diff = p - q
-    dist2 = jnp.sum(diff * diff, axis=-1)
-    ok = ok & (dist2 < cfg.dist_threshold**2)
-
-    r = jnp.sum(n * diff, axis=-1)  # point-to-plane residual
+    r = jnp.sum(n * p, axis=-1) - d_plane  # point-to-plane residual
+    # Correspondence gate on the plane distance (the Euclidean gate needs
+    # the destination vertex, which the plane table deliberately drops).
+    ok = ok & (jnp.abs(r) < cfg.dist_threshold)
+    r = jnp.where(ok, r, 0.0)
     # GNC weight on the plane residual (reference form, align_icp.cpp:116-118).
     l_rt = cfg.gnc_mu / (r * r + cfg.gnc_mu)
     w = l_rt * l_rt * ok.astype(p.dtype)

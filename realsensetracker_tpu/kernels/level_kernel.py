@@ -1,11 +1,12 @@
-"""Pallas kernel: fused pyramid-level builder (depth -> packed table).
+"""Pallas kernel: fused pyramid-level builder (depth -> plane table).
 
-One pass over a depth image produces the planar packed table
-[vertex xyz | normal xyz | validf | 0] that projective ICP gathers from
-(align/projective.py). The XLA reference implementation
-(ops/pyramid.build_pyramid) expresses the same math as ~20 separate
-roll/elementwise/concat ops; this kernel reads each depth row once from
-VMEM and writes the 8 output planes once -- the destination-frame
+One pass over a depth image produces the planar PLANE table
+[nx | ny | nz | d = n . vertex] that projective ICP gathers from
+(align/projective.py): the point-to-plane residual is r = n . p - d, so
+the destination frame reduces to 4 floats per pixel. The XLA reference
+implementation (ops/pyramid.build_pyramid) expresses the same math as ~20
+separate roll/elementwise/concat ops; this kernel reads each depth row once
+from VMEM and writes the 4 output planes once -- the destination-frame
 preprocessing at memory-bound speed.
 
 Grid: one program per TILE_H-row band. Vertical neighbors come from
@@ -93,10 +94,9 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
     )
     okf = ok.astype(jnp.float32)
     nx, ny, nz = nx * flip * okf, ny * flip * okf, nz * flip * okf
+    d_plane = nx * xc + ny * yc + nz * zc  # n . q; 0 where invalid (n = 0)
 
-    out_ref[:] = jnp.stack(
-        [xc, yc, zc, nx, ny, nz, okf, jnp.zeros_like(okf)], axis=0
-    )
+    out_ref[:] = jnp.stack([nx, ny, nz, d_plane], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "tile_h", "interpret"))
@@ -106,7 +106,7 @@ def build_level_packed(
     tile_h: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Depth (H, W) with 0=invalid -> planar packed table (8, H, W).
+    """Depth (H, W) with 0=invalid -> planar plane table (4, H, W).
 
     Output matches ops.pyramid.build_pyramid's `packed` field bit-for-bit up
     to normalization rounding (parity-tested in tests/test_kernels.py).
@@ -139,8 +139,8 @@ def build_level_packed(
         grid=(grid,),
         in_specs=[spec(-1), spec(0), spec(1)],
         out_specs=pl.BlockSpec(
-            (8, tile_h, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (4, tile_h, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
         interpret=interpret,
     )(depth, depth, depth)

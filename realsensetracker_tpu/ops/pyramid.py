@@ -22,12 +22,13 @@ class PyramidLevel(NamedTuple):
     normal_map: jnp.ndarray  # (H, W, 3); zero where invalid
     valid: jnp.ndarray  # (H, W) bool: vertex AND normal valid
     vertex_valid: jnp.ndarray  # (H, W) bool: vertex valid (normals optional)
-    packed: jnp.ndarray  # (8, H, W) planar: [vertex xyz, normal xyz, validf,
-    # 0]. The ICP hot loop gathers this single table per correspondence (one
-    # 2D gather beats separate vertex/normal/valid gathers ~3x on TPU;
-    # invalid pixels carry zero normals so they contribute nothing to the GN
-    # system). Planar layout keeps the last two dims (H, W) -- the shape the
-    # TPU tiles natively and the Pallas builder kernel emits.
+    packed: jnp.ndarray  # (4, H, W) planar PLANE table: [nx, ny, nz,
+    # d = n . vertex]. Point-to-plane ICP only needs the destination's local
+    # plane, so the hot-loop gather fetches 4 floats per correspondence
+    # (residual r = n . p - d); invalid pixels carry n = 0 so their Jacobian
+    # rows vanish and validity is |n|^2 > 0.5, costing nothing. Planar
+    # layout keeps the last two dims (H, W) -- the shape the TPU tiles
+    # natively and the Pallas builder kernel emits.
 
 
 def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,27 +89,22 @@ def build_pyramid(
             from realsensetracker_tpu.kernels.level_kernel import build_level_packed
 
             packed = build_level_packed(d, cur_intr)
-            vmap = jnp.moveaxis(packed[0:3], 0, -1)
-            nmap = jnp.moveaxis(packed[3:6], 0, -1)
-            lvl_valid = packed[6] > 0.5
+            vmap = camera.unproject_depth(d, cur_intr)
+            nmap = jnp.moveaxis(packed[0:3], 0, -1)
+            lvl_valid = jnp.sum(packed[0:3] ** 2, axis=0) > 0.5
         elif with_normals:
             vmap = camera.unproject_depth(d, cur_intr)
             nmap, n_ok = normals_mod.grid_normals(vmap, valid)
             lvl_valid = valid & n_ok
+            d_plane = jnp.sum(vmap * nmap, axis=-1)  # n . q (0 where invalid)
             packed = jnp.concatenate(
-                [
-                    jnp.moveaxis(vmap, -1, 0),
-                    jnp.moveaxis(nmap, -1, 0),
-                    lvl_valid[None].astype(vmap.dtype),
-                    jnp.zeros((1,) + vmap.shape[:-1], vmap.dtype),
-                ],
-                axis=0,
+                [jnp.moveaxis(nmap, -1, 0), d_plane[None]], axis=0
             )
         else:
             vmap = camera.unproject_depth(d, cur_intr)
             nmap = jnp.zeros_like(vmap)
             lvl_valid = valid
-            packed = jnp.zeros((8,) + vmap.shape[:-1], vmap.dtype)
+            packed = jnp.zeros((4,) + vmap.shape[:-1], vmap.dtype)
         levels.append(
             PyramidLevel(
                 vertex_map=vmap,

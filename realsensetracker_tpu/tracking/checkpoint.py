@@ -13,7 +13,7 @@ import numpy as np
 
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: packed = (4,H,W) plane table
 
 
 def _flatten_levels(levels) -> dict:

@@ -28,21 +28,22 @@ class TestLevelKernel:
         )
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
-    def test_validity_channel_binary(self):
+    def test_normals_unit_or_zero(self):
         d = _depth()
         got = np.asarray(
             level_kernel.build_level_packed(d, INTR, tile_h=16, interpret=True)
         )
-        vals = np.unique(got[6])
-        assert set(vals.tolist()) <= {0.0, 1.0}
+        norm2 = (got[0:3] ** 2).sum(0)
+        assert np.all((np.abs(norm2 - 1.0) < 1e-4) | (norm2 < 1e-8))
 
     def test_borders_invalid(self):
         d = _depth()
         got = np.asarray(
             level_kernel.build_level_packed(d, INTR, tile_h=16, interpret=True)
         )
-        assert got[6, 0].max() == 0.0 and got[6, -1].max() == 0.0
-        assert got[6, :, 0].max() == 0.0 and got[6, :, -1].max() == 0.0
+        norm2 = (got[0:3] ** 2).sum(0)
+        assert norm2[0].max() == 0.0 and norm2[-1].max() == 0.0
+        assert norm2[:, 0].max() == 0.0 and norm2[:, -1].max() == 0.0
 
     def test_odd_tile_fallback(self):
         intr = camera.Intrinsics(fx=50.0, fy=50.0, cx=63.5, cy=17.5, width=128, height=36)
