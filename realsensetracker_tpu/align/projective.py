@@ -32,8 +32,7 @@ class ProjectiveIcpConfig(NamedTuple):
     sample_mode: str = "stride"  # "stride" | "normal_space" (config 3)
     coarse_sample_divisor: int = 4  # level l uses samples / divisor**l
     min_samples: int = 256  # floor for the coarsest levels
-    dist_threshold: float = 0.25  # meters; correspondence gate
-    normal_threshold: float = 0.6  # min cos(angle) between normals
+    dist_threshold: float = 0.25  # meters; plane-distance correspondence gate
     gnc_mu: float = 1e-2  # GNC weight scale on plane residual^2
     damping: float = 1e-6  # Levenberg damping (relative to trace)
     min_depth: float = 0.05
