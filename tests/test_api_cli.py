@@ -178,3 +178,14 @@ class TestReplayTumAte:
         rc = rs_replay.main(["--record", clip_path, "--method", "slam"])
         assert rc == 0
         assert "keyframes=" in capsys.readouterr().out
+
+
+class TestStreamsCli:
+    def test_streams_demo_runs(self, capsys):
+        from realsensetracker_tpu.cli import rs_streams
+
+        rc = rs_streams.main(["--streams", "2", "--frames", "3",
+                              "--width", "64", "--height", "48"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "FPS/stream" in out
