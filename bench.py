@@ -38,25 +38,31 @@ def main() -> None:
         intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32), scene
     )
     rng = np.random.RandomState(0)
-    src = jnp.asarray(
-        np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
-    )
-    dst = jnp.asarray(
-        np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
-    )
+    # TWO distinct input batches, cycled: remote-dispatch runtimes can
+    # memoize repeated identical executions (see BENCHMARKS.md), and more
+    # copies would not fit HBM at batch=512.
+    batches = []
+    for _ in range(2):
+        src = jnp.asarray(
+            np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
+        )
+        dst = jnp.asarray(
+            np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
+        )
+        batches.append((src, dst))
 
     def step(s, d):
         return batched.register_batch(s, d, intr, cfg).transform
 
     step_jit = jax.jit(step)
     # Warmup / compile.
-    jax.block_until_ready(step_jit(src, dst))
+    jax.block_until_ready(step_jit(*batches[0]))
 
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for i in range(n_iters):
         # Block every step: honest steady-state wall clock, no async pileup.
-        jax.block_until_ready(step_jit(src, dst))
+        jax.block_until_ready(step_jit(*batches[i % 2]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * n_iters / dt

@@ -55,32 +55,50 @@ def main(argv=None) -> int:
         d0, d1, _ = synthetic.render_pair(
             intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32)
         )
-        src = jnp.asarray(np.asarray(d1)[None] + 0.001 * rng.randn(
-            args.batch, args.height, args.width).astype(np.float32))
-        dst = jnp.asarray(np.asarray(d0)[None] + 0.001 * rng.randn(
-            args.batch, args.height, args.width).astype(np.float32))
+        # Distinct input batches per timing call: remote-dispatch runtimes
+        # can memoize repeated identical executions (see BENCHMARKS.md).
+        batches = []
+        for _ in range(min(args.iters, 4)):
+            src = jnp.asarray(np.asarray(d1)[None] + 0.001 * rng.randn(
+                args.batch, args.height, args.width).astype(np.float32))
+            dst = jnp.asarray(np.asarray(d0)[None] + 0.001 * rng.randn(
+                args.batch, args.height, args.width).astype(np.float32))
+            batches.append((src, dst))
         step = jax.jit(lambda s, d: batched.register_batch(s, d, intr, cfg).transform)
-        jax.block_until_ready(step(src, dst))
+        jax.block_until_ready(step(*batches[0]))
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            jax.block_until_ready(step(src, dst))
+        for i in range(args.iters):
+            jax.block_until_ready(step(*batches[i % len(batches)]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     elif args.pipeline in ("gnc-icp", "gicp"):
-        from realsensetracker_tpu.models import get_pipeline
+        from realsensetracker_tpu.align import gicp as gicp_mod
+        from realsensetracker_tpu.align import icp as icp_mod
         from realsensetracker_tpu.ops import cloud as cloud_mod
 
-        run = get_pipeline(args.pipeline)
-        batch_run = jax.jit(jax.vmap(lambda s, d: run(
-            cloud_mod.Cloud(s, jnp.ones(s.shape[0], bool)),
-            cloud_mod.Cloud(d, jnp.ones(d.shape[0], bool)),
-        ).transform))
-        src = jnp.asarray(rng.randn(args.batch, args.points, 3).astype(np.float32))
-        dst = src + 0.01
-        jax.block_until_ready(batch_run(src, dst))
+        if args.pipeline == "gnc-icp":
+            def one(s, d):
+                return icp_mod.align_icp(
+                    cloud_mod.Cloud(s, jnp.ones(s.shape[0], bool)),
+                    cloud_mod.Cloud(d, jnp.ones(d.shape[0], bool)),
+                    128,
+                ).transform
+        else:
+            def one(s, d):
+                return gicp_mod.align_gicp(
+                    cloud_mod.Cloud(s, jnp.ones(s.shape[0], bool)),
+                    cloud_mod.Cloud(d, jnp.ones(d.shape[0], bool)),
+                ).transform
+        batch_run = jax.jit(jax.vmap(one))
+        # Distinct inputs per call (anti-memoization, see above).
+        batches = []
+        for _ in range(min(args.iters, 4)):
+            src = jnp.asarray(rng.randn(args.batch, args.points, 3).astype(np.float32))
+            batches.append((src, src + 0.01))
+        jax.block_until_ready(batch_run(*batches[0]))
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            jax.block_until_ready(batch_run(src, dst))
+        for i in range(args.iters):
+            jax.block_until_ready(batch_run(*batches[i % len(batches)]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     else:
