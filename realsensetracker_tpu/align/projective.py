@@ -111,6 +111,37 @@ def sample_level_normal_space(level: PyramidLevel, count: int, bins: int = 6):
     return pts, nrm, ok_out
 
 
+def sample_depth_points(
+    depth: jnp.ndarray,
+    intr: camera.Intrinsics,
+    count: int,
+    min_depth: float = 0.05,
+    max_depth: float = 10.0,
+):
+    """Stride-sample source points DIRECTLY from a depth map.
+
+    The source role of projective ICP only ever touches `count` points per
+    level, so materializing a full vertex map first wastes most of the
+    pyramid's bandwidth: gather `count` depth values and unproject just
+    those. Produces exactly the same points/validity as
+    sample_level(build_pyramid(..., with_normals=False)) at the same stride.
+    """
+    h, w = depth.shape
+    npix = h * w
+    count = min(count, npix)
+    stride = npix // count
+    idx = jnp.arange(count) * stride
+    d = depth.reshape(npix)[idx]
+    ok = jnp.isfinite(d) & (d > min_depth) & (d < max_depth)
+    d = jnp.where(ok, d, 0.0)
+    u = (idx % w).astype(d.dtype)
+    v = (idx // w).astype(d.dtype)
+    pts = jnp.stack(
+        [d * (u - intr.cx) / intr.fx, d * (v - intr.cy) / intr.fy, d], axis=-1
+    )
+    return pts, ok
+
+
 def build_normal_equations(
     T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
 ):
@@ -224,6 +255,43 @@ def projective_icp(
     )
 
 
+@partial(jax.jit, static_argnames=("intrs", "cfg"))
+def projective_icp_sampled(
+    src_samples,  # tuple per level (fine -> coarse) of (pts (P,3), ok (P,))
+    dst_levels: Sequence[PyramidLevel],
+    intrs: tuple[camera.Intrinsics, ...],
+    init_transform: jnp.ndarray | None = None,
+    cfg: ProjectiveIcpConfig = ProjectiveIcpConfig(),
+) -> ProjectiveIcpResult:
+    """Registration with pre-sampled source points (sample_depth_points):
+    skips source pyramid construction entirely -- the fast path used by
+    register_depth_pair for stride sampling."""
+    num_levels = len(intrs)
+    assert len(cfg.iters) == num_levels, "one iteration count per level"
+    T = se3.identity() if init_transform is None else init_transform
+
+    stats = (jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+    for li in range(num_levels - 1, -1, -1):  # coarse -> fine
+        level_iters = cfg.iters[num_levels - 1 - li]
+        src_pts, src_ok = src_samples[li]
+        dst_level = dst_levels[li]
+        intr = intrs[li]
+
+        def body(_, carry, dst_level=dst_level, intr=intr, src_pts=src_pts, src_ok=src_ok):
+            T, _ = carry
+            return _step(T, src_pts, src_ok, dst_level, intr, cfg)
+
+        T, stats = jax.lax.fori_loop(0, level_iters, body, (T, stats))
+
+    rmse, inlier_frac, matched = stats
+    return ProjectiveIcpResult(
+        transform=T,
+        rmse=rmse,
+        inlier_fraction=inlier_frac.astype(jnp.float32),
+        num_matched=matched,
+    )
+
+
 def register_depth_pair(
     src_depth: jnp.ndarray,
     dst_depth: jnp.ndarray,
@@ -236,14 +304,32 @@ def register_depth_pair(
     The whole pipeline (unproject -> normals -> pyramid -> coarse-to-fine GN)
     traces into one XLA program; vmap over leading axes for batching.
     """
-    from realsensetracker_tpu.ops.pyramid import build_pyramid
+    from realsensetracker_tpu.ops.pyramid import build_pyramid, downsample_depth
 
     num_levels = len(cfg.iters)
-    # Source role never reads normals (point-to-plane uses dst normals only)
-    # -- unless normal-space sampling needs them for orientation binning.
-    src_levels, intrs = build_pyramid(
-        src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth,
-        with_normals=(cfg.sample_mode == "normal_space"),
+    dst_levels, intrs = build_pyramid(
+        dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth
     )
-    dst_levels, _ = build_pyramid(dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth)
-    return projective_icp(src_levels, dst_levels, tuple(intrs), init_transform, cfg)
+    if cfg.sample_mode == "normal_space":
+        # Orientation binning needs source normals: full source pyramid.
+        src_levels, _ = build_pyramid(
+            src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth,
+            with_normals=True,
+        )
+        return projective_icp(src_levels, dst_levels, tuple(intrs), init_transform, cfg)
+    # Fast path: the source role only ever touches cfg.samples points per
+    # level -- sample straight from the (downsampled) depth maps and skip
+    # source vertex/normal map construction altogether.
+    src_depth = src_depth.astype(jnp.float32)
+    valid = camera.valid_mask(src_depth, cfg.min_depth, cfg.max_depth)
+    d = jnp.where(valid, src_depth, 0.0)
+    samples = []
+    for li in range(num_levels):
+        level_samples = max(cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples)
+        samples.append(
+            sample_depth_points(d, intrs[li], level_samples, cfg.min_depth, cfg.max_depth)
+        )
+        d, valid = downsample_depth(d, valid)
+    return projective_icp_sampled(
+        tuple(samples), dst_levels, tuple(intrs), init_transform, cfg
+    )
