@@ -78,3 +78,15 @@ def test_point_sharded_matches_unsharded():
 def test_mesh_shapes(pp):
     mesh = mesh_mod.make_mesh(8, point_parallelism=pp)
     assert mesh.shape["data"] * mesh.shape["point"] == 8
+
+
+def test_multihost_helpers_single_process():
+    from realsensetracker_tpu.parallel import multihost
+
+    sl = multihost.process_stream_slice(8)
+    assert sl == slice(0, 8)
+    mesh = mesh_mod.make_mesh(8)
+    frames = np.zeros((8, 12, 16), np.float32)
+    arr = multihost.global_frame_batch(frames, mesh)
+    assert arr.shape == (8, 12, 16)
+    multihost.all_processes_ready()  # no-op single process

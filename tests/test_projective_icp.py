@@ -120,3 +120,27 @@ class TestNormalSpaceSampling:
         res, T_true = _register([0.02, -0.01, 0.01, 0.01, -0.01, 0.01], cfg=cfg)
         t_err, r_err = _pose_err(res.transform, T_true)
         assert t_err < 1e-2 and r_err < 1e-2
+
+
+class TestSampledSourceFastPath:
+    def test_sample_depth_points_matches_sample_level(self):
+        d0, _, _ = synthetic.render_pair(INTR, jnp.zeros(6))
+        levels, intrs = pyramid.build_pyramid(d0, INTR, 1, with_normals=False)
+        pts_a, _, ok_a = projective.sample_level(levels[0], 1024)
+        pts_b, ok_b = projective.sample_depth_points(
+            jnp.where((d0 > 0.05) & (d0 < 10.0), d0, 0.0), INTR, 1024
+        )
+        np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+        np.testing.assert_allclose(np.asarray(pts_a), np.asarray(pts_b), atol=1e-6)
+
+    def test_fast_path_matches_pyramid_path(self):
+        d0, d1, _ = synthetic.render_pair(INTR, jnp.asarray([0.01, 0, 0.01, 0, 0.01, 0]))
+        cfg = projective.ProjectiveIcpConfig(iters=(4, 4, 4), samples=1024)
+        res_fast = projective.register_depth_pair(d1, d0, INTR, cfg)
+        # Pyramid path: same stride sampling through full source levels.
+        src_l, intrs = pyramid.build_pyramid(d1, INTR, 3, with_normals=False)
+        dst_l, _ = pyramid.build_pyramid(d0, INTR, 3)
+        res_pyr = projective.projective_icp(src_l, dst_l, tuple(intrs), cfg=cfg)
+        np.testing.assert_allclose(
+            np.asarray(res_fast.transform), np.asarray(res_pyr.transform), atol=1e-5
+        )
