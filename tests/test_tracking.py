@@ -132,3 +132,34 @@ class TestTrajectoryIO:
             est.append(float(i), G @ T)
         ate = absolute_trajectory_error(est, gt)
         assert ate["rmse"] < 1e-5
+
+
+class TestFrameToModel:
+    def test_tracks_against_model(self):
+        from realsensetracker_tpu.tracking.frame_to_model import FrameToModelTracker
+
+        depths, poses = _trajectory_frames(5, step=0.01)
+        tracker = FrameToModelTracker(
+            INTR, voxel_size=0.08, icp_max_iter=32,
+            frame_capacity=1024, model_capacity=8192,
+        )
+        for i in range(5):
+            res = tracker.process(depths[i], float(i))
+            assert res.success
+        # Pose stays close to ground truth (absolute registration to map).
+        err = np.abs(np.asarray(se3.log(se3.compose(
+            se3.inverse(poses[4]), tracker.pose)))).max()
+        assert err < 0.05
+        assert int(tracker.world_map.count()) > 100
+
+    def test_failure_gate_holds_pose(self):
+        from realsensetracker_tpu.tracking.frame_to_model import FrameToModelTracker
+
+        depths, _ = _trajectory_frames(2)
+        tracker = FrameToModelTracker(INTR, frame_capacity=1024, model_capacity=4096,
+                                      max_mean_cost=1e-9)  # everything "fails"
+        tracker.process(depths[0])
+        pose_before = np.asarray(tracker.pose)
+        res = tracker.process(depths[1])
+        assert not res.success
+        np.testing.assert_array_equal(np.asarray(tracker.pose), pose_before)
