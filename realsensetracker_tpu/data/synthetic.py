@@ -59,7 +59,9 @@ def render_depth(intr: camera.Intrinsics, T_wc: jnp.ndarray, scene: Scene) -> jn
     # Spheres.
     oc = o - scene.sphere_centers  # (S, 3)
     a = jnp.sum(w * w, axis=-1)[..., None]  # (H, W, 1)
-    b = 2.0 * jnp.einsum("hwi,si->hws", w, oc)
+    # precision=HIGHEST: |oc| ~ O(100), so default bf16 operand rounding
+    # would perturb ray-sphere intersections by millimeters.
+    b = 2.0 * jnp.einsum("hwi,si->hws", w, oc, precision=jax.lax.Precision.HIGHEST)
     c = jnp.sum(oc * oc, axis=-1) - scene.sphere_radii**2  # (S,)
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
