@@ -51,7 +51,7 @@ class TrackerConfig:
     """Streaming tracker settings (ref RsViewerSettings + replay loop)."""
 
     intrinsics: camera.Intrinsics = camera.TUM_DEFAULT
-    method: str = "projective"  # projective | keyframe | icp | gicp
+    method: str = "projective"  # projective | keyframe | model | icp | gicp
     projective: ProjectiveIcpConfig = ProjectiveIcpConfig()
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)

@@ -41,6 +41,14 @@ class Tracker:
                 self.config.projective,
                 min_inlier_fraction=self.config.min_inlier_fraction,
             )
+        elif method == "model":
+            from realsensetracker_tpu.tracking.frame_to_model import FrameToModelTracker
+
+            self._impl = FrameToModelTracker(
+                self.config.intrinsics,
+                voxel_size=self.config.map_voxel_size,
+                icp_max_iter=self.config.align.icp_max_iter,
+            )
         elif method in ("icp", "gicp"):
             self._impl = _CloudTracker(self.config)
         else:

@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="Frame interval in ms (reference default 1000; 0 = as fast as possible)",
     )
     p.add_argument("--method", default="projective",
-                   choices=["projective", "keyframe", "icp", "gicp", "slam"])
+                   choices=["projective", "keyframe", "model", "icp", "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--trajectory-out", default="")
     p.add_argument("--map-capacity", type=int, default=0)

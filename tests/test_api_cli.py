@@ -189,3 +189,12 @@ class TestStreamsCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "FPS/stream" in out
+
+
+def test_tracker_model_method():
+    depths, _ = _frames(3)
+    tr = Tracker(TrackerConfig(intrinsics=INTR, method="model"))
+    for i in range(3):
+        res = tr.process(depths[i], float(i))
+        assert res.success
+    assert tr.world_map is not None and int(tr.world_map.count()) > 50
