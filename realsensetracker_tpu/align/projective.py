@@ -149,7 +149,7 @@ def build_normal_equations(
 
     Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)). Pure reduction
     over sample points -- the unit that multi-chip point sharding psums over
-    (parallel/sharded.py) and that the Pallas kernel fuses (kernels/).
+    (parallel/sharded.py).
     """
     p = se3.transform_points(T, src_pts)  # (P, 3)
     u, v, z = camera.project(p, intr)

@@ -2,8 +2,8 @@
 
 The stable API the reference exposes through RsViewer/RsDriver + the app
 loops; here a single Tracker object selects the backend (projective ICP,
-keyframe tracking, reference-semantics GNC-ICP, or GICP) and manages the
-trajectory + optional world model.
+keyframe tracking, frame-to-model, reference-semantics GNC-ICP, or GICP)
+and manages the trajectory + optional world model.
 """
 
 from __future__ import annotations
