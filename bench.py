@@ -38,31 +38,31 @@ def main() -> None:
         intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32), scene
     )
     rng = np.random.RandomState(0)
-    # TWO distinct input batches, cycled: remote-dispatch runtimes can
-    # memoize repeated identical executions (see BENCHMARKS.md), and more
-    # copies would not fit HBM at batch=512.
-    batches = []
-    for _ in range(2):
-        src = jnp.asarray(
-            np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
-        )
-        dst = jnp.asarray(
-            np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
-        )
-        batches.append((src, dst))
+    src = jnp.asarray(
+        np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
+    )
+    dst = jnp.asarray(
+        np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
+    )
 
-    def step(s, d):
-        return batched.register_batch(s, d, intr, cfg).transform
+    # Every timed dispatch must be a DISTINCT execution: the axon relay
+    # memoizes repeated identical executions (BENCHMARKS.md "Measurement
+    # methodology"). A per-iteration salt scalar perturbs the depths
+    # on-device (zero extra HBM, identical work) so no two calls share
+    # inputs or outputs.
+    def step(s, d, salt):
+        return batched.register_batch(s + salt, d + salt, intr, cfg).transform
 
     step_jit = jax.jit(step)
-    # Warmup / compile.
-    jax.block_until_ready(step_jit(*batches[0]))
+    # Warmup / compile (salt outside the timed range).
+    jax.block_until_ready(step_jit(src, dst, jnp.float32(-1e-4)))
 
     n_iters = 10
+    salts = [jnp.float32((i + 1) * 1e-5) for i in range(n_iters)]
     t0 = time.perf_counter()
     for i in range(n_iters):
         # Block every step: honest steady-state wall clock, no async pileup.
-        jax.block_until_ready(step_jit(*batches[i % 2]))
+        jax.block_until_ready(step_jit(src, dst, salts[i]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * n_iters / dt

@@ -37,11 +37,25 @@ def process_stream_slice(num_streams: int) -> slice:
 
 
 def all_processes_ready() -> None:
-    """Cross-host barrier (no-op single-process)."""
-    if jax.process_count() > 1:
-        # A tiny psum over all devices acts as a barrier.
-        x = jnp.ones(())
-        jax.jit(lambda v: jax.lax.psum(v, "i"), out_shardings=None)
-        # Simplest portable barrier: block on a global reduction.
-        y = jax.device_get(jax.jit(lambda v: v.sum())(x))
-        del y
+    """Cross-host barrier: a reduction spanning EVERY device in the system.
+
+    Each process contributes a ones-vector shard over its local devices; a
+    jit'd sum with a replicated output sharding forces XLA to insert an
+    all-reduce across the global mesh, which cannot complete until every
+    process has enqueued it -- a true barrier. Blocks on device_get and
+    verifies the contribution count. Single-process this degenerates to a
+    local reduction over the local devices (cheap, still executed).
+    """
+    devices = np.array(jax.devices())  # all devices, all processes
+    mesh = Mesh(devices, ("all",))
+    sharding = NamedSharding(mesh, P("all"))
+    local = np.ones((len(jax.local_devices()),), np.float32)
+    global_ones = jax.make_array_from_process_local_data(sharding, local)
+    total = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P())
+    )(global_ones)
+    total = float(jax.device_get(total))
+    if total != len(devices):
+        raise RuntimeError(
+            f"barrier mismatch: {total} contributions for {len(devices)} devices"
+        )

@@ -190,6 +190,130 @@ def compute_fpfh_np(points, normals, radius):
     return fpfh
 
 
+def compute_covariances_np(points, k=32):
+    """ComputeCovariances (point_cloud_utils.cpp:100-161), use_gicp=false:
+    k+1-NN with self skipped, centered on the neighbor centroid,
+    scatter / (k-1)."""
+    points = np.asarray(points, np.float64)
+    n = len(points)
+    d2 = ((points[:, None] - points[None]) ** 2).sum(-1)
+    covs = np.zeros((n, 3, 3))
+    for i in range(n):
+        idx = np.argsort(d2[i], kind="stable")[1 : k + 1]  # skip self
+        nbrs = points[idx]
+        delta = nbrs - nbrs.mean(0)
+        covs[i] = delta.T @ delta / (k - 1)
+    return covs
+
+
+def _hat_np(w):
+    return np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]]
+    )
+
+
+def _exp_se3_np(xi):
+    """se(3) exponential, twist [v, w] (matches geometry/se3.py)."""
+    v, w = np.asarray(xi[:3], np.float64), np.asarray(xi[3:], np.float64)
+    th2 = float(w @ w)
+    W = _hat_np(w)
+    W2 = W @ W
+    if th2 < 1e-12:
+        R = np.eye(3) + W + 0.5 * W2
+        V = np.eye(3) + 0.5 * W + W2 / 6.0
+    else:
+        th = np.sqrt(th2)
+        a = np.sin(th) / th
+        b = (1.0 - np.cos(th)) / th2
+        c = (th - np.sin(th)) / (th2 * th)
+        R = np.eye(3) + a * W + b * W2
+        V = np.eye(3) + b * W + c * W2
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T
+
+
+def _whitening_np(M):
+    """Symmetric inverse square root (gicp_cost.hpp:57-68), eps-clamped."""
+    vals, vecs = np.linalg.eigh(M)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(vals, 1e-12))
+    return (vecs * inv_sqrt[None, :]) @ vecs.T
+
+
+def gicp_solve_np(
+    src_pts,
+    dst_pts,
+    src_covs,
+    dst_covs,
+    seed,
+    inner_iters=8,
+    huber_delta=0.5,
+    damping=1e-6,
+):
+    """Inner GICP NLLS solve: residual r = rsqrt(C_dst + R C_src R^T)
+    (R p + t - q) per gicp_cost.hpp:40-73, Ceres HuberLoss(0.5) IRLS weights
+    (align_gicp.cpp:67), damped Gauss-Newton on se(3) with re-whitening
+    every iteration. Returns (T, cost) with cost = 0.5 * sum rho(|r|^2)
+    (Ceres final_cost convention)."""
+    src_pts = np.asarray(src_pts, np.float64)
+    dst_pts = np.asarray(dst_pts, np.float64)
+    T = np.array(seed, np.float64)
+    b = huber_delta * huber_delta
+    cost = 0.0
+    n = len(src_pts)
+    for _ in range(inner_iters):
+        R = T[:3, :3]
+        p = src_pts @ R.T + T[:3, 3]
+        e = p - dst_pts
+        H = np.zeros((6, 6))
+        g = np.zeros(6)
+        cost = 0.0
+        for i in range(n):
+            M = dst_covs[i] + R @ src_covs[i] @ R.T
+            W = _whitening_np(M)
+            r = W @ e[i]
+            s = float(r @ r)
+            w = 1.0 if s <= b else np.sqrt(b / max(s, 1e-30))
+            J = np.concatenate([W, -W @ _hat_np(p[i])], axis=1)  # (3, 6)
+            H += w * (J.T @ J)
+            g += w * (J.T @ r)
+            rho = s if s <= b else 2.0 * np.sqrt(b * max(s, 0.0)) - b
+            cost += 0.5 * rho
+        lam = damping * np.trace(H) + 1e-12
+        delta = -np.linalg.solve(H + lam * np.eye(6), g)
+        if not np.all(np.isfinite(delta)):
+            delta = np.zeros(6)
+        T = _exp_se3_np(delta) @ T
+    return T.astype(np.float32), np.float32(cost)
+
+
+def align_gicp_np(src, dst, max_outer=16, inner_iters=8, cov_k=32,
+                  huber_delta=0.5, damping=1e-6):
+    """Full GICP (outer ComputeAlignment, align_gicp.cpp:105-163): plain
+    scatter covariances (use_gicp=false at :121-123), kMaxIter=16 rounds of
+    brute-force 1-NN correspondences of (estimate * src) in dst, NLLS solve
+    seeded from the running estimate, NaN guard keeps the previous pose.
+    Returns (T, cost)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    src_covs = compute_covariances_np(src, cov_k)
+    dst_covs = compute_covariances_np(dst, cov_k)
+    T = np.eye(4)
+    cost = np.float32(0.0)
+    for _ in range(max_outer):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d2 = ((p[:, None] - dst[None]) ** 2).sum(-1)
+        nn = np.argmin(d2, axis=1)
+        T_new, cost = gicp_solve_np(
+            src, dst[nn], src_covs, dst_covs[nn], T,
+            inner_iters=inner_iters, huber_delta=huber_delta, damping=damping,
+        )
+        if np.all(np.isfinite(T_new)):
+            T = T_new.astype(np.float64)
+    return T.astype(np.float32), cost
+
+
 def prune_matches_lowe_np(matches, src_fpfh, dst_fpfh, lowe_ratio):
     """PruneMatchesLowe (rs_align_app.cpp:177-217)."""
     pairs, weights = [], []

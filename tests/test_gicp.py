@@ -7,6 +7,7 @@ import numpy as np
 from realsensetracker_tpu.align import gicp as gicp_mod
 from realsensetracker_tpu.geometry import se3
 from realsensetracker_tpu.ops import cloud as cloud_mod
+from tests import reference_impl
 
 
 def _random_cloud(key, n, scale=1.0):
@@ -108,6 +109,70 @@ class TestGicpAlignment:
         )
         err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
         assert err.max() < 5e-2
+
+    def test_golden_parity_inner_solve(self):
+        """Pin solve_alignment to the NumPy transcription of the C++ math
+        (gicp_cost.hpp:40-73 whitened residual + Huber(0.5) IRLS,
+        align_gicp.cpp:41-103): noisy correspondences + outliers make the
+        optimum depend on the Huber weighting and whitening-update order,
+        so any semantic change breaks the 1e-4 agreement."""
+        rng = np.random.RandomState(11)
+        n = 60
+        src = rng.randn(n, 3).astype(np.float32)
+        T_true = np.asarray(
+            se3.exp(jnp.array([0.04, -0.02, 0.03, 0.03, -0.02, 0.04], jnp.float32))
+        )
+        dst = src @ T_true[:3, :3].T + T_true[:3, 3]
+        dst += 0.01 * rng.randn(n, 3).astype(np.float32)
+        dst[:6] += 2.0  # outliers: exercise the Huber branch
+        src_covs = reference_impl.compute_covariances_np(src, k=8)
+        dst_covs = reference_impl.compute_covariances_np(dst, k=8)
+        seed = np.eye(4, dtype=np.float32)
+
+        T_ref, cost_ref = reference_impl.gicp_solve_np(
+            src, dst, src_covs, dst_covs, seed, inner_iters=6
+        )
+        T_jax, cost_jax = gicp_mod.solve_alignment(
+            jnp.asarray(src),
+            jnp.asarray(dst),
+            jnp.asarray(src_covs, jnp.float32),
+            jnp.asarray(dst_covs, jnp.float32),
+            jnp.ones(n, bool),
+            jnp.asarray(seed),
+            inner_iters=6,
+        )
+        err = np.abs(
+            np.asarray(se3.log(se3.compose(se3.inverse(jnp.asarray(T_ref)), T_jax)))
+        )
+        assert err.max() < 1e-4, err
+        np.testing.assert_allclose(float(cost_jax), float(cost_ref), rtol=1e-3)
+
+    def test_golden_parity_full_gicp(self):
+        """Pin align_gicp end-to-end (outer correspondence rounds included,
+        align_gicp.cpp:105-163) to the NumPy oracle at 1e-4."""
+        rng = np.random.RandomState(12)
+        n = 50
+        src = rng.randn(n, 3).astype(np.float32)
+        T_true = np.asarray(
+            se3.exp(jnp.array([0.03, 0.02, -0.03, -0.02, 0.03, 0.02], jnp.float32))
+        )
+        dst = src @ T_true[:3, :3].T + T_true[:3, 3]
+        dst += 0.005 * rng.randn(n, 3).astype(np.float32)
+
+        T_ref, _ = reference_impl.align_gicp_np(
+            src, dst, max_outer=6, inner_iters=4, cov_k=8
+        )
+        res = gicp_mod.align_gicp(
+            cloud_mod.from_points(jnp.asarray(src)),
+            cloud_mod.from_points(jnp.asarray(dst)),
+            max_outer=6, inner_iters=4, cov_k=8,
+        )
+        err = np.abs(
+            np.asarray(
+                se3.log(se3.compose(se3.inverse(jnp.asarray(T_ref)), res.transform))
+            )
+        )
+        assert err.max() < 1e-4, err
 
     def test_masked_points_ignored(self):
         src = _random_cloud(jax.random.PRNGKey(6), 80)
