@@ -16,6 +16,7 @@
 namespace {
 
 constexpr char kMagic[8] = {'R', 'S', 'C', 'L', 'I', 'P', '0', '1'};
+constexpr char kMagic2[8] = {'R', 'S', 'C', 'L', 'I', 'P', '0', '2'};
 constexpr int kDtypeU16Mm = 0;
 constexpr int kDtypeF32M = 1;
 
@@ -24,16 +25,31 @@ struct Header {
   int32_t height;
   int32_t width;
   int32_t dtype;
-  float intr[4];  // fx, fy, cx, cy
+  int32_t has_color;  // v2 only; 0 for v1 clips
+  float intr[4];      // fx, fy, cx, cy
 };
 
 bool ReadHeader(std::FILE* f, Header* h) {
   char magic[8];
   if (std::fread(magic, 1, 8, f) != 8) return false;
-  if (std::memcmp(magic, kMagic, 8) != 0) return false;
+  const bool v1 = std::memcmp(magic, kMagic, 8) == 0;
+  const bool v2 = std::memcmp(magic, kMagic2, 8) == 0;
+  if (!v1 && !v2) return false;
   if (std::fread(&h->num_frames, 4, 4, f) != 4) return false;
+  h->has_color = 0;
+  if (v2) {
+    int32_t extra[2];  // has_color, reserved
+    if (std::fread(extra, 4, 2, f) != 2) return false;
+    h->has_color = extra[0];
+  }
   if (std::fread(h->intr, 4, 4, f) != 4) return false;
   return true;
+}
+
+int64_t DepthBytes(const Header& h) {
+  const int64_t pixels =
+      static_cast<int64_t>(h.num_frames) * h.height * h.width;
+  return pixels * (h.dtype == kDtypeF32M ? 4 : 2);
 }
 
 void ConvertU16Block(const uint16_t* src, float* dst, int64_t n) {
@@ -46,8 +62,13 @@ void ConvertU16Block(const uint16_t* src, float* dst, int64_t n) {
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; the Python loader
+// force-rebuilds when a stale .so reports an older ABI.
+int rstpu_abi_version() { return 2; }
+
 // Reads header fields. Returns 0 on success, negative error code otherwise.
-int rsc_read_header(const char* path, int32_t* dims /*4: F,H,W,dtype*/,
+int rsc_read_header(const char* path,
+                    int32_t* dims /*5: F,H,W,dtype,has_color*/,
                     float* intr /*4*/) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -60,6 +81,7 @@ int rsc_read_header(const char* path, int32_t* dims /*4: F,H,W,dtype*/,
   dims[1] = h.height;
   dims[2] = h.width;
   dims[3] = h.dtype;
+  dims[4] = h.has_color;
   std::memcpy(intr, h.intr, 4 * sizeof(float));
   std::fclose(f);
   return 0;
@@ -118,18 +140,52 @@ int rsc_read_frames(const char* path, double* stamps, float* depths,
   return 0;
 }
 
-// Writes a clip from float32 meter depths as u16 millimeters.
+// Reads the v2 color plane into a caller-allocated F*H*W*3 uint8 buffer.
+// Returns 0 on success, -6 if the clip has no color plane.
+int rsc_read_colors(const char* path, uint8_t* colors) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Header h;
+  if (!ReadHeader(f, &h)) {
+    std::fclose(f);
+    return -2;
+  }
+  if (!h.has_color) {
+    std::fclose(f);
+    return -6;
+  }
+  // Seek past stamps + depth plane (header was consumed by ReadHeader).
+  const int64_t skip = 8 * static_cast<int64_t>(h.num_frames) + DepthBytes(h);
+  if (std::fseek(f, static_cast<long>(skip), SEEK_CUR) != 0) {
+    std::fclose(f);
+    return -3;
+  }
+  const int64_t total =
+      static_cast<int64_t>(h.num_frames) * h.height * h.width * 3;
+  const size_t got = std::fread(colors, 1, total, f);
+  std::fclose(f);
+  return got == static_cast<size_t>(total) ? 0 : -4;
+}
+
+// Writes a clip from float32 meter depths as u16 millimeters; colors may be
+// null (v1 clip) or an F*H*W*3 uint8 plane (v2 clip).
 int rsc_write_clip(const char* path, const double* stamps, const float* depths,
                    int32_t num_frames, int32_t height, int32_t width,
-                   const float* intr /*4*/) {
+                   const float* intr /*4*/, const uint8_t* colors) {
   std::FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  std::fwrite(kMagic, 1, 8, f);
-  int32_t dims[4] = {num_frames, height, width, kDtypeU16Mm};
-  std::fwrite(dims, 4, 4, f);
+  const int64_t total = static_cast<int64_t>(num_frames) * height * width;
+  if (colors) {
+    std::fwrite(kMagic2, 1, 8, f);
+    int32_t dims[6] = {num_frames, height, width, kDtypeU16Mm, 1, 0};
+    std::fwrite(dims, 4, 6, f);
+  } else {
+    std::fwrite(kMagic, 1, 8, f);
+    int32_t dims[4] = {num_frames, height, width, kDtypeU16Mm};
+    std::fwrite(dims, 4, 4, f);
+  }
   std::fwrite(intr, 4, 4, f);
   std::fwrite(stamps, 8, num_frames, f);
-  const int64_t total = static_cast<int64_t>(num_frames) * height * width;
   std::vector<uint16_t> mm(total);
   for (int64_t i = 0; i < total; ++i) {
     float v = depths[i] * 1000.0f + 0.5f;
@@ -138,6 +194,7 @@ int rsc_write_clip(const char* path, const double* stamps, const float* depths,
     mm[i] = static_cast<uint16_t>(v);
   }
   std::fwrite(mm.data(), 2, total, f);
+  if (colors) std::fwrite(colors, 1, total * 3, f);
   std::fclose(f);
   return 0;
 }

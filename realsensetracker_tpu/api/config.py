@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
 from realsensetracker_tpu.geometry import camera
 
 
@@ -51,8 +52,9 @@ class TrackerConfig:
     """Streaming tracker settings (ref RsViewerSettings + replay loop)."""
 
     intrinsics: camera.Intrinsics = camera.TUM_DEFAULT
-    method: str = "projective"  # projective | keyframe | model | icp | gicp
+    method: str = "projective"  # projective | rgbd | keyframe | model | icp | gicp
     projective: ProjectiveIcpConfig = ProjectiveIcpConfig()
+    rgbd: RgbdIcpConfig = RgbdIcpConfig()
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
     min_inlier_fraction: float = 0.2

@@ -49,13 +49,30 @@ class Tracker:
                 voxel_size=self.config.map_voxel_size,
                 icp_max_iter=self.config.align.icp_max_iter,
             )
+        elif method == "rgbd":
+            from realsensetracker_tpu.tracking.rgbd import RgbdTracker
+
+            self._impl = RgbdTracker(
+                self.config.intrinsics,
+                self.config.rgbd,
+                min_inlier_fraction=self.config.min_inlier_fraction,
+            )
         elif method in ("icp", "gicp"):
             self._impl = _CloudTracker(self.config)
         else:
             raise ValueError(f"unknown tracking method: {method}")
 
-    def process(self, depth, timestamp: float | None = None):
-        """One depth frame in -> FrameResult-like record out."""
+    def process(self, depth, timestamp: float | None = None, color=None):
+        """One frame in -> FrameResult-like record out.
+
+        `color` feeds the photometric term of method="rgbd": an (H, W) gray
+        image in [0, 1], or an (H, W, 3) image ([0,1] float or uint8) reduced
+        to BT.601 luma. Other methods ignore it.
+        """
+        if self.config.method == "rgbd":
+            if color is None:
+                raise ValueError("method='rgbd' requires a color/gray frame")
+            return self._impl.process(depth, _as_gray(color), timestamp)
         return self._impl.process(depth, timestamp)
 
     @property
@@ -72,6 +89,16 @@ class Tracker:
 
     def save_trajectory(self, path: str) -> None:
         self.trajectory.save_tum(path)
+
+
+def _as_gray(color):
+    """(H, W) gray passthrough | (H, W, 3) float/uint8 -> BT.601 luma."""
+    arr = np.asarray(color)
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return arr.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 class _CloudTracker:

@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Frame interval in ms (reference default 1000; 0 = as fast as possible)",
     )
     p.add_argument("--method", default="projective",
-                   choices=["projective", "keyframe", "model", "icp", "gicp", "slam"])
+                   choices=["projective", "rgbd", "keyframe", "model", "icp",
+                            "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--trajectory-out", default="")
     p.add_argument("--map-capacity", type=int, default=0)
@@ -58,16 +59,32 @@ def main(argv=None) -> int:
         intr = camera.TUM_FR1 if (w, h) == (640, 480) else camera.Intrinsics(
             fx=w * 0.8, fy=w * 0.8, cx=(w - 1) / 2, cy=(h - 1) / 2, width=w, height=h
         )
-        frames = stream_mod.stream_tum(
-            seq, stop=args.max_frames or None
-        )
+        if args.method == "rgbd":
+            if not seq.rgb_index:
+                print(f"{args.tum}: no rgb.txt (required by --method rgbd)",
+                      file=sys.stderr)
+                return 1
+            frames = (
+                (ts, d, g)
+                for ts, d, g in seq.frames_rgbd(stop=args.max_frames or None)
+            )
+        else:
+            frames = stream_mod.stream_tum(seq, stop=args.max_frames or None)
         if args.ate and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
         clip = recorded.read_clip(args.record)
         intr = clip.intrinsics
         stop = args.max_frames or len(clip)
-        frames = ((clip.timestamps[i], clip.depths[i]) for i in range(stop))
+        if args.method == "rgbd":
+            if not clip.has_color:
+                print(f"{args.record}: depth-only clip (record with "
+                      "rs-viewer --color for --method rgbd)", file=sys.stderr)
+                return 1
+            frames = ((clip.timestamps[i], clip.depths[i], clip.gray(i))
+                      for i in range(stop))
+        else:
+            frames = ((clip.timestamps[i], clip.depths[i]) for i in range(stop))
     else:
         print("need --record or --tum", file=sys.stderr)
         return 1
@@ -83,8 +100,17 @@ def main(argv=None) -> int:
 
     n = 0
     t_start = time.perf_counter()
-    for ts, depth in frames:
-        res = tracker.process(depth, ts)
+    for item in frames:
+        if args.method == "rgbd":
+            ts, depth, gray = item
+            if gray is None:
+                print(f"t={ts:.3f}: no associated rgb frame, skipping",
+                      file=sys.stderr)
+                continue
+            res = tracker.process(depth, ts, color=gray)
+        else:
+            ts, depth = item
+            res = tracker.process(depth, ts)
         if args.json:
             import numpy as np
 

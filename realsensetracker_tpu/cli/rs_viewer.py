@@ -26,8 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
+    p.add_argument("--color", action="store_true",
+                   help="Record RGB-D (v2 clip with a color plane)")
     p.add_argument("--view", default="", help="View an existing .rsc clip")
     p.add_argument("--render-dir", default="", help="Write depth PNGs here")
+    p.add_argument("--ply-dir", default="",
+                   help="Export per-frame (colored) PLY clouds here")
     return p
 
 
@@ -38,12 +42,14 @@ def main(argv=None) -> int:
     if args.record:
         clip = recorded.record_synthetic_clip(
             args.record, num_frames=args.frames, seed=args.seed,
-            width=args.width, height=args.height,
+            width=args.width, height=args.height, with_color=args.color,
         )
-        print(f"recorded {len(clip)} frames -> {args.record}")
+        tag = "RGB-D" if clip.has_color else "depth"
+        print(f"recorded {len(clip)} {tag} frames -> {args.record}")
     if args.view:
         clip = recorded.read_clip(args.view)
-        print(f"{args.view}: {len(clip)} frames {clip.depths.shape[1:]} "
+        tag = "RGB-D" if clip.has_color else "depth"
+        print(f"{args.view}: {len(clip)} {tag} frames {clip.depths.shape[1:]} "
               f"intr=({clip.intrinsics.fx:.1f},{clip.intrinsics.fy:.1f},"
               f"{clip.intrinsics.cx:.1f},{clip.intrinsics.cy:.1f})")
         if args.render_dir:
@@ -56,6 +62,28 @@ def main(argv=None) -> int:
                     clip.depths[i],
                 )
             print(f"rendered {len(clip)} PNGs -> {args.render_dir}")
+        if args.ply_dir:
+            # Colored-cloud export: the reference viewer's colored rendering
+            # (rs_viewer.cpp:90-100) as per-frame PLY files.
+            import numpy as np
+
+            from realsensetracker_tpu.geometry import camera as camera_mod
+            from realsensetracker_tpu.vis import export_ply
+
+            os.makedirs(args.ply_dir, exist_ok=True)
+            import jax.numpy as jnp
+
+            for i in range(len(clip)):
+                d = jnp.asarray(clip.depths[i])
+                verts = np.asarray(camera_mod.unproject_depth(d, clip.intrinsics))
+                ok = np.asarray(clip.depths[i] > 0).reshape(-1)
+                pts = verts.reshape(-1, 3)[ok]
+                cols = None
+                if clip.has_color:
+                    cols = clip.colors[i].reshape(-1, 3)[ok].astype(np.float32) / 255.0
+                export_ply(os.path.join(args.ply_dir, f"cloud_{i:04d}.ply"),
+                           pts, cols)
+            print(f"exported {len(clip)} PLY clouds -> {args.ply_dir}")
     return 0
 
 

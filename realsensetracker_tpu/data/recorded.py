@@ -2,18 +2,24 @@
 
 The reference records per-frame protobuf point clouds from the viewer
 (rs_viewer.cpp:105-112) and replays them by glob pattern
-(rs_replay_app.cpp:132-165, 219-225). The TPU framework records DEPTH
-IMAGES instead (the pipeline is image-native); a clip is one binary .rsc
-file holding all frames, so replay is a single sequential read that feeds
-the device-resident pipeline.
+(rs_replay_app.cpp:132-165, 219-225); the clouds carry per-point colors
+looked up from the RealSense color stream (rs_driver.cpp:33-103). The TPU
+framework records IMAGES instead (the pipeline is image-native); a clip is
+one binary .rsc file holding all frames, so replay is a single sequential
+read that feeds the device-resident pipeline.
 
-Layout (little-endian):
+Layout v1 (depth-only, little-endian):
   magic  'RSCLIP01'                      8 bytes
-  header int32[6]: num_frames, height, width, dtype(0=u16mm,1=f32m),
-                   fx_mantissa... -- intrinsics stored as 4 float32 after
+  header int32[4]: num_frames, height, width, dtype(0=u16mm,1=f32m)
   intr   float32[4]: fx, fy, cx, cy
   stamps float64[num_frames]
   frames num_frames * H * W * (2 or 4) bytes
+
+Layout v2 (optional color plane -- the RGB-D record path):
+  magic  'RSCLIP02'
+  header int32[4] as v1, then int32[2]: has_color, reserved
+  intr / stamps / depth frames as v1
+  colors num_frames * H * W * 3 uint8   (only if has_color)
 
 When the native C++ codec (realsensetracker_tpu.native.clip_io) is built it
 handles the (de)serialization; this module is the format owner and Python
@@ -30,6 +36,7 @@ import numpy as np
 from realsensetracker_tpu.geometry import camera
 
 MAGIC = b"RSCLIP01"
+MAGIC2 = b"RSCLIP02"
 DTYPE_U16_MM = 0  # uint16 millimeters (compact, RealSense/TUM-style)
 DTYPE_F32_M = 1  # float32 meters
 
@@ -39,20 +46,38 @@ class Clip:
     depths: np.ndarray  # (F, H, W) float32 meters
     timestamps: np.ndarray  # (F,) float64 seconds
     intrinsics: camera.Intrinsics
+    colors: np.ndarray | None = None  # (F, H, W, 3) uint8, or None
 
     def __len__(self) -> int:
         return self.depths.shape[0]
 
+    @property
+    def has_color(self) -> bool:
+        return self.colors is not None
+
+    def gray(self, i: int) -> np.ndarray:
+        """Frame i's BT.601 luma in [0,1] float32 (requires color)."""
+        c = self.colors[i].astype(np.float32) / 255.0
+        return c @ np.asarray([0.299, 0.587, 0.114], np.float32)
+
 
 def write_clip(path: str, depths, timestamps, intr: camera.Intrinsics,
-               dtype: int = DTYPE_U16_MM) -> None:
+               dtype: int = DTYPE_U16_MM, colors=None) -> None:
+    """Write a clip; v1 when colors is None, v2 with a color plane otherwise."""
     depths = np.asarray(depths, np.float32)
     timestamps = np.asarray(timestamps, np.float64)
     f_count, h, w = depths.shape
     assert timestamps.shape == (f_count,)
+    if colors is not None:
+        colors = _as_u8_colors(colors)
+        assert colors.shape == (f_count, h, w, 3), colors.shape
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<iiii", f_count, h, w, dtype))
+        if colors is None:
+            f.write(MAGIC)
+            f.write(struct.pack("<iiii", f_count, h, w, dtype))
+        else:
+            f.write(MAGIC2)
+            f.write(struct.pack("<iiiiii", f_count, h, w, dtype, 1, 0))
         f.write(struct.pack("<ffff", intr.fx, intr.fy, intr.cx, intr.cy))
         f.write(timestamps.tobytes())
         if dtype == DTYPE_U16_MM:
@@ -60,6 +85,15 @@ def write_clip(path: str, depths, timestamps, intr: camera.Intrinsics,
             f.write(mm.tobytes())
         else:
             f.write(depths.astype("<f4").tobytes())
+        if colors is not None:
+            f.write(colors.tobytes())
+
+
+def _as_u8_colors(colors) -> np.ndarray:
+    colors = np.asarray(colors)
+    if colors.dtype != np.uint8:
+        colors = np.clip(np.round(colors * 255.0), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(colors)
 
 
 def read_clip(path: str) -> Clip:
@@ -74,9 +108,12 @@ def read_clip(path: str) -> Clip:
 def read_clip_py(path: str) -> Clip:
     with open(path, "rb") as f:
         magic = f.read(8)
-        if magic != MAGIC:
+        if magic not in (MAGIC, MAGIC2):
             raise ValueError(f"{path}: not an RSC clip (magic={magic!r})")
         f_count, h, w, dtype = struct.unpack("<iiii", f.read(16))
+        has_color = 0
+        if magic == MAGIC2:
+            has_color, _reserved = struct.unpack("<ii", f.read(8))
         fx, fy, cx, cy = struct.unpack("<ffff", f.read(16))
         stamps = np.frombuffer(f.read(8 * f_count), dtype="<f8").copy()
         if dtype == DTYPE_U16_MM:
@@ -87,12 +124,17 @@ def read_clip_py(path: str) -> Clip:
             depths = raw.reshape(f_count, h, w).astype(np.float32)
         else:
             raise ValueError(f"unknown clip dtype {dtype}")
+        colors = None
+        if has_color:
+            raw = np.frombuffer(f.read(f_count * h * w * 3), dtype=np.uint8)
+            colors = raw.reshape(f_count, h, w, 3).copy()
     intr = camera.Intrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
-    return Clip(depths=depths, timestamps=stamps, intrinsics=intr)
+    return Clip(depths=depths, timestamps=stamps, intrinsics=intr, colors=colors)
 
 
 def record_synthetic_clip(path: str, num_frames: int = 30, seed: int = 0,
-                          width: int = 640, height: int = 480) -> Clip:
+                          width: int = 640, height: int = 480,
+                          with_color: bool = False) -> Clip:
     """Produce a clip from the raycast scene (dataset-free record path)."""
     from realsensetracker_tpu.data import synthetic
 
@@ -100,7 +142,11 @@ def record_synthetic_clip(path: str, num_frames: int = 30, seed: int = 0,
         fx=width * 0.8, fy=width * 0.8, cx=(width - 1) / 2, cy=(height - 1) / 2,
         width=width, height=height,
     )
-    depths, _ = synthetic.render_trajectory(intr, num_frames, seed=seed)
     stamps = np.arange(num_frames, dtype=np.float64) / 30.0
-    write_clip(path, np.asarray(depths), stamps, intr)
+    if with_color:
+        depths, colors, _ = synthetic.render_trajectory_rgbd(intr, num_frames, seed=seed)
+        write_clip(path, np.asarray(depths), stamps, intr, colors=np.asarray(colors))
+    else:
+        depths, _ = synthetic.render_trajectory(intr, num_frames, seed=seed)
+        write_clip(path, np.asarray(depths), stamps, intr)
     return read_clip(path)

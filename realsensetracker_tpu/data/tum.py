@@ -70,10 +70,46 @@ class TumSequence:
         del ts
         return load_depth_png(os.path.join(self.root, rel))
 
+    def rgb(self, i: int) -> np.ndarray:
+        """RGB frame i (by rgb.txt index) as (H, W, 3) uint8."""
+        ts, rel = self.rgb_index[i]
+        del ts
+        return load_rgb_png(os.path.join(self.root, rel))
+
+    def rgb_for_depth(self, i: int, max_dt: float = 0.05) -> np.ndarray | None:
+        """RGB frame time-associated with depth frame i (TUM association
+        rule: nearest rgb timestamp within max_dt), or None."""
+        j = self.associate_rgb(i, max_dt)
+        return None if j is None else self.rgb(j)
+
+    def associate_rgb(self, i: int, max_dt: float = 0.05) -> int | None:
+        """Index into rgb_index nearest in time to depth frame i, or None."""
+        if not self.rgb_index:
+            return None
+        ts = self.depth_index[i][0]
+        import bisect
+
+        stamps = [t for t, _ in self.rgb_index]
+        j = bisect.bisect_left(stamps, ts)
+        best, best_dt = None, max_dt
+        for k in (j - 1, j):
+            if 0 <= k < len(stamps) and abs(stamps[k] - ts) <= best_dt:
+                best, best_dt = k, abs(stamps[k] - ts)
+        return best
+
     def frames(self, start: int = 0, stop: int | None = None):
         stop = len(self) if stop is None else min(stop, len(self))
         for i in range(start, stop):
             yield self.timestamp(i), self.depth(i)
+
+    def frames_rgbd(self, start: int = 0, stop: int | None = None):
+        """Yield (timestamp, depth, gray | None): gray is the associated RGB
+        frame's [0,1] float32 luma (the photometric term's input)."""
+        stop = len(self) if stop is None else min(stop, len(self))
+        for i in range(start, stop):
+            rgb = self.rgb_for_depth(i)
+            gray = None if rgb is None else rgb_to_gray(rgb)
+            yield self.timestamp(i), self.depth(i), gray
 
     def groundtruth_trajectory(self):
         from realsensetracker_tpu.tracking.trajectory import Trajectory
@@ -105,12 +141,31 @@ def load_depth_png(path: str) -> np.ndarray:
     return raw.astype(np.float32) / DEPTH_SCALE
 
 
+def load_rgb_png(path: str) -> np.ndarray:
+    """8-bit RGB PNG -> (H, W, 3) uint8 (TUM rgb/ frames)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> float32 [0,1] BT.601 luma."""
+    return (rgb.astype(np.float32) / 255.0) @ np.asarray(
+        [0.299, 0.587, 0.114], np.float32
+    )
+
+
 def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
-                            width: int = 640, height: int = 480) -> str:
+                            width: int = 640, height: int = 480,
+                            with_color: bool = False) -> str:
     """Write a small synthetic TUM-format sequence (tests / offline demos).
 
     Renders the raycast scene along a random-walk trajectory and saves
-     16-bit depth PNGs + depth.txt + groundtruth.txt.
+    16-bit depth PNGs + depth.txt + groundtruth.txt; with_color also writes
+    8-bit rgb/ frames + rgb.txt (the reference's color stream analog).
     """
     import jax.numpy as jnp
     from PIL import Image
@@ -122,15 +177,27 @@ def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
         fx=width * 0.8, fy=width * 0.8, cx=(width - 1) / 2, cy=(height - 1) / 2,
         width=width, height=height,
     )
-    depths, poses = synthetic.render_trajectory(intr, num_frames, seed=seed)
+    if with_color:
+        depths, colors, poses = synthetic.render_trajectory_rgbd(
+            intr, num_frames, seed=seed
+        )
+        os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    else:
+        depths, poses = synthetic.render_trajectory(intr, num_frames, seed=seed)
+        colors = None
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
-    index_lines, gt_lines = [], []
+    index_lines, rgb_lines, gt_lines = [], [], []
     for i in range(num_frames):
         ts = i / 30.0
         d16 = np.clip(np.asarray(depths[i]) * DEPTH_SCALE, 0, 65535).astype(np.uint16)
         rel = f"depth/{ts:.6f}.png"
         Image.fromarray(d16).save(os.path.join(root, rel))
         index_lines.append(f"{ts:.6f} {rel}")
+        if colors is not None:
+            c8 = np.clip(np.asarray(colors[i]) * 255.0, 0, 255).astype(np.uint8)
+            rel_rgb = f"rgb/{ts:.6f}.png"
+            Image.fromarray(c8).save(os.path.join(root, rel_rgb))
+            rgb_lines.append(f"{ts:.6f} {rel_rgb}")
         T = np.asarray(poses[i])
         q = np.asarray(se3.quaternion_from_matrix(jnp.asarray(T[:3, :3])))
         t = T[:3, 3]
@@ -140,6 +207,9 @@ def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
         )
     with open(os.path.join(root, "depth.txt"), "w") as f:
         f.write("\n".join(index_lines) + "\n")
+    if rgb_lines:
+        with open(os.path.join(root, "rgb.txt"), "w") as f:
+            f.write("\n".join(rgb_lines) + "\n")
     with open(os.path.join(root, "groundtruth.txt"), "w") as f:
         f.write("\n".join(gt_lines) + "\n")
     return root

@@ -56,9 +56,16 @@ def load(auto_build: bool = True):
     if path is None:
         raise OSError("native library not built")
     lib = ctypes.CDLL(path)
+    if not hasattr(lib, "rstpu_abi_version") or lib.rstpu_abi_version() < 2:
+        # Stale build from an older source revision: rebuild in place.
+        if not auto_build:
+            raise OSError("native library ABI too old")
+        path = build(force=True)
+        lib = ctypes.CDLL(path)
     # Signatures.
     lib.rsc_read_header.restype = ctypes.c_int
     lib.rsc_read_frames.restype = ctypes.c_int
+    lib.rsc_read_colors.restype = ctypes.c_int
     lib.rsc_write_clip.restype = ctypes.c_int
     lib.png16_read_header.restype = ctypes.c_int
     lib.png16_decode.restype = ctypes.c_int

@@ -14,7 +14,7 @@ def read_clip(path: str):
     from realsensetracker_tpu.geometry import camera
 
     lib = load()
-    dims = np.zeros(4, np.int32)
+    dims = np.zeros(5, np.int32)
     intr4 = np.zeros(4, np.float32)
     rc = lib.rsc_read_header(
         path.encode(), dims.ctypes.data_as(ctypes.c_void_p),
@@ -22,7 +22,7 @@ def read_clip(path: str):
     )
     if rc != 0:
         raise ValueError(f"{path}: native header read failed ({rc})")
-    f_count, h, w, _ = (int(x) for x in dims)
+    f_count, h, w, _, has_color = (int(x) for x in dims)
     stamps = np.zeros(f_count, np.float64)
     depths = np.zeros((f_count, h, w), np.float32)
     rc = lib.rsc_read_frames(
@@ -31,24 +31,38 @@ def read_clip(path: str):
     )
     if rc != 0:
         raise ValueError(f"{path}: native frame read failed ({rc})")
+    colors = None
+    if has_color:
+        colors = np.zeros((f_count, h, w, 3), np.uint8)
+        rc = lib.rsc_read_colors(
+            path.encode(), colors.ctypes.data_as(ctypes.c_void_p)
+        )
+        if rc != 0:
+            raise ValueError(f"{path}: native color read failed ({rc})")
     intr = camera.Intrinsics(
         fx=float(intr4[0]), fy=float(intr4[1]), cx=float(intr4[2]), cy=float(intr4[3]),
         width=w, height=h,
     )
-    return Clip(depths=depths, timestamps=stamps, intrinsics=intr)
+    return Clip(depths=depths, timestamps=stamps, intrinsics=intr, colors=colors)
 
 
-def write_clip(path: str, depths, timestamps, intr) -> None:
+def write_clip(path: str, depths, timestamps, intr, colors=None) -> None:
     lib = load()
     depths = np.ascontiguousarray(depths, np.float32)
     stamps = np.ascontiguousarray(timestamps, np.float64)
     f_count, h, w = depths.shape
     intr4 = np.asarray([intr.fx, intr.fy, intr.cx, intr.cy], np.float32)
+    if colors is None:
+        colors_ptr = ctypes.c_void_p(0)
+    else:
+        colors = np.ascontiguousarray(colors, np.uint8)
+        assert colors.shape == (f_count, h, w, 3), colors.shape
+        colors_ptr = colors.ctypes.data_as(ctypes.c_void_p)
     rc = lib.rsc_write_clip(
         path.encode(), stamps.ctypes.data_as(ctypes.c_void_p),
         depths.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int32(f_count), ctypes.c_int32(h), ctypes.c_int32(w),
-        intr4.ctypes.data_as(ctypes.c_void_p),
+        intr4.ctypes.data_as(ctypes.c_void_p), colors_ptr,
     )
     if rc != 0:
         raise ValueError(f"{path}: native clip write failed ({rc})")
