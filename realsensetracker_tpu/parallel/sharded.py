@@ -6,6 +6,16 @@ chip builds a partial H (6x6) / b (6) from its slice, and a jax.lax.psum over
 the ICI ring reduces them before the (tiny, replicated) solve. Combined with
 the data axis this scales a single large registration AND a batch of them
 across a pod slice.
+
+Structure (round 2): ALL per-frame preprocessing runs OUTSIDE the shard_map
+region as ordinary sharded-batch XLA -- destination plane-table pyramids via
+ops.pyramid.build_pyramid (Pallas level kernel allowed: no VMA metadata has
+to flow through shard_map's collective checks) and source points via the
+sampled-source fast path (projective.sample_depth_points; no source
+vertex/normal maps are ever materialized). The shard_map region contains
+ONLY the GN iteration loop: gather -> partial (H, b) -> psum -> solve.
+This is the same fast path the unsharded flagship runs, so per-chip work
+matches it; the only addition is one 6x6+6 psum per iteration.
 """
 
 from __future__ import annotations
@@ -18,7 +28,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.geometry import camera, se3
-from realsensetracker_tpu.ops.pyramid import build_pyramid
+from realsensetracker_tpu.ops.pyramid import PyramidLevel, build_pyramid, downsample_depth
+
+
+def _level_sample_counts(cfg: projective.ProjectiveIcpConfig, intr, num_levels):
+    """Static per-level source sample counts (fine -> coarse), pre-padding."""
+    counts = []
+    h, w = intr.height, intr.width
+    for li in range(num_levels):
+        want = max(cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples)
+        counts.append(min(want, h * w))
+        h, w = h // 2, w // 2
+    return counts
+
+
+def _pad_to_multiple(pts, ok, multiple):
+    """Pad the sample axis to a multiple of the point-axis size; padding
+    carries ok=False so it contributes nothing to the psum'd reduction."""
+    n = pts.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return pts, ok
+    pts = jnp.concatenate([pts, jnp.zeros((rem, 3), pts.dtype)], axis=0)
+    ok = jnp.concatenate([ok, jnp.zeros((rem,), bool)], axis=0)
+    return pts, ok
 
 
 def register_batch_point_sharded(
@@ -36,63 +69,84 @@ def register_batch_point_sharded(
     Returns (transforms (B, 4, 4), rmse (B,)).
     """
     point_size = mesh.shape[point_axis]
-    if cfg.samples % point_size != 0:
-        raise ValueError("cfg.samples must be divisible by the point-axis size")
     num_levels = len(cfg.iters)
+    counts = _level_sample_counts(cfg, intr, num_levels)
 
-    def one_pair(src_depth, dst_depth):
-        # XLA pyramid path: the Pallas level kernel does not yet carry vma
-        # metadata through shard_map's collective-safety checking.
-        src_levels, intrs = build_pyramid(
-            src_depth, intr, num_levels, cfg.min_depth, cfg.max_depth,
-            with_normals=False, use_kernel=False,
+    # ---- Preprocessing: plain sharded-batch XLA, Pallas kernel eligible ----
+    def preproc_pair(src_depth, dst_depth):
+        dst_levels, intrs = build_pyramid(
+            dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth
         )
-        dst_levels, _ = build_pyramid(
-            dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth, use_kernel=False
-        )
-        pidx = jax.lax.axis_index(point_axis)
-
-        # Mark the carry as varying over the data axis so the fori_loop carry
-        # type matches the (data-varying) update from the sharded inputs.
-        T = jax.lax.pcast(se3.identity(), (data_axis,), to="varying")
-        rmse = jax.lax.pcast(jnp.float32(0.0), (data_axis,), to="varying")
-        for li in range(num_levels - 1, -1, -1):  # coarse -> fine
-            level_iters = cfg.iters[num_levels - 1 - li]
-            level_samples = max(
-                cfg.samples // (cfg.coarse_sample_divisor**li), cfg.min_samples
+        packed = tuple(lvl.packed for lvl in dst_levels)
+        src_depth = src_depth.astype(jnp.float32)
+        valid = camera.valid_mask(src_depth, cfg.min_depth, cfg.max_depth)
+        d = jnp.where(valid, src_depth, 0.0)
+        pts_levels, ok_levels = [], []
+        for li in range(num_levels):
+            pts, ok = projective.sample_depth_points(
+                d, intrs[li], counts[li], cfg.min_depth, cfg.max_depth
             )
-            pts, _, ok = projective.sample_level(src_levels[li], level_samples)
-            # Effective per-level sample count (coarse levels may have fewer
-            # pixels than cfg.samples); each point-axis member takes its
-            # contiguous slice. A remainder tail (< point_size points) is
-            # dropped -- negligible and keeps shapes static.
-            local_samples = max(pts.shape[0] // point_size, 1)
-            start = pidx * local_samples
-            local_pts = jax.lax.dynamic_slice_in_dim(pts, start, local_samples)
-            local_ok = jax.lax.dynamic_slice_in_dim(ok, start, local_samples)
-            dst_level = dst_levels[li]
-            lvl_intr = intrs[li]
+            pts, ok = _pad_to_multiple(pts, ok, point_size)
+            pts_levels.append(pts)
+            ok_levels.append(ok)
+            d, valid = downsample_depth(d, valid)
+        return packed, tuple(pts_levels), tuple(ok_levels), tuple(intrs)
 
-            def body(_, carry, dst_level=dst_level, lvl_intr=lvl_intr, local_pts=local_pts, local_ok=local_ok):
-                T, _rmse = carry
-                H, b, aux = projective.build_normal_equations(
-                    T, local_pts, local_ok, dst_level, lvl_intr, cfg
+    # Per-level intrinsics are static (halved per level).
+    intrs = []
+    cur = intr
+    for _ in range(num_levels):
+        intrs.append(cur)
+        cur = cur.scaled(0.5)
+    intrs = tuple(intrs)
+
+    batch_sharding = jax.sharding.NamedSharding(mesh, P(data_axis))
+    packed, pts_levels, ok_levels = jax.jit(
+        lambda s, d: jax.vmap(lambda a, b: preproc_pair(a, b)[:3])(s, d),
+        in_shardings=(batch_sharding, batch_sharding),
+    )(src_depths, dst_depths)
+
+    # ---- GN loop: the only shard_map region (per-iteration psum of H, b) ---
+    def gn_loop(packed_local, pts_local, ok_local):
+        def one_pair(packed_pair, pts_pair, ok_pair):
+            T = jax.lax.pcast(se3.identity(), (data_axis,), to="varying")
+            rmse = jax.lax.pcast(jnp.float32(0.0), (data_axis,), to="varying")
+            for li in range(num_levels - 1, -1, -1):  # coarse -> fine
+                level_iters = cfg.iters[num_levels - 1 - li]
+                dst_level = PyramidLevel(
+                    vertex_map=None, normal_map=None, valid=None,
+                    vertex_valid=None, packed=packed_pair[li],
                 )
-                # The collective: reduce partial normal equations over ICI.
-                H, b, aux = jax.lax.psum((H, b, aux), axis_name=point_axis)
-                T_new, stats = projective.solve_update(T, H, b, aux, cfg.samples, cfg)
-                return T_new, stats[0]
+                local_pts = pts_pair[li]
+                local_ok = ok_pair[li]
+                lvl_intr = intrs[li]
 
-            T, rmse = jax.lax.fori_loop(0, level_iters, body, (T, rmse))
-        return T, rmse
+                def body(_, carry, dst_level=dst_level, lvl_intr=lvl_intr,
+                         local_pts=local_pts, local_ok=local_ok):
+                    T, _rmse = carry
+                    H, b, aux = projective.build_normal_equations(
+                        T, local_pts, local_ok, dst_level, lvl_intr, cfg
+                    )
+                    # The collective: reduce partial normal equations over ICI.
+                    H, b, aux = jax.lax.psum((H, b, aux), axis_name=point_axis)
+                    T_new, stats = projective.solve_update(
+                        T, H, b, aux, cfg.samples, cfg
+                    )
+                    return T_new, stats[0]
 
-    @partial(
-        jax.shard_map,
+                T, rmse = jax.lax.fori_loop(0, level_iters, body, (T, rmse))
+            return T, rmse
+
+        return jax.vmap(one_pair)(packed_local, pts_local, ok_local)
+
+    run = jax.shard_map(
+        gn_loop,
         mesh=mesh,
-        in_specs=(P(data_axis), P(data_axis)),
+        in_specs=(
+            tuple(P(data_axis) for _ in range(num_levels)),
+            tuple(P(data_axis, point_axis) for _ in range(num_levels)),
+            tuple(P(data_axis, point_axis) for _ in range(num_levels)),
+        ),
         out_specs=(P(data_axis), P(data_axis)),
     )
-    def run(src_local, dst_local):
-        return jax.vmap(one_pair)(src_local, dst_local)
-
-    return jax.jit(run)(src_depths, dst_depths)
+    return jax.jit(run)(packed, pts_levels, ok_levels)
