@@ -58,10 +58,13 @@ def sample_level(level: PyramidLevel, count: int):
     npix = h * w
     count = min(count, npix)
     stride = npix // count
-    idx = jnp.arange(count) * stride
-    pts = level.vertex_map.reshape(npix, 3)[idx]
-    nrm = level.normal_map.reshape(npix, 3)[idx]
-    ok = level.valid.reshape(npix)[idx]
+    # Static strided SLICE, not a gather: the indices are arange(count) *
+    # stride, so lax.slice with a stride reads the same elements without the
+    # tile-granular per-row HBM reads an advanced-index gather costs.
+    lim = count * stride
+    pts = level.vertex_map.reshape(npix, 3)[:lim:stride]
+    nrm = level.normal_map.reshape(npix, 3)[:lim:stride]
+    ok = level.valid.reshape(npix)[:lim:stride]
     return pts, nrm, ok
 
 
@@ -131,7 +134,10 @@ def sample_depth_points(
     count = min(count, npix)
     stride = npix // count
     idx = jnp.arange(count) * stride
-    d = depth.reshape(npix)[idx]
+    # Static strided SLICE (indices are arange * stride): same elements as a
+    # gather but without per-row tile-granular HBM reads. `idx` is only used
+    # for the (cheap, gather-free) pixel-coordinate arithmetic below.
+    d = depth.reshape(npix)[: count * stride : stride]
     ok = jnp.isfinite(d) & (d > min_depth) & (d < max_depth)
     d = jnp.where(ok, d, 0.0)
     u = (idx % w).astype(d.dtype)

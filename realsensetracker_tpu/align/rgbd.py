@@ -83,8 +83,9 @@ def sample_depth_gray_points(
     count = min(count, npix)
     stride = npix // count
     idx = jnp.arange(count) * stride
-    d = depth.reshape(npix)[idx]
-    i_src = gray.reshape(npix)[idx]
+    # Static strided SLICE, not a gather (see projective.sample_depth_points).
+    d = depth.reshape(npix)[: count * stride : stride]
+    i_src = gray.reshape(npix)[: count * stride : stride]
     ok = jnp.isfinite(d) & (d > min_depth) & (d < max_depth)
     d = jnp.where(ok, d, 0.0)
     u = (idx % w).astype(d.dtype)

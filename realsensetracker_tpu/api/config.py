@@ -33,7 +33,8 @@ class AlignConfig:
     refine_with_icp: bool = True
     use_robust: bool = False  # 'use_teaser' in the reference
     icp_max_iter: int = 128
-    fpfh_max_neighbors: int = 64
+    fpfh_max_neighbors: int = 64  # kNN cap on the radius ball; 0 = auto-size
+    # to the densest true ball (exact radiusSearch parity, fpfh.cpp:133-147)
     noise_bound: float = 0.25
     cloud_capacity: int = 8192  # fixed capacity after voxel downsample
 

@@ -79,13 +79,19 @@ class KeyframeDatabase:
 
     def verify(self, frame_id_a: int, cloud_a, feats_a, candidate_id: int,
                noise_bound: float = 0.25, min_inliers: int = 10,
-               min_inlier_fraction: float = 0.3):
+               min_inlier_fraction: float = 0.3,
+               overlap_tau: float = 0.05, min_overlap: float = 0.6):
         """Geometric verification: robust global registration of the query
         against a candidate. Returns (T_ab (4,4), ok) -- a loop edge when ok.
 
-        ok requires enough ABSOLUTE inliers and a minimum inlier FRACTION of
-        the correspondences (weak-overlap matches produce confidently wrong
-        transforms otherwise)."""
+        ok requires (a) enough ABSOLUTE inliers, (b) a minimum inlier
+        FRACTION of the correspondences, and (c) SYMMETRIC CLOUD OVERLAP
+        under the estimated transform: min(fwd, bwd) fraction of points
+        within overlap_tau of the other cloud >= min_overlap. (c) is the
+        check that rejects confidently wrong GNC fits on self-similar
+        geometry (repeated spheres): those align only their own inlier
+        subset, scoring <= ~0.35 where true loops score ~1.0, so no
+        odometry prior is needed to reject them."""
         from realsensetracker_tpu.align import robust_global
 
         k = self._ids.index(candidate_id)
@@ -99,4 +105,9 @@ class KeyframeDatabase:
             and int(res.num_inliers) >= min_inliers
             and frac >= min_inlier_fraction
         )
+        if ok:
+            fwd, bwd = robust_global.symmetric_overlap(
+                res.transform, cloud_a, self._clouds[k], overlap_tau
+            )
+            ok = min(float(fwd), float(bwd)) >= min_overlap
         return res.transform, ok

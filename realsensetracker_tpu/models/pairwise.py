@@ -47,11 +47,28 @@ def align_pair(
     n_matches = jnp.int32(0)
     src_f = dst_f = None
     if cfg.init_with_fpfh or cfg.use_robust:
+        max_nbrs = cfg.fpfh_max_neighbors
+        if max_nbrs == 0:  # auto: size the kNN cap to the densest true ball
+            max_nbrs = fpfh_mod.auto_max_neighbors(
+                (src_d, cfg.feature_radius), (dst_d, cfg.feature_radius)
+            )
+        elif fpfh_mod.ball_truncated(
+            src_d, cfg.feature_radius, max_nbrs
+        ) or fpfh_mod.ball_truncated(dst_d, cfg.feature_radius, max_nbrs):
+            import warnings
+
+            warnings.warn(
+                "FPFH neighborhood cap truncates the radius ball "
+                f"(fpfh_max_neighbors={max_nbrs} < densest ball); features "
+                "will drift from radiusSearch semantics (fpfh.cpp:133-147). "
+                "Set fpfh_max_neighbors=0 for auto sizing.",
+                stacklevel=2,
+            )
         src_f = fpfh_mod.compute_fpfh(
-            src_d, viewpoint, cfg.normal_k, cfg.feature_radius, cfg.fpfh_max_neighbors
+            src_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
         )
         dst_f = fpfh_mod.compute_fpfh(
-            dst_d, viewpoint, cfg.normal_k, cfg.feature_radius, cfg.fpfh_max_neighbors
+            dst_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
         )
 
     if cfg.init_with_fpfh:

@@ -141,6 +141,59 @@ def compute_fpfh(
     return compute_fpfh_from_normals(cloud, n, feature_radius, max_neighbors)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def ball_counts(cloud: Cloud, radius: float, chunk: int = 1024) -> jnp.ndarray:
+    """Per-point occupancy of the radius ball (valid neighbors, self incl.).
+
+    The C++ uses a true radiusSearch (fpfh.cpp:133-147) while the TPU
+    formulation caps the neighborhood at a static kNN size
+    (compute_spfh); this measures the true ball so callers can size the
+    cap instead of silently truncating. Chunked dense distances: O(N^2)
+    like the kNN itself, (chunk, N) working set.
+    """
+    n = cloud.capacity
+    pad = (-n) % chunk
+    pts = jnp.pad(cloud.points.astype(jnp.float32), ((0, pad), (0, 0)))
+    msk = jnp.pad(cloud.mask, (0, pad))
+    r2 = jnp.float32(radius) ** 2
+    all_pts = cloud.points.astype(jnp.float32)
+
+    def body(carry, xs):
+        pc, mc = xs
+        d2 = jnp.sum((pc[:, None, :] - all_pts[None, :, :]) ** 2, axis=-1)
+        cnt = jnp.sum((d2 <= r2) & cloud.mask[None, :], axis=-1)
+        return carry, jnp.where(mc, cnt, 0)
+
+    _, counts = jax.lax.scan(
+        body, 0, (pts.reshape(-1, chunk, 3), msk.reshape(-1, chunk))
+    )
+    return counts.reshape(-1)[:n]
+
+
+def densest_ball_count(cloud: Cloud, radius: float) -> int:
+    """Occupancy of the densest radius ball (host int, self included)."""
+    return int(jnp.max(ball_counts(cloud, radius)))
+
+
+def ball_truncated(cloud: Cloud, radius: float, max_neighbors: int) -> bool:
+    """True if any point's radius ball exceeds `max_neighbors`, i.e. the
+    static kNN cap would silently drop radiusSearch neighbors
+    (fpfh.cpp:133-147 semantics). Use densest_ball_count / auto_max_neighbors
+    to size the cap so this never fires."""
+    return densest_ball_count(cloud, radius) > max_neighbors
+
+
+def auto_max_neighbors(*clouds_radius: tuple[Cloud, float], floor: int = 32) -> int:
+    """Smallest multiple-of-16 cap that provably covers every radius ball
+    of every given (cloud, radius) pair. Multiple-of-16 keeps the set of
+    distinct jit shapes (compute_spfh is static in the cap) small."""
+    need = floor
+    for cloud, radius in clouds_radius:
+        need = max(need, densest_ball_count(cloud, radius))
+    k = (need + 15) // 16 * 16
+    return min(k, max(c.capacity for c, _ in clouds_radius)) if clouds_radius else k
+
+
 @partial(jax.jit, static_argnames=("num_matches",))
 def compute_matches(
     src_fpfh: jnp.ndarray,

@@ -30,6 +30,38 @@ def register_batch(
     return fn(src_depths, dst_depths)
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg", "chunk"))
+def register_batch_chunked(
+    src_depths: jnp.ndarray,  # (B, H, W), B a multiple of chunk
+    dst_depths: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    chunk: int = 512,
+) -> projective.ProjectiveIcpResult:
+    """Register B pairs as a lax.scan of `chunk`-sized vmapped steps.
+
+    One dispatch processes many chunks: the relay's per-dispatch overhead
+    (~45 ms warmed-up -- BENCHMARKS.md) amortizes over B instead of `chunk`
+    pairs, while HBM high-water stays at one chunk's working set (XLA
+    reuses the scan body's buffers across iterations). chunk=512 is the
+    640x480 HBM sweet spot; B=4*chunk cuts the dispatch tax ~4x.
+    """
+    b = src_depths.shape[0]
+    if b <= chunk:
+        return register_batch(src_depths, dst_depths, intr, cfg)
+    assert b % chunk == 0, f"batch {b} not a multiple of chunk {chunk}"
+    shape = (b // chunk, chunk) + src_depths.shape[1:]
+
+    def body(carry, sd):
+        s, d = sd
+        return carry, register_batch(s, d, intr, cfg)
+
+    _, res = jax.lax.scan(
+        body, 0, (src_depths.reshape(shape), dst_depths.reshape(shape))
+    )
+    return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), res)
+
+
 def register_batch_sharded(
     mesh: Mesh,
     src_depths: jnp.ndarray,

@@ -36,6 +36,12 @@ class SlamConfig:
     loop_min_separation: int = 5  # in keyframes
     loop_noise_bound: float = 0.25
     loop_weight: float = 4.0
+    # Verifier acceptance: symmetric cloud-overlap fraction under the
+    # estimated loop transform (loop_closure/detector.py verify()). This is
+    # the check that rejects confident-wrong registrations on self-similar
+    # geometry; tau should track the keyframe voxel size.
+    loop_overlap_tau: float = 0.05
+    loop_min_overlap: float = 0.6
     # Odometry gate: reject loop transforms that contradict the current
     # trajectory estimate by more than this twist norm (drift bound).
     loop_odometry_gate: float = 0.3
@@ -114,7 +120,9 @@ class SlamTracker:
         hits = self._db.query(kf_idx, cloud, feats)
         for cand_idx, _sim in hits:
             T_ab, ok = self._db.verify(
-                kf_idx, cloud, feats, cand_idx, cfg.loop_noise_bound
+                kf_idx, cloud, feats, cand_idx, cfg.loop_noise_bound,
+                overlap_tau=cfg.loop_overlap_tau,
+                min_overlap=cfg.loop_min_overlap,
             )
             if ok:
                 # verify() registers this kf (src) onto the candidate (dst),

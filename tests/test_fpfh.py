@@ -76,6 +76,69 @@ class TestFpfhParity:
         assert np.all(np.isfinite(f))
 
 
+class TestBallCapDetection:
+    """VERDICT item 10: a ball denser than the kNN cap is DETECTED, and the
+    auto-sized cap restores exact radiusSearch parity (fpfh.cpp:133-147)."""
+
+    def _dense_cloud(self, n_dense=100, n_far=20, seed=7):
+        rng = np.random.RandomState(seed)
+        # n_dense points packed inside a 0.2-radius ball (all mutually within
+        # the 0.5 feature radius) + a sparse shell far outside it.
+        dense = 0.1 * rng.randn(n_dense, 3).astype(np.float32)
+        dense = np.clip(dense, -0.2, 0.2)
+        far = 5.0 + rng.rand(n_far, 3).astype(np.float32)
+        pts = np.vstack([dense, far])
+        return pts, cloud_mod.from_points(jnp.asarray(pts))
+
+    def test_truncation_detected(self):
+        pts, c = self._dense_cloud()
+        radius = 0.5
+        assert fpfh_mod.densest_ball_count(c, radius) >= 100
+        assert fpfh_mod.ball_truncated(c, radius, 64)  # default cap: too small
+        assert not fpfh_mod.ball_truncated(c, radius, 128)
+
+    def test_ball_counts_match_bruteforce(self):
+        pts, c = self._dense_cloud(n_dense=30, n_far=10, seed=8)
+        radius = 0.5
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        expect = (d2 <= radius * radius).sum(-1)
+        got = np.asarray(fpfh_mod.ball_counts(c, radius, chunk=16))
+        np.testing.assert_array_equal(got, expect)
+
+    def test_auto_cap_restores_exact_parity(self):
+        pts, c = self._dense_cloud()
+        radius = 0.5
+        nrm = normals_mod.knn_pca_normals(c, k=8)
+        nrm = normals_mod.orient_normals(c.points, nrm, jnp.zeros(3))
+        k_auto = fpfh_mod.auto_max_neighbors((c, radius))
+        assert k_auto >= fpfh_mod.densest_ball_count(c, radius)
+        f_auto = np.asarray(
+            fpfh_mod.compute_fpfh_from_normals(c, nrm, radius, max_neighbors=k_auto)
+        )
+        f_ref = ref.compute_fpfh_np(pts, np.asarray(nrm), radius)
+        np.testing.assert_allclose(f_auto, f_ref, atol=1e-4)
+        # The truncating default cap demonstrably drifts on this cloud --
+        # the silent failure mode the detection exists for.
+        f_cap = np.asarray(
+            fpfh_mod.compute_fpfh_from_normals(c, nrm, radius, max_neighbors=64)
+        )
+        assert float(np.abs(f_cap - f_ref).max()) > 1e-3
+
+    def test_align_pair_auto_mode(self):
+        from realsensetracker_tpu.api.config import AlignConfig
+        from realsensetracker_tpu.models.pairwise import align_pair
+
+        pts, c = self._dense_cloud(n_dense=60, n_far=20, seed=9)
+        cfg = AlignConfig(
+            fpfh_max_neighbors=0,  # auto
+            voxel_size=0.01,
+            refine_with_icp=False,
+            cloud_capacity=128,
+        )
+        res = align_pair(c, c, cfg)
+        assert res.success
+
+
 class TestMatching:
     def test_knn_feature_matching(self):
         # Well-separated random 33-D features: self-match must come first.

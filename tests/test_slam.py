@@ -61,6 +61,47 @@ class TestSlam:
         # Out-and-back: the final keyframes see the start again.
         assert tracker.num_loop_closures >= 1
 
+    def test_verifier_rejects_wrong_loops_without_odometry_gate(self):
+        """VERDICT item 8: self-similar sphere scenes produce confidently
+        wrong global registrations; the verifier's symmetric-overlap check
+        must reject them BY ITSELF (odometry gate disabled), while keeping
+        the true revisit edges."""
+        # seed 9 historically produced 11 wrong edges (twist err 1.5-6.0)
+        # through the old verifier; only 3<-7, 2<-8, 1<-9 are true loops.
+        scene = synthetic.default_scene(seed=9)
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        twists = [step] * 5 + [-step] * 4
+        poses = [se3.identity()]
+        for tw in twists:
+            poses.append(se3.compose(poses[-1], se3.exp(tw)))
+        depths = jnp.stack([synthetic.render_depth(INTR, T, scene) for T in poses])
+
+        cfg = SlamConfig(
+            intrinsics=INTR,
+            icp=projective.ProjectiveIcpConfig(iters=(5, 5, 6), samples=1024),
+            loop_min_separation=3,
+            loop_similarity=0.8,
+            keyframe_cloud_capacity=1024,
+            loop_odometry_gate=1e9,  # gate DISABLED: verifier stands alone
+        )
+        cfg.align.fpfh_max_neighbors = 32
+        tracker = SlamTracker(cfg)
+        tracker._vo.max_translation = 1e-6
+        tracker._vo.max_rotation = 1e-6
+        for i in range(10):
+            tracker.process(depths[i], float(i))
+
+        assert tracker.num_loop_closures >= 1, "true revisits must survive"
+        P = np.asarray(jnp.stack(poses))
+        for (i, j, T, _w) in tracker._loop_edges:
+            T_true = np.linalg.inv(P[i]) @ P[j]
+            err = np.linalg.norm(
+                np.asarray(
+                    se3.log(jnp.asarray(np.linalg.inv(T) @ T_true, jnp.float32))
+                )
+            )
+            assert err < 0.05, f"wrong loop edge {i}<-{j} accepted (err {err:.3f})"
+
     def test_optimize_improves_endpoint(self):
         depths, poses_gt = _loop_sequence(10)
         tracker = _make_tracker()
