@@ -23,11 +23,12 @@ def main() -> None:
     from realsensetracker_tpu.parallel import batched
 
     intr = camera.TUM_FR1  # 640x480
-    cfg = projective.ProjectiveIcpConfig()  # flagship defaults
-    # Large batch amortizes per-dispatch overhead (64 -> 1100 pairs/s,
-    # 512 -> ~1700 pairs/s on v5e); BASELINE config 4's 64-pair step is
-    # exercised in tests and rs_benchmark.
-    batch = 512
+    cfg = projective.ProjectiveIcpConfig()  # flagship defaults: (3,3,2) x 2
+    # chunk=512 is the 640x480 HBM sweet spot per dispatch; scanning 4
+    # chunks inside ONE dispatch amortizes the relay's ~45 ms warmed-up
+    # per-dispatch overhead (BENCHMARKS.md). BASELINE config 4's 64-pair
+    # step is exercised in tests and rs_benchmark.
+    batch, chunk = 2048, 512
 
     # Synthetic but geometrically real frames (raycast scene, small motion),
     # perturbed per pair so every batch element is distinct data.
@@ -38,12 +39,20 @@ def main() -> None:
         intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32), scene
     )
     rng = np.random.RandomState(0)
-    src = jnp.asarray(
-        np.asarray(d1)[None] + 0.001 * rng.randn(batch, *d1.shape).astype(np.float32)
-    )
-    dst = jnp.asarray(
-        np.asarray(d0)[None] + 0.001 * rng.randn(batch, *d0.shape).astype(np.float32)
-    )
+
+    def noisy(base):  # bounded host peak: generate noise 256 frames at a time
+        base = np.asarray(base)
+        return jnp.concatenate(
+            [
+                jnp.asarray(
+                    base[None]
+                    + 0.001 * rng.randn(min(256, batch - i), *base.shape).astype(np.float32)
+                )
+                for i in range(0, batch, 256)
+            ]
+        )
+
+    src, dst = noisy(d1), noisy(d0)
 
     # Every timed dispatch must be a DISTINCT execution: the axon relay
     # memoizes repeated identical executions (BENCHMARKS.md "Measurement
@@ -51,7 +60,7 @@ def main() -> None:
     # on-device (zero extra HBM, identical work) so no two calls share
     # inputs or outputs.
     def step(s, d, salt):
-        return batched.register_batch(s + salt, d + salt, intr, cfg).transform
+        return batched.register_batch_chunked(s + salt, d + salt, intr, cfg, chunk).transform
 
     step_jit = jax.jit(step)
     # Warmup / compile (salt outside the timed range).

@@ -27,7 +27,16 @@ from realsensetracker_tpu.ops.pyramid import PyramidLevel
 class ProjectiveIcpConfig(NamedTuple):
     """Static solver configuration (hashable -> usable as jit static arg)."""
 
-    iters: tuple[int, ...] = (6, 5, 4)  # per level, coarse -> fine order
+    iters: tuple[int, ...] = (3, 3, 2)  # association rounds per level,
+    # coarse -> fine order
+    # GN steps per correspondence set: each level round gathers planes
+    # ONCE, then applies `inner_iters` Gauss-Newton updates against those
+    # fixed planes (the reference's outer/inner split, align_gicp.cpp:
+    # 134-159, applied to projective ICP). The gather is the hot-loop
+    # bottleneck (BENCHMARKS.md), so the flagship (3,3,2) x 2 matches the
+    # old (6,5,4) x 1 accuracy (twist err ~8e-5 at 640x480) at roughly
+    # half the gather cost: 3949 vs 3065 pairs/s chunked on v5e.
+    inner_iters: int = 2
     samples: int = 2048  # source points sampled at the FINEST level
     sample_mode: str = "stride"  # "stride" | "normal_space" (config 3)
     coarse_sample_divisor: int = 4  # level l uses samples / divisor**l
@@ -148,14 +157,16 @@ def sample_depth_points(
     return pts, ok
 
 
-def build_normal_equations(
+def associate_planes(
     T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
 ):
-    """Associate + weight + accumulate the 6x6 GN system for one iteration.
+    """Projective association at pose T: ONE gather of the destination
+    plane table. Returns (n (P, 3), d_plane (P,), ok (P,)).
 
-    Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)). Pure reduction
-    over sample points -- the unit that multi-chip point sharding psums over
-    (parallel/sharded.py).
+    Single gather of the planar PLANE table [n | d = n . q]: 4 floats per
+    correspondence (vs 8 for vertex+normal+valid; gathers are the hot-loop
+    bottleneck). Invalid pixels carry n = 0 -> Jacobian rows vanish and
+    validity is |n|^2 > 0.5 for free.
     """
     p = se3.transform_points(T, src_pts)  # (P, 3)
     u, v, z = camera.project(p, intr)
@@ -163,19 +174,24 @@ def build_normal_equations(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
 
-    # Single gather of the planar PLANE table [n | d = n . q]: 4 floats per
-    # correspondence (vs 8 for vertex+normal+valid; gathers are the hot-loop
-    # bottleneck). Invalid pixels carry n = 0 -> Jacobian rows vanish and
-    # validity is |n|^2 > 0.5 for free.
     rows = dst_level.packed[:, vi, ui]  # (4, P)
     n = rows[0:3].T
     d_plane = rows[3]
     ok = src_ok & inb & (jnp.sum(n * n, axis=-1) > 0.5)
+    return n, d_plane, ok
 
+
+def normal_equations_fixed(T, src_pts, n, d_plane, assoc_ok, cfg: ProjectiveIcpConfig):
+    """Weight + accumulate the 6x6 GN system against FIXED planes (n, d):
+    gather-free, so it can repeat per association (cfg.inner_iters).
+
+    Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)).
+    """
+    p = se3.transform_points(T, src_pts)  # (P, 3)
     r = jnp.sum(n * p, axis=-1) - d_plane  # point-to-plane residual
     # Correspondence gate on the plane distance (the Euclidean gate needs
     # the destination vertex, which the plane table deliberately drops).
-    ok = ok & (jnp.abs(r) < cfg.dist_threshold)
+    ok = assoc_ok & (jnp.abs(r) < cfg.dist_threshold)
     r = jnp.where(ok, r, 0.0)
     # GNC weight on the plane residual (reference form, align_icp.cpp:116-118).
     l_rt = cfg.gnc_mu / (r * r + cfg.gnc_mu)
@@ -195,6 +211,20 @@ def build_normal_equations(
     return H, b, aux
 
 
+def build_normal_equations(
+    T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
+):
+    """Associate + weight + accumulate the 6x6 GN system for one iteration.
+
+    Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)). Pure reduction
+    over sample points -- the unit that multi-chip point sharding psums over
+    (parallel/sharded.py). XLA CSEs the duplicated point transform between
+    association and the system build.
+    """
+    n, d_plane, ok = associate_planes(T, src_pts, src_ok, dst_level, intr, cfg)
+    return normal_equations_fixed(T, src_pts, n, d_plane, ok, cfg)
+
+
 def solve_update(T, H, b, aux, num_samples: int, cfg: ProjectiveIcpConfig):
     """Damped 6x6 solve + left-multiplied SE(3) update from reduced H, b."""
     lam = cfg.damping * jnp.trace(H) + 1e-12
@@ -212,9 +242,21 @@ def solve_update(T, H, b, aux, num_samples: int, cfg: ProjectiveIcpConfig):
 
 
 def _step(T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig):
-    """One GN iteration: associate -> weight -> build 6x6 -> solve -> update."""
-    H, b, aux = build_normal_equations(T, src_pts, src_ok, dst_level, intr, cfg)
-    return solve_update(T, H, b, aux, src_pts.shape[0], cfg)
+    """One association round: ONE plane gather at the current pose, then
+    cfg.inner_iters Gauss-Newton updates against those fixed planes
+    (inner_iters=1 is classic re-associate-every-step projective ICP)."""
+    n, d_plane, ok = associate_planes(T, src_pts, src_ok, dst_level, intr, cfg)
+    num_samples = src_pts.shape[0]
+
+    def inner(_, carry):
+        T_c, _ = carry
+        H, b, aux = normal_equations_fixed(T_c, src_pts, n, d_plane, ok, cfg)
+        return solve_update(T_c, H, b, aux, num_samples, cfg)
+
+    init = (T, (jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0)))
+    if cfg.inner_iters <= 1:
+        return inner(0, init)
+    return jax.lax.fori_loop(0, cfg.inner_iters, inner, init)
 
 
 @partial(jax.jit, static_argnames=("intrs", "cfg"))

@@ -27,8 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--samples", type=int, default=2048)
     p.add_argument("--points", type=int, default=4096, help="cloud pipelines")
-    # Flagship schedule (BENCHMARKS.md): coarse -> fine (6, 5, 4).
-    p.add_argument("--level-iters", default="6,5,4")
+    # Flagship schedule (BENCHMARKS.md): coarse -> fine association rounds.
+    p.add_argument("--level-iters", default="3,3,2")
+    p.add_argument("--inner-iters", type=int, default=2,
+                   help="GN updates per association (gathers once per round)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="scan the batch in chunks of this size inside one "
+                   "dispatch (0 = no chunking); amortizes dispatch overhead")
     return p
 
 
@@ -52,7 +57,9 @@ def main(argv=None) -> int:
         from realsensetracker_tpu.parallel import batched
 
         iters = tuple(int(x) for x in args.level_iters.split(","))
-        cfg = projective.ProjectiveIcpConfig(iters=iters, samples=args.samples)
+        cfg = projective.ProjectiveIcpConfig(
+            iters=iters, inner_iters=args.inner_iters, samples=args.samples
+        )
         d0, d1, _ = synthetic.render_pair(
             intr, jnp.array([0.01, -0.005, 0.01, 0.005, -0.01, 0.005], jnp.float32)
         )
@@ -63,9 +70,18 @@ def main(argv=None) -> int:
         # Per-call salt perturbs inputs on-device: every timed dispatch is a
         # DISTINCT execution (the axon relay memoizes identical ones --
         # BENCHMARKS.md "Measurement methodology").
-        step = jax.jit(
-            lambda s, d, salt: batched.register_batch(s + salt, d + salt, intr, cfg).transform
-        )
+        if args.chunk > 0:
+            step = jax.jit(
+                lambda s, d, salt: batched.register_batch_chunked(
+                    s + salt, d + salt, intr, cfg, args.chunk
+                ).transform
+            )
+        else:
+            step = jax.jit(
+                lambda s, d, salt: batched.register_batch(
+                    s + salt, d + salt, intr, cfg
+                ).transform
+            )
         jax.block_until_ready(step(src, dst, jnp.float32(-1e-4)))
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
         t0 = time.perf_counter()

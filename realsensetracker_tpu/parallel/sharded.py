@@ -124,15 +124,29 @@ def register_batch_point_sharded(
                 def body(_, carry, dst_level=dst_level, lvl_intr=lvl_intr,
                          local_pts=local_pts, local_ok=local_ok):
                     T, _rmse = carry
-                    H, b, aux = projective.build_normal_equations(
+                    # Associate once (local gather), then cfg.inner_iters GN
+                    # updates against the fixed planes -- same outer/inner
+                    # split as the unsharded flagship (projective._step);
+                    # each inner step psums its partial normal equations.
+                    n, d_pl, a_ok = projective.associate_planes(
                         T, local_pts, local_ok, dst_level, lvl_intr, cfg
                     )
-                    # The collective: reduce partial normal equations over ICI.
-                    H, b, aux = jax.lax.psum((H, b, aux), axis_name=point_axis)
-                    T_new, stats = projective.solve_update(
-                        T, H, b, aux, cfg.samples, cfg
-                    )
-                    return T_new, stats[0]
+
+                    def inner(_, c):
+                        T_c, _r = c
+                        H, b, aux = projective.normal_equations_fixed(
+                            T_c, local_pts, n, d_pl, a_ok, cfg
+                        )
+                        # The collective: reduce partials over ICI.
+                        H, b, aux = jax.lax.psum((H, b, aux), axis_name=point_axis)
+                        T_new, stats = projective.solve_update(
+                            T_c, H, b, aux, cfg.samples, cfg
+                        )
+                        return T_new, stats[0]
+
+                    if cfg.inner_iters <= 1:
+                        return inner(0, (T, _rmse))
+                    return jax.lax.fori_loop(0, cfg.inner_iters, inner, (T, _rmse))
 
                 T, rmse = jax.lax.fori_loop(0, level_iters, body, (T, rmse))
             return T, rmse

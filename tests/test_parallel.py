@@ -54,6 +54,45 @@ def test_register_batch_matches_single():
     )
 
 
+def test_register_batch_chunked_matches_plain():
+    """Chunked scan (one dispatch, many chunks) must equal plain vmap."""
+    src, dst, _ = _make_batch(8)
+    plain = batched.register_batch(src, dst, INTR, CFG)
+    chunked = batched.register_batch_chunked(src, dst, INTR, CFG, chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(chunked.transform), np.asarray(plain.transform), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.rmse), np.asarray(plain.rmse), atol=1e-5
+    )
+    # B <= chunk falls through to the plain path.
+    small = batched.register_batch_chunked(src[:2], dst[:2], INTR, CFG, chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(small.transform), np.asarray(plain.transform[:2]), atol=1e-5
+    )
+
+
+def test_inner_iters_pose_recovery():
+    """The outer/inner split (gather once, 2 GN updates) recovers poses to
+    the same tolerance as re-associate-every-step."""
+    cfg = projective.ProjectiveIcpConfig(iters=(3, 3, 4), inner_iters=2, samples=1024)
+    src, dst, true = _make_batch(3)
+    res = batched.register_batch(src, dst, INTR, cfg)
+    for i in range(3):
+        assert _max_twist_err(res.transform[i], true[i]) < 1e-2
+
+
+def test_point_sharded_matches_unsharded_inner_iters():
+    """Sharded GN with inner iterations must match the unsharded result."""
+    cfg = projective.ProjectiveIcpConfig(iters=(3, 3, 4), inner_iters=2, samples=1024)
+    mesh = mesh_mod.make_mesh(8, point_parallelism=4)
+    src, dst, _ = _make_batch(2)
+    T_sh, rmse_sh = sharded.register_batch_point_sharded(mesh, src, dst, INTR, cfg)
+    res = batched.register_batch(src, dst, INTR, cfg)
+    np.testing.assert_allclose(np.asarray(T_sh), np.asarray(res.transform), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rmse_sh), np.asarray(res.rmse), atol=1e-4)
+
+
 def test_register_batch_sharded_data_parallel():
     mesh = mesh_mod.make_mesh(8)
     src, dst, true = _make_batch(8)
