@@ -54,24 +54,28 @@ def main() -> None:
 
     src, dst = noisy(d1), noisy(d0)
 
-    # Every timed dispatch must be a DISTINCT execution: the axon relay
-    # memoizes repeated identical executions (BENCHMARKS.md "Measurement
-    # methodology"). A per-iteration salt scalar perturbs the depths
-    # on-device (zero extra HBM, identical work) so no two calls share
-    # inputs or outputs.
+    # Every timed dispatch must be a DISTINCT execution (the axon relay
+    # memoizes repeated identical executions) AND must round-trip its
+    # result to host memory: block_until_ready is NOT a reliable fence
+    # through the relay -- in some process states it returns in ~0.05 ms
+    # while ~300 ms of compute is still in flight (BENCHMARKS.md
+    # "Measurement methodology"). np.asarray per step is the only
+    # adversarially-honest sync; the (B, 4, 4) transfer is 32 KB/chunk.
+    import numpy as _np
+
     def step(s, d, salt):
         return batched.register_batch_chunked(s + salt, d + salt, intr, cfg, chunk).transform
 
     step_jit = jax.jit(step)
-    # Warmup / compile (salt outside the timed range).
-    jax.block_until_ready(step_jit(src, dst, jnp.float32(-1e-4)))
+    # Warmup / compile (salt outside the timed range), hard-drained.
+    _np.asarray(step_jit(src, dst, jnp.float32(-1e-4)))
 
     n_iters = 10
     salts = [jnp.float32((i + 1) * 1e-5) for i in range(n_iters)]
     t0 = time.perf_counter()
     for i in range(n_iters):
-        # Block every step: honest steady-state wall clock, no async pileup.
-        jax.block_until_ready(step_jit(src, dst, salts[i]))
+        # Materialize every step: honest steady-state wall clock.
+        _np.asarray(step_jit(src, dst, salts[i]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * n_iters / dt

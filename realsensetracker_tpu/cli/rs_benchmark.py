@@ -82,11 +82,13 @@ def main(argv=None) -> int:
                     s + salt, d + salt, intr, cfg
                 ).transform
             )
-        jax.block_until_ready(step(src, dst, jnp.float32(-1e-4)))
+        np.asarray(step(src, dst, jnp.float32(-1e-4)))  # warmup, hard drain
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
         t0 = time.perf_counter()
         for i in range(args.iters):
-            jax.block_until_ready(step(src, dst, salts[i]))
+            # Materialize per call: block_until_ready is not a reliable
+            # fence through the relay (BENCHMARKS.md).
+            np.asarray(step(src, dst, salts[i]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     elif args.pipeline in ("gnc-icp", "gicp"):
@@ -112,11 +114,12 @@ def main(argv=None) -> int:
         batch_run = jax.jit(lambda s, d, salt: jax.vmap(one)(s + salt, d + salt))
         src = jnp.asarray(rng.randn(args.batch, args.points, 3).astype(np.float32))
         dst = src + 0.01
-        jax.block_until_ready(batch_run(src, dst, jnp.float32(-1e-4)))
+        np.asarray(batch_run(src, dst, jnp.float32(-1e-4)))  # warmup, drain
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
         t0 = time.perf_counter()
         for i in range(args.iters):
-            jax.block_until_ready(batch_run(src, dst, salts[i]))
+            # Materialize per call (see above).
+            np.asarray(batch_run(src, dst, salts[i]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     else:

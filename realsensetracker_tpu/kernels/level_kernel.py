@@ -67,7 +67,9 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
     nx = duc_y * dv_z - duc_z * dv_y
     ny = duc_z * dv_x - duc_x * dv_z
     nz = duc_x * dv_y - duc_y * dv_x
-    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    # Work with the squared norm only: the normalization below uses rsqrt,
+    # so the sqrt would be a pure extra transcendental per pixel.
+    n2 = nx * nx + ny * ny + nz * nz
 
     v_c = valid[c, :]
     # Mosaic can't roll i1 vectors: roll the depth and re-compare instead.
@@ -77,7 +79,7 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
         & (lroll(z, 1)[c, :] > 0.0)
         & valid[dn, :]
         & valid[up, :]
-        & (norm > 1e-12)
+        & (n2 > 1e-24)
     )
     # Interior mask: first/last image row and column are invalid (also
     # neutralizes wrapped lane rolls and clamped halo blocks).
@@ -85,7 +87,7 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
     ok = ok & (row_ids > 0) & (row_ids < h - 1) & (col_ids > 0) & (col_ids < w - 1)
 
-    inv = jax.lax.rsqrt(jnp.maximum(norm * norm, 1e-24))
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     nx, ny, nz = nx * inv, ny * inv, nz * inv
     # Orient toward the camera: flip when n . p > 0 (ops/normals.py).
     xc, yc, zc = x[c, :], y[c, :], z[c, :]
@@ -103,7 +105,7 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
 def build_level_packed(
     depth: jnp.ndarray,
     intr: camera.Intrinsics,
-    tile_h: int = 16,
+    tile_h: int = 48,  # fewer, fatter programs measured slightly faster
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Depth (H, W) with 0=invalid -> planar plane table (4, H, W).
