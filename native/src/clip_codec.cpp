@@ -64,7 +64,7 @@ extern "C" {
 
 // Bumped whenever an exported signature changes; the Python loader
 // force-rebuilds when a stale .so reports an older ABI.
-int rstpu_abi_version() { return 2; }
+int rstpu_abi_version() { return 3; }
 
 // Reads header fields. Returns 0 on success, negative error code otherwise.
 int rsc_read_header(const char* path,

@@ -7,9 +7,13 @@
 
 #include <zlib.h>
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -155,6 +159,66 @@ int png16_decode(const char* path, uint16_t* out) {
     }
   } else {
     for (size_t i = 0; i < n; ++i) out[i] = raw[i];
+  }
+  return 0;
+}
+
+// Thread-pooled batch decode: `count` newline-joined paths into one
+// caller-allocated (count, height, width) uint16 buffer, with optional
+// u16 -> f32 meters conversion (scale > 0 writes to out_f32 instead).
+// The TUM replay data loader: decoding dominates host-side ingest, so it
+// fans out across hardware threads here and Python never touches pixels.
+// Returns 0 on success, else -(1 + index of the first failing file).
+int png16_decode_batch(const char* joined_paths, int32_t count,
+                       int32_t height, int32_t width, uint16_t* out_u16,
+                       float* out_f32, float scale) {
+  std::vector<std::string> paths;
+  paths.reserve(count);
+  {
+    const char* p = joined_paths;
+    for (int i = 0; i < count; ++i) {
+      const char* nl = std::strchr(p, '\n');
+      if (!nl) {
+        paths.emplace_back(p);
+        break;
+      }
+      paths.emplace_back(p, nl - p);
+      p = nl + 1;
+    }
+  }
+  if (static_cast<int32_t>(paths.size()) != count) return -1000;
+
+  const size_t frame = static_cast<size_t>(height) * width;
+  std::vector<int> errs(count, 0);
+  const unsigned n_threads =
+      std::max(1u, std::min(std::thread::hardware_concurrency(),
+                            static_cast<unsigned>(count)));
+  std::vector<std::thread> pool;
+  std::atomic<int32_t> next(0);
+  for (unsigned t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&]() {
+      std::vector<uint16_t> tmp;
+      for (int32_t i = next.fetch_add(1); i < count; i = next.fetch_add(1)) {
+        uint16_t* dst = out_u16 ? out_u16 + frame * i : nullptr;
+        if (!dst) {
+          tmp.resize(frame);
+          dst = tmp.data();
+        }
+        const int rc = png16_decode(paths[i].c_str(), dst);
+        if (rc != 0) {
+          errs[i] = rc;
+          continue;
+        }
+        if (out_f32 && scale > 0.0f) {
+          float* fd = out_f32 + frame * i;
+          for (size_t k = 0; k < frame; ++k) fd[k] = dst[k] / scale;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int i = 0; i < count; ++i) {
+    if (errs[i] != 0) return -(1 + i);
   }
   return 0;
 }

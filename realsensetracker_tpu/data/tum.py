@@ -97,10 +97,49 @@ class TumSequence:
                 best, best_dt = k, abs(stamps[k] - ts)
         return best
 
-    def frames(self, start: int = 0, stop: int | None = None):
+    def load_depth_batch(self, indices) -> np.ndarray:
+        """Decode many depth frames at once -> (N, H, W) float32 meters.
+
+        Uses the native thread-pooled batch decoder
+        (native/src/png16.cpp png16_decode_batch) so ingest scales across
+        host cores; falls back to per-frame decoding without the library.
+        """
+        indices = list(indices)
+        if not indices:
+            return np.zeros((0, 0, 0), np.float32)
+        try:
+            import ctypes
+
+            from realsensetracker_tpu.native import load, png_io
+
+            paths = [
+                os.path.join(self.root, self.depth_index[i][1]) for i in indices
+            ]
+            dims = np.zeros(4, np.int32)
+            rc = load().png16_read_header(
+                paths[0].encode(), dims.ctypes.data_as(ctypes.c_void_p)
+            )
+            if rc != 0:
+                raise ValueError(paths[0])
+            w, h = int(dims[0]), int(dims[1])
+            return png_io.read_png16_batch(paths, h, w, scale=DEPTH_SCALE)
+        except Exception:
+            return np.stack([self.depth(i) for i in indices])
+
+    def frames(self, start: int = 0, stop: int | None = None,
+               batch_decode: int = 8):
+        """Yield (timestamp, depth) decoding `batch_decode` frames ahead
+        through the native thread pool (1 disables batching)."""
         stop = len(self) if stop is None else min(stop, len(self))
-        for i in range(start, stop):
-            yield self.timestamp(i), self.depth(i)
+        if batch_decode <= 1:
+            for i in range(start, stop):
+                yield self.timestamp(i), self.depth(i)
+            return
+        for b in range(start, stop, batch_decode):
+            idx = range(b, min(b + batch_decode, stop))
+            block = self.load_depth_batch(idx)
+            for off, i in enumerate(idx):
+                yield self.timestamp(i), block[off]
 
     def frames_rgbd(self, start: int = 0, stop: int | None = None):
         """Yield (timestamp, depth, gray | None): gray is the associated RGB

@@ -56,7 +56,7 @@ def load(auto_build: bool = True):
     if path is None:
         raise OSError("native library not built")
     lib = ctypes.CDLL(path)
-    if not hasattr(lib, "rstpu_abi_version") or lib.rstpu_abi_version() < 2:
+    if not hasattr(lib, "rstpu_abi_version") or lib.rstpu_abi_version() < 3:
         # Stale build from an older source revision: rebuild in place.
         if not auto_build:
             raise OSError("native library ABI too old")
@@ -69,6 +69,11 @@ def load(auto_build: bool = True):
     lib.rsc_write_clip.restype = ctypes.c_int
     lib.png16_read_header.restype = ctypes.c_int
     lib.png16_decode.restype = ctypes.c_int
+    lib.png16_decode_batch.restype = ctypes.c_int
+    lib.png16_decode_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_float,
+    ]
     lib.voxel_map_create.restype = ctypes.c_void_p
     lib.voxel_map_create.argtypes = [ctypes.c_float]
     lib.voxel_map_destroy.argtypes = [ctypes.c_void_p]

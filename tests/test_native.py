@@ -73,6 +73,57 @@ class TestPng16:
         got = png_io.read_png16(p)
         np.testing.assert_array_equal(got, arr.astype(np.uint16))
 
+    def test_batch_decode_matches_single(self, tmp_path):
+        from PIL import Image
+
+        from realsensetracker_tpu.native import png_io
+
+        rng = np.random.RandomState(3)
+        paths, arrs = [], []
+        for i in range(5):
+            arr = (rng.rand(24, 31) * 65535).astype(np.uint16)
+            p = os.path.join(tmp_path, f"b{i}.png")
+            Image.fromarray(arr).save(p)
+            paths.append(p)
+            arrs.append(arr)
+        got = png_io.read_png16_batch(paths, 24, 31)
+        np.testing.assert_array_equal(got, np.stack(arrs))
+        # f32 meters conversion bit-matches the per-frame path.
+        got_f = png_io.read_png16_batch(paths, 24, 31, scale=5000.0)
+        np.testing.assert_array_equal(
+            got_f, np.stack(arrs).astype(np.float32) / 5000.0
+        )
+
+    def test_batch_decode_reports_bad_file(self, tmp_path):
+        from PIL import Image
+
+        from realsensetracker_tpu.native import png_io
+
+        arr = np.zeros((8, 8), np.uint16)
+        good = os.path.join(tmp_path, "g.png")
+        Image.fromarray(arr).save(good)
+        bad = os.path.join(tmp_path, "bad.png")
+        open(bad, "wb").write(b"nonsense")
+        with pytest.raises(ValueError, match="bad.png"):
+            png_io.read_png16_batch([good, bad], 8, 8)
+
+    def test_tum_batch_loader_matches_per_frame(self, tmp_path):
+        from realsensetracker_tpu.data import tum
+
+        root = os.path.join(tmp_path, "seq")
+        tum.synthesize_tum_sequence(root, num_frames=6)
+        seq = tum.TumSequence.open(root)
+        block = seq.load_depth_batch(range(6))
+        singles = np.stack([seq.depth(i) for i in range(6)])
+        np.testing.assert_array_equal(block, singles)
+        # frames() batching yields the same stream as per-frame decoding.
+        a = [(t, d.copy()) for t, d in seq.frames(batch_decode=4)]
+        b = [(t, d) for t, d in seq.frames(batch_decode=1)]
+        assert len(a) == len(b) == 6
+        for (ta, da), (tb, db) in zip(a, b):
+            assert ta == tb
+            np.testing.assert_array_equal(da, db)
+
     def test_tum_loader_uses_native(self, tmp_path):
         from PIL import Image
 
