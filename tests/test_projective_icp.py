@@ -80,6 +80,48 @@ class TestProjectiveIcp:
         t_err, r_err = _pose_err(res.transform, T_true)
         assert t_err < 3e-3 and r_err < 3e-3
 
+    def test_flagship_schedule_robust_to_degraded_depth(self):
+        """The (3,3,2) x 2-inner flagship schedule must hold accuracy on
+        sensor-realistic degradation: 30% random dropout + 5 mm noise on
+        BOTH frames (guards the outer/inner split against regression)."""
+        rng = np.random.RandomState(11)
+        motion = [0.02, -0.01, 0.015, 0.01, -0.015, 0.01]
+        d0, d1, T_true = synthetic.render_pair(INTR, jnp.asarray(motion, jnp.float32))
+
+        def degrade(d, seed):
+            r = np.random.RandomState(seed)
+            arr = np.asarray(d)
+            arr = arr + 0.005 * r.randn(*arr.shape).astype(np.float32)
+            arr[r.rand(*arr.shape) < 0.3] = 0.0  # dropout -> invalid
+            return jnp.asarray(arr)
+
+        del rng
+        res = projective.register_depth_pair(
+            degrade(d1, 1), degrade(d0, 2), INTR,
+            projective.ProjectiveIcpConfig(),  # flagship defaults
+        )
+        t_err, r_err = _pose_err(res.transform, T_true)
+        assert t_err < 5e-3 and r_err < 5e-3
+        # 30% dropout also kills the 4 neighbors' normals on the
+        # destination (valid ~ 0.7^5), so ~0.12 matched is expected.
+        assert float(res.inlier_fraction) > 0.05
+
+    def test_inner_iters_matches_reassociate_accuracy(self):
+        """(3,3,2) x 2 must match (6,5,4) x 1 accuracy on clean frames."""
+        motion = [0.03, 0.01, -0.02, 0.02, 0.01, -0.02]
+        d0, d1, T_true = synthetic.render_pair(INTR, jnp.asarray(motion, jnp.float32))
+        res_a = projective.register_depth_pair(
+            d1, d0, INTR,
+            projective.ProjectiveIcpConfig(iters=(6, 5, 4), inner_iters=1),
+        )
+        res_b = projective.register_depth_pair(
+            d1, d0, INTR,
+            projective.ProjectiveIcpConfig(iters=(3, 3, 2), inner_iters=2),
+        )
+        ta, ra = _pose_err(res_a.transform, T_true)
+        tb, rb = _pose_err(res_b.transform, T_true)
+        assert tb < max(2 * ta, 1e-3) and rb < max(2 * ra, 1e-3)
+
     def test_result_finite_on_empty_frames(self):
         # All-invalid depth must not produce NaNs (rank-deficient H guard).
         d = jnp.zeros((120, 160))
