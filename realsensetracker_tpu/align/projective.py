@@ -157,38 +157,58 @@ def sample_depth_points(
     return pts, ok
 
 
-def associate_planes(
-    T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
+def associate_planes_t(
+    T, src_pts_t, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
 ):
-    """Projective association at pose T: ONE gather of the destination
-    plane table. Returns (n (P, 3), d_plane (P,), ok (P,)).
+    """LANE-MAJOR projective association at pose T: ONE gather of the
+    destination plane table. src_pts_t is (3, P); returns
+    (n_t (3, P), d_plane (P,), ok (P,)).
 
     Single gather of the planar PLANE table [n | d = n . q]: 4 floats per
     correspondence (vs 8 for vertex+normal+valid; gathers are the hot-loop
     bottleneck). Invalid pixels carry n = 0 -> Jacobian rows vanish and
-    validity is |n|^2 > 0.5 for free.
+    validity is |n|^2 > 0.5 for free. The point axis stays minor-most
+    throughout ((3, P)/(6, P)) -- the layout a Pallas GN kernel needs.
+    Measured throughput-neutral vs the (P, 3) formulation (XLA already
+    picked good layouts), so this is about explicitness, not speed.
     """
-    p = se3.transform_points(T, src_pts)  # (P, 3)
-    u, v, z = camera.project(p, intr)
+    p = se3.transform_points_t(T, src_pts_t)  # (3, P)
+    x, y, z = p[0], p[1], p[2]
+    # Same math as camera.project on (P,) lanes.
+    z_safe = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u = intr.fx * x / z_safe + intr.cx
+    v = intr.fy * y / z_safe + intr.cy
     inb = camera.in_bounds(u, v, intr) & (z > cfg.min_depth)
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
 
     rows = dst_level.packed[:, vi, ui]  # (4, P)
-    n = rows[0:3].T
+    n_t = rows[0:3]
     d_plane = rows[3]
-    ok = src_ok & inb & (jnp.sum(n * n, axis=-1) > 0.5)
-    return n, d_plane, ok
+    ok = src_ok & inb & (jnp.sum(n_t * n_t, axis=0) > 0.5)
+    return n_t, d_plane, ok
 
 
-def normal_equations_fixed(T, src_pts, n, d_plane, assoc_ok, cfg: ProjectiveIcpConfig):
+def _cross_t(a, b):
+    """Cross product of lane-major (3, P) stacks."""
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def normal_equations_fixed_t(T, src_pts_t, n_t, d_plane, assoc_ok, cfg: ProjectiveIcpConfig):
     """Weight + accumulate the 6x6 GN system against FIXED planes (n, d):
     gather-free, so it can repeat per association (cfg.inner_iters).
+    Lane-major: src_pts_t and n_t are (3, P).
 
     Returns (H (6,6), b (6,), aux (wsse, wsum, ok_count)).
     """
-    p = se3.transform_points(T, src_pts)  # (P, 3)
-    r = jnp.sum(n * p, axis=-1) - d_plane  # point-to-plane residual
+    p = se3.transform_points_t(T, src_pts_t)  # (3, P)
+    r = jnp.sum(n_t * p, axis=0) - d_plane  # point-to-plane residual
     # Correspondence gate on the plane distance (the Euclidean gate needs
     # the destination vertex, which the plane table deliberately drops).
     ok = assoc_ok & (jnp.abs(r) < cfg.dist_threshold)
@@ -197,18 +217,35 @@ def normal_equations_fixed(T, src_pts, n, d_plane, assoc_ok, cfg: ProjectiveIcpC
     l_rt = cfg.gnc_mu / (r * r + cfg.gnc_mu)
     w = l_rt * l_rt * ok.astype(p.dtype)
 
-    J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (P, 6), twist [v, w]
-    Jw = J * w[:, None]
+    J = jnp.concatenate([n_t, _cross_t(p, n_t)], axis=0)  # (6, P), twist [v, w]
+    Jw = J * w[None, :]
     # precision=HIGHEST: bf16 operand rounding (TPU matmul default) would
     # bias the normal equations by ~5e-4 relative -- millimeters of pose.
-    H = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST)  # (6, 6)
-    b = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)  # (6,)
+    # Contraction over P (the lane axis) feeds the MXU a full dimension.
+    H = jnp.matmul(Jw, J.T, precision=jax.lax.Precision.HIGHEST)  # (6, 6)
+    b = jnp.matmul(Jw, r, precision=jax.lax.Precision.HIGHEST)  # (6,)
     aux = (
         jnp.sum(w * r * r).astype(jnp.float32),
         jnp.sum(w).astype(jnp.float32),
         jnp.sum(ok).astype(jnp.int32),
     )
     return H, b, aux
+
+
+def associate_planes(
+    T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig
+):
+    """Point-major compatibility wrapper over associate_planes_t:
+    src_pts (P, 3) -> (n (P, 3), d_plane (P,), ok (P,))."""
+    n_t, d_plane, ok = associate_planes_t(
+        T, src_pts.T, src_ok, dst_level, intr, cfg
+    )
+    return n_t.T, d_plane, ok
+
+
+def normal_equations_fixed(T, src_pts, n, d_plane, assoc_ok, cfg: ProjectiveIcpConfig):
+    """Point-major compatibility wrapper over normal_equations_fixed_t."""
+    return normal_equations_fixed_t(T, src_pts.T, n.T, d_plane, assoc_ok, cfg)
 
 
 def build_normal_equations(
@@ -221,8 +258,10 @@ def build_normal_equations(
     (parallel/sharded.py). XLA CSEs the duplicated point transform between
     association and the system build.
     """
-    n, d_plane, ok = associate_planes(T, src_pts, src_ok, dst_level, intr, cfg)
-    return normal_equations_fixed(T, src_pts, n, d_plane, ok, cfg)
+    n_t, d_plane, ok = associate_planes_t(
+        T, src_pts.T, src_ok, dst_level, intr, cfg
+    )
+    return normal_equations_fixed_t(T, src_pts.T, n_t, d_plane, ok, cfg)
 
 
 def solve_update(T, H, b, aux, num_samples: int, cfg: ProjectiveIcpConfig):
@@ -241,16 +280,18 @@ def solve_update(T, H, b, aux, num_samples: int, cfg: ProjectiveIcpConfig):
     return T_new, stats
 
 
-def _step(T, src_pts, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig):
+def _step(T, src_pts_t, src_ok, dst_level: PyramidLevel, intr: camera.Intrinsics, cfg: ProjectiveIcpConfig):
     """One association round: ONE plane gather at the current pose, then
     cfg.inner_iters Gauss-Newton updates against those fixed planes
-    (inner_iters=1 is classic re-associate-every-step projective ICP)."""
-    n, d_plane, ok = associate_planes(T, src_pts, src_ok, dst_level, intr, cfg)
-    num_samples = src_pts.shape[0]
+    (inner_iters=1 is classic re-associate-every-step projective ICP).
+    src_pts_t is LANE-MAJOR (3, P) -- transposed once per level by callers.
+    """
+    n_t, d_plane, ok = associate_planes_t(T, src_pts_t, src_ok, dst_level, intr, cfg)
+    num_samples = src_pts_t.shape[1]
 
     def inner(_, carry):
         T_c, _ = carry
-        H, b, aux = normal_equations_fixed(T_c, src_pts, n, d_plane, ok, cfg)
+        H, b, aux = normal_equations_fixed_t(T_c, src_pts_t, n_t, d_plane, ok, cfg)
         return solve_update(T_c, H, b, aux, num_samples, cfg)
 
     init = (T, (jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0)))
@@ -285,12 +326,13 @@ def projective_icp(
             src_pts, _, src_ok = sample_level_normal_space(src_levels[li], level_samples)
         else:
             src_pts, _, src_ok = sample_level(src_levels[li], level_samples)
+        src_pts_t = src_pts.T  # lane-major for the GN loop, once per level
         dst_level = dst_levels[li]
         intr = intrs[li]
 
-        def body(_, carry, dst_level=dst_level, intr=intr, src_pts=src_pts, src_ok=src_ok):
+        def body(_, carry, dst_level=dst_level, intr=intr, src_pts_t=src_pts_t, src_ok=src_ok):
             T, _ = carry
-            return _step(T, src_pts, src_ok, dst_level, intr, cfg)
+            return _step(T, src_pts_t, src_ok, dst_level, intr, cfg)
 
         T, stats = jax.lax.fori_loop(0, level_iters, body, (T, stats))
 
@@ -322,12 +364,13 @@ def projective_icp_sampled(
     for li in range(num_levels - 1, -1, -1):  # coarse -> fine
         level_iters = cfg.iters[num_levels - 1 - li]
         src_pts, src_ok = src_samples[li]
+        src_pts_t = src_pts.T  # lane-major for the GN loop, once per level
         dst_level = dst_levels[li]
         intr = intrs[li]
 
-        def body(_, carry, dst_level=dst_level, intr=intr, src_pts=src_pts, src_ok=src_ok):
+        def body(_, carry, dst_level=dst_level, intr=intr, src_pts_t=src_pts_t, src_ok=src_ok):
             T, _ = carry
-            return _step(T, src_pts, src_ok, dst_level, intr, cfg)
+            return _step(T, src_pts_t, src_ok, dst_level, intr, cfg)
 
         T, stats = jax.lax.fori_loop(0, level_iters, body, (T, stats))
 

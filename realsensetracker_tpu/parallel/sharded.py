@@ -117,25 +117,25 @@ def register_batch_point_sharded(
                     vertex_map=None, normal_map=None, valid=None,
                     vertex_valid=None, packed=packed_pair[li],
                 )
-                local_pts = pts_pair[li]
+                local_pts_t = pts_pair[li].T  # lane-major, once per level
                 local_ok = ok_pair[li]
                 lvl_intr = intrs[li]
 
                 def body(_, carry, dst_level=dst_level, lvl_intr=lvl_intr,
-                         local_pts=local_pts, local_ok=local_ok):
+                         local_pts_t=local_pts_t, local_ok=local_ok):
                     T, _rmse = carry
                     # Associate once (local gather), then cfg.inner_iters GN
                     # updates against the fixed planes -- same outer/inner
                     # split as the unsharded flagship (projective._step);
                     # each inner step psums its partial normal equations.
-                    n, d_pl, a_ok = projective.associate_planes(
-                        T, local_pts, local_ok, dst_level, lvl_intr, cfg
+                    n_t, d_pl, a_ok = projective.associate_planes_t(
+                        T, local_pts_t, local_ok, dst_level, lvl_intr, cfg
                     )
 
                     def inner(_, c):
                         T_c, _r = c
-                        H, b, aux = projective.normal_equations_fixed(
-                            T_c, local_pts, n, d_pl, a_ok, cfg
+                        H, b, aux = projective.normal_equations_fixed_t(
+                            T_c, local_pts_t, n_t, d_pl, a_ok, cfg
                         )
                         # The collective: reduce partials over ICI.
                         H, b, aux = jax.lax.psum((H, b, aux), axis_name=point_axis)
