@@ -27,15 +27,17 @@ from realsensetracker_tpu.ops.pyramid import PyramidLevel
 class ProjectiveIcpConfig(NamedTuple):
     """Static solver configuration (hashable -> usable as jit static arg)."""
 
-    iters: tuple[int, ...] = (3, 3, 2)  # association rounds per level,
-    # coarse -> fine order
+    iters: tuple[int, ...] = (3, 3, 3, 2)  # association rounds per level,
+    # coarse -> fine order; 4 levels (coarsest 80x60 at 640x480).
     # GN steps per correspondence set: each level round gathers planes
     # ONCE, then applies `inner_iters` Gauss-Newton updates against those
     # fixed planes (the reference's outer/inner split, align_gicp.cpp:
     # 134-159, applied to projective ICP). The gather is the hot-loop
-    # bottleneck (BENCHMARKS.md), so the flagship (3,3,2) x 2 matches the
-    # old (6,5,4) x 1 accuracy (twist err ~8e-5 at 640x480) at roughly
-    # half the gather cost: 3949 vs 3065 pairs/s chunked on v5e.
+    # bottleneck (BENCHMARKS.md): x2 inner halves the gathers at equal
+    # small-motion accuracy (twist err ~8e-5 at 640x480), and the 4th
+    # pyramid level restores the basin edge the shorter 3-level schedule
+    # lost (18-case 0.08-0.12 rad/m sweep: 3 failures, same as the old
+    # (6,5,4) x 1, vs 6 for 3-level (3,3,2) x 2).
     inner_iters: int = 2
     samples: int = 2048  # source points sampled at the FINEST level
     sample_mode: str = "stride"  # "stride" | "normal_space" (config 3)

@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=2048)
     p.add_argument("--points", type=int, default=4096, help="cloud pipelines")
     # Flagship schedule (BENCHMARKS.md): coarse -> fine association rounds.
-    p.add_argument("--level-iters", default="3,3,2")
+    p.add_argument("--level-iters", default="3,3,3,2")
     p.add_argument("--inner-iters", type=int, default=2,
                    help="GN updates per association (gathers once per round)")
     p.add_argument("--chunk", type=int, default=0,

@@ -13,7 +13,10 @@ import numpy as np
 
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
-FORMAT_VERSION = 2  # v2: packed = (4,H,W) plane table
+FORMAT_VERSION = 3  # v2: packed = (4,H,W) plane table; v3: flagship
+# keyframe pyramids have 4 levels (config-dependent level COUNT is stored,
+# but v2-era defaults produced 3-level pyramids that a 4-level tracker
+# cannot resume against)
 
 
 def _flatten_levels(levels) -> dict:
