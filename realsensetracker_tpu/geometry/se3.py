@@ -69,6 +69,26 @@ def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Project an accumulated pose back onto SE(3) (nearest rotation by SVD).
+
+    Pose-feedback loops of the form
+    ``pose = compose(kf, register(init=inverse(kf) @ pose))`` AMPLIFY
+    rotation denormalization: inverse() uses the rigid R-transpose
+    shortcut, so a column-scale error e in R returns as ~2e in the warm
+    start and compounds ~3x per frame -- measured growing from a 2e-7
+    seed to 1e-2 by frame 12, which collapses tracking. One 3x3 SVD at
+    each accumulation point removes the instability.
+    """
+    R = rotation(T)
+    t = translation(T)
+    u, _, vt = jnp.linalg.svd(R)
+    Rn = jnp.matmul(u, vt, precision=_HI)
+    det = jnp.linalg.det(Rn)
+    Rn = Rn.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+    return from_rt(Rn, t)
+
+
 def transform_points_t(T: jnp.ndarray, points_t: jnp.ndarray) -> jnp.ndarray:
     """Apply a pose to LANE-MAJOR points (3, N) -> (3, N), f32 precision.
 

@@ -110,4 +110,24 @@ class KeyframeDatabase:
                 res.transform, cloud_a, self._clouds[k], overlap_tau
             )
             ok = min(float(fwd), float(bwd)) >= min_overlap
-        return res.transform, ok
+        T = res.transform
+        if ok:
+            # ICP-refine the accepted coarse transform (the reference's own
+            # recipe: robust/FPFH init -> AlignIcp3d refine,
+            # rs_align_app.cpp:292-308). The global registration is
+            # centimeter-accurate at best; a pose-graph edge that coarse
+            # DEGRADES millimeter-accurate odometry, so refine to local
+            # optimality and keep the refinement only if it does not lose
+            # overlap.
+            from realsensetracker_tpu.align import icp as icp_mod
+
+            ref = icp_mod.align_icp(
+                cloud_a, self._clouds[k], max_iter=64, init_transform=T
+            )
+            if bool(jnp.all(jnp.isfinite(ref.transform))):
+                f2, b2 = robust_global.symmetric_overlap(
+                    ref.transform, cloud_a, self._clouds[k], overlap_tau
+                )
+                if min(float(f2), float(b2)) >= min(float(fwd), float(bwd)):
+                    T = ref.transform
+        return T, ok

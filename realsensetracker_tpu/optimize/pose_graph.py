@@ -99,11 +99,18 @@ def optimize_pose_graph(
     gn_iters: int = 10,
     cg_iters: int = 50,
     damping: float = 1e-6,
+    huber_delta: float = 0.1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Optimize node poses; returns (poses (N, 4, 4), final cost).
 
     Each GN iteration linearizes all edges at once and solves the damped
     normal equations with matrix-free CG (Hv = J^T(J v) via jvp+vjp).
+
+    huber_delta: robust kernel on each edge's twist-norm residual (IRLS,
+    re-evaluated per GN iteration). A single grossly-wrong loop edge in a
+    plain least-squares graph drags every pose; Huber caps its influence
+    while leaving consistent edges (twist residual < delta) untouched.
+    0 disables.
     """
     n = graph.poses.shape[0]
 
@@ -112,8 +119,19 @@ def optimize_pose_graph(
         g = graph._replace(poses=poses)
         zero = jnp.zeros((n, 6), jnp.float32)
 
+        # IRLS robust weights from the CURRENT residuals, fixed for this
+        # linearization.
+        r_edges = _edge_residuals(zero, g)  # (E, 6), already edge-weighted
+        if huber_delta > 0:
+            rn = jnp.linalg.norm(r_edges, axis=-1)
+            w_rob = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-12)))
+        else:
+            w_rob = jnp.ones(r_edges.shape[0], jnp.float32)
+
         def res_flat(tw):
-            return _edge_residuals(tw.reshape(n, 6), g).reshape(-1)
+            return (
+                _edge_residuals(tw.reshape(n, 6), g) * w_rob[:, None]
+            ).reshape(-1)
 
         r0 = res_flat(zero.reshape(-1))
         _, vjp = jax.vjp(res_flat, zero.reshape(-1))

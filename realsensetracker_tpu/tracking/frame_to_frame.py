@@ -102,8 +102,10 @@ class FrameToFrameTracker:
             inlier >= self.min_inlier_fraction
         )
         if success:
-            # Pose composition (rs_replay_app.cpp:267) + model insert (:268).
-            self._pose = se3.compose(self._pose, icp.transform)
+            # Pose composition (rs_replay_app.cpp:267) + model insert (:268);
+            # orthonormalized so per-frame rounding cannot accumulate into
+            # R denormalization over long streams (se3.orthonormalize).
+            self._pose = se3.orthonormalize(se3.compose(self._pose, icp.transform))
             self._prev_levels = levels
             if self.map_capacity:
                 self._map = self._insert(levels, self._pose)

@@ -86,7 +86,10 @@ class FrameToModelTracker:
             float(out.mean_cost) < self.max_mean_cost
         )
         if ok:
-            self._pose = out.transform  # absolute world_from_camera
+            # absolute world_from_camera; orthonormalized because the pose
+            # seeds the next frame's registration (feedback loop -- see
+            # se3.orthonormalize).
+            self._pose = se3.orthonormalize(out.transform)
             self._model = acc_mod.add_cloud(self._model, self._pose, curr, self.voxel_size)
         self.trajectory.append(timestamp, self._pose)
         res = FrameResult(

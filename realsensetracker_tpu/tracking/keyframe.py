@@ -39,7 +39,15 @@ class KeyframeTracker:
     max_translation: float = 0.15  # meters
     max_rotation: float = 0.15  # radians
     min_overlap: float = 0.6  # inlier fraction below this forces a keyframe
+    # Lost-tracking recovery: after this many consecutive failures the
+    # CURRENT frame becomes the keyframe (pose held). Without this a
+    # transient degeneracy (e.g. a featureless-wall stretch) leaves the
+    # tracker registering against an ever-staler keyframe forever; with
+    # it, tracking resumes as soon as content returns and the SLAM
+    # layer's loop closure can re-anchor the accumulated drift.
+    max_consecutive_failures: int = 5
 
+    _fail_streak: int = 0
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
     _pose: object = field(default=None, repr=False)
@@ -81,13 +89,27 @@ class KeyframeTracker:
         )
         is_new_kf = False
         if success:
-            self._pose = se3.compose(self._kf_pose, icp.transform)
+            self._fail_streak = 0
+            # orthonormalize: the warm-start feedback loop amplifies any
+            # rotation denormalization exponentially (se3.orthonormalize).
+            self._pose = se3.orthonormalize(
+                se3.compose(self._kf_pose, icp.transform)
+            )
             tw = np.asarray(se3.log(icp.transform))
             if (
                 np.linalg.norm(tw[:3]) > self.max_translation
                 or np.linalg.norm(tw[3:]) > self.max_rotation
                 or inlier < self.min_overlap
             ):
+                self._kf_levels = levels
+                self._kf_pose = self._pose
+                is_new_kf = True
+        else:
+            self._fail_streak += 1
+            if self._fail_streak >= self.max_consecutive_failures:
+                # Recovery re-seed: pose held, current frame becomes the
+                # reference so tracking can resume.
+                self._fail_streak = 0
                 self._kf_levels = levels
                 self._kf_pose = self._pose
                 is_new_kf = True

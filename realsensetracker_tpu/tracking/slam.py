@@ -35,7 +35,10 @@ class SlamConfig:
     loop_similarity: float = 0.95
     loop_min_separation: int = 5  # in keyframes
     loop_noise_bound: float = 0.25
-    loop_weight: float = 4.0
+    # Loop edges are ICP-refined measurements with precision comparable to
+    # odometry edges -- weight them equally (over-weighting loops lets any
+    # residual loop error degrade better-than-loop odometry).
+    loop_weight: float = 1.0
     # Verifier acceptance: symmetric cloud-overlap fraction under the
     # estimated loop transform (loop_closure/detector.py verify()). This is
     # the check that rejects confident-wrong registrations on self-similar

@@ -72,6 +72,68 @@ class TestFrameToFrame:
 
 
 class TestKeyframe:
+    def test_long_feedback_loop_stays_orthonormal(self):
+        """Regression: the warm-start feedback loop (pose = kf @ icp(init =
+        inv(kf) @ pose)) amplified rotation denormalization ~3x per frame
+        (2e-7 seed -> 1e-2 by frame 12 -> tracking collapse). With
+        se3.orthonormalize at the accumulation point, a 24-frame forced-
+        keyframe out-and-back run must stay orthonormal, successful, and
+        millimeter-accurate."""
+        scene = synthetic.default_scene(seed=4)
+        step = jnp.asarray([0.02, 0.0, 0.015, 0.0, 0.018, 0.0], jnp.float32)
+        twists = [step] * 12 + [-step] * 11
+        poses = [se3.identity()]
+        for tw in twists:
+            poses.append(se3.compose(poses[-1], se3.exp(tw)))
+        depths = [synthetic.render_depth(INTR, T, scene) for T in poses]
+        P = np.asarray(jnp.stack(poses))
+
+        cfg = projective.ProjectiveIcpConfig(
+            iters=(3, 3, 3, 2), inner_iters=2, samples=1024
+        )
+        tr = KeyframeTracker(INTR, cfg)
+        tr.max_translation = 1e-6  # force a promotion (feedback) every frame
+        tr.max_rotation = 1e-6
+        n_fail = 0
+        for i in range(len(poses)):
+            res = tr.process(depths[i], float(i))
+            n_fail += 0 if res.success else 1
+        assert n_fail == 0
+        R = np.asarray(tr.pose)[:3, :3]
+        assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
+        t_err = np.linalg.norm(np.asarray(tr.pose)[:3, 3] - P[-1][:3, 3])
+        assert t_err < 0.01  # meters
+
+    def test_recovery_reseeds_keyframe_after_failures(self):
+        """After max_consecutive_failures the CURRENT frame becomes the
+        keyframe (pose held) so tracking can resume -- without this a
+        transient degeneracy locks the tracker on a stale keyframe."""
+        scene = synthetic.default_scene(seed=0)
+        good = synthetic.render_depth(INTR, se3.identity(), scene)
+        tracker = KeyframeTracker(
+            INTR, projective.ProjectiveIcpConfig(iters=(2, 2, 2), samples=512),
+            max_consecutive_failures=3,
+        )
+        tracker.process(good, 0.0)
+        # Unregistrable frames: all-invalid depth.
+        bad = jnp.zeros_like(good)
+        reseeded = False
+        for k in range(4):
+            res = tracker.process(bad, 1.0 + k)
+            assert not res.success
+            reseeded = reseeded or res.is_new_keyframe
+        assert reseeded  # the 3rd failure re-seeded (pose held)
+        # A frame matching the re-seeded (empty) keyframe still fails, but a
+        # NEW re-seed cycle eventually accepts real content again.
+        far = synthetic.render_depth(
+            INTR, se3.exp(jnp.asarray([1.0, 0, 0, 0, 1.0, 0], jnp.float32)), scene
+        )
+        recovered = False
+        for k in range(8):
+            res = tracker.process(far, 10.0 + k)
+            recovered = recovered or res.success
+        assert recovered
+
     def test_tracks_with_fewer_reference_switches(self):
         depths, poses = _trajectory_frames(8, step=0.01)
         tracker = KeyframeTracker(INTR, CFG)
