@@ -79,7 +79,8 @@ def step_streams(
     finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
     success = finite & (res.inlier_fraction >= min_inlier_fraction)
 
-    new_pose = se3.compose(state.poses, res.transform)
+    # Orthonormalized accumulation (batched 3x3 SVD; see se3.orthonormalize).
+    new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
     poses = jnp.where(success[:, None, None], new_pose, state.poses)
     # Failure semantics (ref rs_replay_app.cpp:266-273): keep the old
     # reference frame and pose where registration failed.
