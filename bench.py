@@ -23,7 +23,7 @@ def main() -> None:
     from realsensetracker_tpu.parallel import batched
 
     intr = camera.TUM_FR1  # 640x480
-    cfg = projective.ProjectiveIcpConfig()  # flagship defaults: (3,3,2) x 2
+    cfg = projective.ProjectiveIcpConfig()  # flagship defaults: (3,3,3,2) x 2
     # chunk=512 is the 640x480 HBM sweet spot per dispatch; scanning 4
     # chunks inside ONE dispatch amortizes the relay's ~45 ms warmed-up
     # per-dispatch overhead (BENCHMARKS.md). BASELINE config 4's 64-pair

@@ -155,10 +155,17 @@ int rsc_read_colors(const char* path, uint8_t* colors) {
     return -6;
   }
   // Seek past stamps + depth plane (header was consumed by ReadHeader).
-  const int64_t skip = 8 * static_cast<int64_t>(h.num_frames) + DepthBytes(h);
-  if (std::fseek(f, static_cast<long>(skip), SEEK_CUR) != 0) {
-    std::fclose(f);
-    return -3;
+  // Chunked SEEK_CUR: a single fseek(long) truncates 64-bit offsets on
+  // LLP64 platforms for clips over 2 GiB.
+  int64_t skip = 8 * static_cast<int64_t>(h.num_frames) + DepthBytes(h);
+  while (skip > 0) {
+    const long step =
+        skip > 0x40000000 ? 0x40000000L : static_cast<long>(skip);
+    if (std::fseek(f, step, SEEK_CUR) != 0) {
+      std::fclose(f);
+      return -3;
+    }
+    skip -= step;
   }
   const int64_t total =
       static_cast<int64_t>(h.num_frames) * h.height * h.width * 3;

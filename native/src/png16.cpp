@@ -186,7 +186,9 @@ int png16_decode_batch(const char* joined_paths, int32_t count,
       p = nl + 1;
     }
   }
-  if (static_cast<int32_t>(paths.size()) != count) return -1000;
+  // Sentinel outside the -(1 + index) range so it can never collide with a
+  // per-file failure code.
+  if (static_cast<int32_t>(paths.size()) != count) return INT32_MIN;
 
   const size_t frame = static_cast<size_t>(height) * width;
   std::vector<int> errs(count, 0);

@@ -92,12 +92,18 @@ class Tracker:
 
 
 def _as_gray(color):
-    """(H, W) gray passthrough | (H, W, 3) float/uint8 -> BT.601 luma."""
+    """(H, W) gray | (H, W, 3) RGB -> [0, 1] float32 luma (BT.601).
+
+    uint8 inputs scale by 1/255 in BOTH arities: the photometric term
+    (align/rgbd.py) assumes [0, 1] intensities (photo_huber, photo_weight
+    are calibrated in those units), so an unscaled 0-255 grayscale would
+    silently destroy the geometric/photometric balance.
+    """
     arr = np.asarray(color)
-    if arr.ndim == 2:
-        return arr.astype(np.float32)
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
     return arr.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114], np.float32)
 
 

@@ -198,6 +198,19 @@ def render_pair(
     return depth0, depth1, T_c0_c1
 
 
+def _random_walk_poses(num_frames: int, seed: int, step_scale: float) -> jnp.ndarray:
+    """Shared pose generator: the depth-only and RGB-D trajectory renderers
+    MUST produce identical poses for the same seed (record_synthetic_clip
+    relies on it), so the walk lives in exactly one place."""
+    key = jax.random.PRNGKey(seed)
+    twists = step_scale * jax.random.normal(key, (num_frames - 1, 6), dtype=jnp.float32)
+    twists = twists.at[:, 3:].multiply(0.5)  # damp rotations vs translations
+    poses = [se3.identity()]
+    for i in range(num_frames - 1):
+        poses.append(se3.compose(poses[-1], se3.exp(twists[i])))
+    return jnp.stack(poses)
+
+
 def render_trajectory(
     intr: camera.Intrinsics,
     num_frames: int,
@@ -211,13 +224,7 @@ def render_trajectory(
     """
     if scene is None:
         scene = default_scene()
-    key = jax.random.PRNGKey(seed)
-    twists = step_scale * jax.random.normal(key, (num_frames - 1, 6), dtype=jnp.float32)
-    twists = twists.at[:, 3:].multiply(0.5)
-    poses = [se3.identity()]
-    for i in range(num_frames - 1):
-        poses.append(se3.compose(poses[-1], se3.exp(twists[i])))
-    poses = jnp.stack(poses)
+    poses = _random_walk_poses(num_frames, seed, step_scale)
     depths = jax.vmap(lambda T: render_depth(intr, T, scene))(poses)
     return depths, poses
 
@@ -232,12 +239,6 @@ def render_trajectory_rgbd(
     """RGB-D random-walk trajectory: (depths (F,H,W), colors (F,H,W,3), poses)."""
     if scene is None:
         scene = default_scene()
-    key = jax.random.PRNGKey(seed)
-    twists = step_scale * jax.random.normal(key, (num_frames - 1, 6), dtype=jnp.float32)
-    twists = twists.at[:, 3:].multiply(0.5)
-    poses = [se3.identity()]
-    for i in range(num_frames - 1):
-        poses.append(se3.compose(poses[-1], se3.exp(twists[i])))
-    poses = jnp.stack(poses)
+    poses = _random_walk_poses(num_frames, seed, step_scale)
     depths, colors = jax.vmap(lambda T: render_rgbd(intr, T, scene))(poses)
     return depths, colors, poses

@@ -89,7 +89,12 @@ class TumSequence:
         ts = self.depth_index[i][0]
         import bisect
 
-        stamps = [t for t, _ in self.rgb_index]
+        # Cache the stamp list: rebuilding it per call made frames_rgbd
+        # O(frames x rgb_entries) on the host ingest path.
+        stamps = getattr(self, "_rgb_stamps", None)
+        if stamps is None or len(stamps) != len(self.rgb_index):
+            stamps = [t for t, _ in self.rgb_index]
+            object.__setattr__(self, "_rgb_stamps", stamps)
         j = bisect.bisect_left(stamps, ts)
         best, best_dt = None, max_dt
         for k in (j - 1, j):

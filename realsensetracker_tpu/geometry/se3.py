@@ -69,6 +69,7 @@ def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@jax.jit
 def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
     """Project an accumulated pose back onto SE(3) (nearest rotation by SVD).
 
@@ -87,6 +88,17 @@ def orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
     det = jnp.linalg.det(Rn)
     Rn = Rn.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
     return from_rt(Rn, t)
+
+
+@jax.jit
+def accumulate(T_prev: jnp.ndarray, T_delta: jnp.ndarray) -> jnp.ndarray:
+    """orthonormalize(compose(T_prev, T_delta)) as ONE jitted dispatch.
+
+    The streaming trackers run this once per frame on the host path; the
+    eager op-by-op form would cost several relay dispatches at the ~45 ms
+    warmed-process floor each (CLAUDE.md gotcha 11).
+    """
+    return orthonormalize(compose(T_prev, T_delta))
 
 
 def transform_points_t(T: jnp.ndarray, points_t: jnp.ndarray) -> jnp.ndarray:

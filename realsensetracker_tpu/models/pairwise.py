@@ -52,9 +52,15 @@ def align_pair(
             max_nbrs = fpfh_mod.auto_max_neighbors(
                 (src_d, cfg.feature_radius), (dst_d, cfg.feature_radius)
             )
-        elif fpfh_mod.ball_truncated(
-            src_d, cfg.feature_radius, max_nbrs
-        ) or fpfh_mod.ball_truncated(dst_d, cfg.feature_radius, max_nbrs):
+        src_f, trunc_s = fpfh_mod.compute_fpfh_checked(
+            src_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
+        )
+        dst_f, trunc_d = fpfh_mod.compute_fpfh_checked(
+            dst_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
+        )
+        # Truncation detection is a free byproduct of the kNN pass (the
+        # K+1-th neighbor), not an extra O(N^2) sweep.
+        if bool(trunc_s) or bool(trunc_d):
             import warnings
 
             warnings.warn(
@@ -64,12 +70,6 @@ def align_pair(
                 "Set fpfh_max_neighbors=0 for auto sizing.",
                 stacklevel=2,
             )
-        src_f = fpfh_mod.compute_fpfh(
-            src_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
-        )
-        dst_f = fpfh_mod.compute_fpfh(
-            dst_d, viewpoint, cfg.normal_k, cfg.feature_radius, max_nbrs
-        )
 
     if cfg.init_with_fpfh:
         matches, _ = fpfh_mod.compute_matches(src_f, dst_f, src_d.mask, dst_d.mask, 2)

@@ -52,6 +52,7 @@ def read_png16_batch(
             out.ctypes.data_as(ctypes.c_void_p), ctypes.c_float(scale),
         )
     if rc != 0:
-        bad = paths[-rc - 1] if 0 < -rc <= n else "?"
+        # INT32_MIN = path-list parse failure (distinct from per-file codes).
+        bad = paths[-rc - 1] if 0 < -rc <= n else "<path list parse failure>"
         raise ValueError(f"batch PNG decode failed (rc={rc}, file={bad})")
     return out

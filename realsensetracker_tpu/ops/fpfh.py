@@ -80,17 +80,30 @@ def _histogram(feats, weights):
 def compute_spfh(
     cloud: Cloud, normals: jnp.ndarray, radius: float, max_neighbors: int = 64
 ):
-    """SPFH histograms (N, 33) + neighborhood (idx, nbr_ok) for reuse.
+    """SPFH histograms (N, 33) + neighborhood (idx, nbr_ok, dist, truncated).
 
     Neighborhood = K nearest within `radius` (self included), capped at
     max_neighbors; choose the cap >= the densest true ball for exact parity.
+    `truncated` (scalar bool) reports whether any point's true radius ball
+    exceeds the cap -- detected from the (K+1)-th nearest neighbor, which
+    the dense kNN pass provides for free (vs the separate O(N^2)
+    ball_counts sweep).
     """
     k = min(max_neighbors, cloud.capacity)
-    idx, _ = correspond.knn(cloud.points, cloud, k)  # includes self (d=0)
+    k_probe = min(k + 1, cloud.capacity)  # +1 column: truncation detector
+    idx_p, _ = correspond.knn(cloud.points, cloud, k_probe)  # self included
+    idx = idx_p[:, :k]
     p1 = cloud.points[:, None, :]  # (N, 1, 3)
     p2 = cloud.points[idx]  # (N, K, 3)
     # Exact distances (matmul-form d2 loses precision near zero).
     dist = jnp.linalg.norm(p2 - p1, axis=-1)
+    if k_probe > k:
+        d_probe = jnp.linalg.norm(cloud.points[idx_p[:, k]] - cloud.points, axis=-1)
+        truncated = jnp.any(
+            (d_probe <= radius) & cloud.mask[idx_p[:, k]] & cloud.mask
+        )
+    else:
+        truncated = jnp.asarray(False)
     nbr_ok = (dist <= radius) & cloud.mask[idx] & cloud.mask[:, None]
     is_self = idx == jnp.arange(cloud.capacity)[:, None]
 
@@ -102,20 +115,23 @@ def compute_spfh(
     dhist = jnp.where(n_nbrs > 1, 1.0 / jnp.maximum(n_nbrs - 1, 1), 0.0)  # fpfh.cpp:77
     w = (nbr_ok & ~is_self & pfh_ok).astype(feats.dtype) * dhist[:, None]
     spfh = _histogram(feats, w)
-    return spfh, idx, nbr_ok, dist
+    return spfh, idx, nbr_ok, dist, truncated
 
 
 @partial(jax.jit, static_argnames=("max_neighbors",))
-def compute_fpfh_from_normals(
+def compute_fpfh_from_normals_checked(
     cloud: Cloud, normals: jnp.ndarray, radius: float, max_neighbors: int = 64
-) -> jnp.ndarray:
-    """FPFH features (N, 33) given precomputed oriented normals.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FPFH features (N, 33) + scalar `truncated` flag (see compute_spfh)
+    given precomputed oriented normals.
 
     Mirrors ComputeFpfhImpl (fpfh.cpp:114-176): fpfh_i = sum over radius
     neighbors j != i of spfh_j / dist_ij, then per-segment unit-sum
     normalization.
     """
-    spfh, idx, nbr_ok, dist = compute_spfh(cloud, normals, radius, max_neighbors)
+    spfh, idx, nbr_ok, dist, truncated = compute_spfh(
+        cloud, normals, radius, max_neighbors
+    )
     is_self = idx == jnp.arange(cloud.capacity)[:, None]
     contrib_ok = nbr_ok & ~is_self & (dist > 0)
     w = jnp.where(contrib_ok, 1.0 / jnp.maximum(dist, 1e-30), 0.0)  # fpfh.cpp:164-165
@@ -123,10 +139,32 @@ def compute_fpfh_from_normals(
     seg = feat.reshape(-1, 3, NUM_BINS)
     seg_sum = jnp.sum(seg, axis=-1, keepdims=True)
     seg = jnp.where(seg_sum > 0, seg / jnp.maximum(seg_sum, 1e-30), seg)  # :169-174
-    return seg.reshape(-1, FPFH_SIZE)
+    return seg.reshape(-1, FPFH_SIZE), truncated
+
+
+def compute_fpfh_from_normals(
+    cloud: Cloud, normals: jnp.ndarray, radius: float, max_neighbors: int = 64
+) -> jnp.ndarray:
+    """FPFH features (N, 33); see compute_fpfh_from_normals_checked."""
+    return compute_fpfh_from_normals_checked(cloud, normals, radius, max_neighbors)[0]
 
 
 @partial(jax.jit, static_argnames=("normal_k", "max_neighbors"))
+def compute_fpfh_checked(
+    cloud: Cloud,
+    viewpoint: jnp.ndarray,
+    normal_k: int = 16,
+    feature_radius: float = 0.5,
+    max_neighbors: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full pipeline of ComputeFpfh (fpfh.cpp:238-254): kNN-PCA normals ->
+    viewpoint orientation -> FPFH. Also returns the scalar ball-truncation
+    flag (free byproduct of the kNN pass, compute_spfh)."""
+    n = normals_mod.knn_pca_normals(cloud, k=normal_k)
+    n = normals_mod.orient_normals(cloud.points, n, viewpoint)
+    return compute_fpfh_from_normals_checked(cloud, n, feature_radius, max_neighbors)
+
+
 def compute_fpfh(
     cloud: Cloud,
     viewpoint: jnp.ndarray,
@@ -134,11 +172,10 @@ def compute_fpfh(
     feature_radius: float = 0.5,
     max_neighbors: int = 64,
 ) -> jnp.ndarray:
-    """Full pipeline of ComputeFpfh (fpfh.cpp:238-254): kNN-PCA normals ->
-    viewpoint orientation -> FPFH."""
-    n = normals_mod.knn_pca_normals(cloud, k=normal_k)
-    n = normals_mod.orient_normals(cloud.points, n, viewpoint)
-    return compute_fpfh_from_normals(cloud, n, feature_radius, max_neighbors)
+    """Full FPFH pipeline; see compute_fpfh_checked."""
+    return compute_fpfh_checked(
+        cloud, viewpoint, normal_k, feature_radius, max_neighbors
+    )[0]
 
 
 @partial(jax.jit, static_argnames=("chunk",))

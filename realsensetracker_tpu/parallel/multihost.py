@@ -36,6 +36,9 @@ def process_stream_slice(num_streams: int) -> slice:
     return slice(pid * per, min((pid + 1) * per, num_streams))
 
 
+_barrier_calls = 0
+
+
 def all_processes_ready() -> None:
     """Cross-host barrier: a reduction spanning EVERY device in the system.
 
@@ -46,16 +49,22 @@ def all_processes_ready() -> None:
     verifies the contribution count. Single-process this degenerates to a
     local reduction over the local devices (cheap, still executed).
     """
+    global _barrier_calls
+    _barrier_calls += 1
     devices = np.array(jax.devices())  # all devices, all processes
     mesh = Mesh(devices, ("all",))
     sharding = NamedSharding(mesh, P("all"))
-    local = np.ones((len(jax.local_devices()),), np.float32)
-    global_ones = jax.make_array_from_process_local_data(sharding, local)
+    # Per-call varying payload: the axon relay MEMOIZES byte-identical jit
+    # executions (CLAUDE.md gotcha 2), so an all-ones barrier would stop
+    # actually all-reducing after its first invocation. The call counter
+    # makes every barrier a distinct execution.
+    local = np.full((len(jax.local_devices()),), float(_barrier_calls), np.float32)
+    global_vals = jax.make_array_from_process_local_data(sharding, local)
     total = jax.jit(
         jnp.sum, out_shardings=NamedSharding(mesh, P())
-    )(global_ones)
+    )(global_vals)
     total = float(jax.device_get(total))
-    if total != len(devices):
+    if total != len(devices) * _barrier_calls:
         raise RuntimeError(
-            f"barrier mismatch: {total} contributions for {len(devices)} devices"
+            f"barrier mismatch: {total} != {len(devices)} devices x call {_barrier_calls}"
         )

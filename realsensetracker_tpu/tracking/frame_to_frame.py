@@ -104,8 +104,8 @@ class FrameToFrameTracker:
         if success:
             # Pose composition (rs_replay_app.cpp:267) + model insert (:268);
             # orthonormalized so per-frame rounding cannot accumulate into
-            # R denormalization over long streams (se3.orthonormalize).
-            self._pose = se3.orthonormalize(se3.compose(self._pose, icp.transform))
+            # R denormalization over long streams (one jitted dispatch).
+            self._pose = se3.accumulate(self._pose, icp.transform)
             self._prev_levels = levels
             if self.map_capacity:
                 self._map = self._insert(levels, self._pose)

@@ -91,10 +91,9 @@ class KeyframeTracker:
         if success:
             self._fail_streak = 0
             # orthonormalize: the warm-start feedback loop amplifies any
-            # rotation denormalization exponentially (se3.orthonormalize).
-            self._pose = se3.orthonormalize(
-                se3.compose(self._kf_pose, icp.transform)
-            )
+            # rotation denormalization exponentially (se3.orthonormalize);
+            # se3.accumulate keeps it one jitted dispatch per frame.
+            self._pose = se3.accumulate(self._kf_pose, icp.transform)
             tw = np.asarray(se3.log(icp.transform))
             if (
                 np.linalg.norm(tw[:3]) > self.max_translation

@@ -73,8 +73,8 @@ class RgbdTracker:
             inlier >= self.min_inlier_fraction
         )
         if success:
-            # Orthonormalized accumulation (see se3.orthonormalize).
-            self._pose = se3.orthonormalize(se3.compose(self._pose, out.transform))
+            # Orthonormalized accumulation in one jitted dispatch.
+            self._pose = se3.accumulate(self._pose, out.transform)
             self._prev_target = target
         self.trajectory.append(timestamp, self._pose)
         res = FrameResult(
