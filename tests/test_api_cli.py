@@ -24,6 +24,21 @@ def _frames(n=4, seed=0):
 
 
 class TestTrackerFacade:
+    def test_as_gray_uint8_scaling_both_arities(self):
+        """Regression: a 2D uint8 grayscale must scale by 1/255 exactly like
+        the 3-channel uint8 case (the photometric term assumes [0,1])."""
+        from realsensetracker_tpu.api.tracker import _as_gray
+
+        g8 = (np.arange(12, dtype=np.uint8) * 20).reshape(3, 4)
+        out2d = _as_gray(g8)
+        assert out2d.max() <= 1.0
+        np.testing.assert_allclose(out2d, g8.astype(np.float32) / 255.0)
+        rgb8 = np.stack([g8, g8, g8], axis=-1)
+        np.testing.assert_allclose(_as_gray(rgb8), out2d, atol=1e-6)
+        # float inputs pass through unscaled in both arities.
+        gf = g8.astype(np.float32) / 255.0
+        np.testing.assert_allclose(_as_gray(gf), gf)
+
     @pytest.mark.parametrize("method", ["projective", "keyframe"])
     def test_depth_methods_track(self, method):
         depths, poses = _frames(4)
