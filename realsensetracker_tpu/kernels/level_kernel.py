@@ -105,7 +105,10 @@ def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, c
 def build_level_packed(
     depth: jnp.ndarray,
     intr: camera.Intrinsics,
-    tile_h: int = 48,  # fewer, fatter programs measured slightly faster
+    tile_h: int = 240,  # the kernel is launch/DMA bound, not compute bound
+    # (a copy-only variant costs ~90% as much): fewer, fatter programs win.
+    # 240 measured 16% faster than 48 at 480x640 batch 512; 480 (whole
+    # image) overflows the 16 MB VMEM scoped allocation by ~0.4 MB.
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Depth (H, W) with 0=invalid -> planar plane table (4, H, W).
@@ -116,10 +119,14 @@ def build_level_packed(
     depth = depth.astype(jnp.float32)
     h, w = depth.shape
     # Mosaic requires the second-to-last block dim to be a multiple of 8 or
-    # equal to the array dim: prefer a multiple-of-8 tile that divides H,
-    # else process the whole image as one block (small pyramid levels).
+    # equal to the array dim: pick the LARGEST multiple-of-8 divisor of H
+    # up to tile_h, else process the whole image as one block (small
+    # pyramid levels).
     if h % tile_h != 0:
-        tile_h = 8 if h % 8 == 0 else h
+        tile_h = next(
+            (t for t in range(min(tile_h, h), 7, -1) if h % t == 0 and t % 8 == 0),
+            h,
+        )
     grid = h // tile_h
     kernel = functools.partial(
         _level_kernel,
