@@ -91,6 +91,33 @@ def main(argv=None) -> int:
             np.asarray(step(src, dst, salts[i]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
+    elif args.pipeline == "rgbd":
+        from realsensetracker_tpu.align import rgbd as rgbd_mod
+
+        cfg = rgbd_mod.RgbdIcpConfig(samples=args.samples)
+        ds, cs, _ = synthetic.render_trajectory_rgbd(intr, 2)
+        g0 = synthetic.intensity_from_rgb(cs[0])
+        g1 = synthetic.intensity_from_rgb(cs[1])
+        src = jnp.asarray(np.asarray(ds[1])[None] + 0.001 * rng.randn(
+            args.batch, args.height, args.width).astype(np.float32))
+        dst = jnp.asarray(np.asarray(ds[0])[None] + 0.001 * rng.randn(
+            args.batch, args.height, args.width).astype(np.float32))
+        gs = jnp.broadcast_to(g1, (args.batch,) + g1.shape)
+        gd = jnp.broadcast_to(g0, (args.batch,) + g0.shape)
+
+        def one(sd, sg, dd, dg):
+            return rgbd_mod.register_rgbd_pair(sd, sg, dd, dg, intr, cfg).transform
+
+        step = jax.jit(
+            lambda s, d, salt: jax.vmap(one)(s + salt, gs, d + salt, gd)
+        )
+        np.asarray(step(src, dst, jnp.float32(-1e-4)))  # warmup, hard drain
+        salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            np.asarray(step(src, dst, salts[i]))  # materialize per call
+        dt = time.perf_counter() - t0
+        per_pair = args.batch * args.iters / dt
     elif args.pipeline in ("gnc-icp", "gicp"):
         from realsensetracker_tpu.align import gicp as gicp_mod
         from realsensetracker_tpu.align import icp as icp_mod
