@@ -93,7 +93,7 @@ def _cg(matvec, b, iters: int, eps: float = 1e-12):
     return x
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "huber_delta"))
 def optimize_pose_graph(
     graph: PoseGraph,
     gn_iters: int = 10,
@@ -106,15 +106,19 @@ def optimize_pose_graph(
     Each GN iteration linearizes all edges at once and solves the damped
     normal equations with matrix-free CG (Hv = J^T(J v) via jvp+vjp).
 
-    huber_delta: robust kernel on each edge's twist-norm residual (IRLS,
-    re-evaluated per GN iteration). A single grossly-wrong loop edge in a
-    plain least-squares graph drags every pose; Huber caps its influence
-    while leaving consistent edges (twist residual < delta) untouched.
-    0 disables.
+    huber_delta: robust kernel scale on each edge's twist-norm residual
+    (IRLS, re-evaluated per GN iteration). Staged GNC-style schedule: the
+    first half of the iterations uses the CONVEX Huber weight (pulls
+    large-but-true loop residuals in without rejecting them), the second
+    half switches to the REDESCENDING Geman-McClure weight (the
+    reference's own GNC form, align_icp.cpp:116-118), which drives a
+    persistently-inconsistent edge's weight to ~0 instead of merely
+    capping its influence -- Huber alone still lets one grossly-wrong
+    loop edge bias every pose. 0 disables.
     """
     n = graph.poses.shape[0]
 
-    def gn_step(_, carry):
+    def gn_step(it, carry):
         poses, _cost = carry
         g = graph._replace(poses=poses)
         zero = jnp.zeros((n, 6), jnp.float32)
@@ -124,7 +128,11 @@ def optimize_pose_graph(
         r_edges = _edge_residuals(zero, g)  # (E, 6), already edge-weighted
         if huber_delta > 0:
             rn = jnp.linalg.norm(r_edges, axis=-1)
-            w_rob = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-12)))
+            d2 = jnp.float32(huber_delta * huber_delta)
+            w_huber = jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-12))
+            w_gm = (d2 / (rn * rn + d2)) ** 2
+            use_gm = it >= gn_iters // 2
+            w_rob = jnp.sqrt(jnp.where(use_gm, w_gm, w_huber))
         else:
             w_rob = jnp.ones(r_edges.shape[0], jnp.float32)
 

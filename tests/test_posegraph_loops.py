@@ -58,6 +58,36 @@ class TestPoseGraph:
         assert end_err_after < 0.5 * end_err_before
         assert np.isfinite(float(cost))
 
+    def test_huber_bounds_outlier_edge_damage(self):
+        """A single grossly-wrong loop edge must not drag an otherwise
+        self-consistent trajectory far (Huber IRLS on edge residuals)."""
+        gt, est, _ = _noisy_loop_trajectory(n=10, drift=0.0)
+        n = len(est)
+        # est == gt (no drift): the graph is at optimum except for one
+        # wildly wrong loop edge.
+        T_bad = np.asarray(
+            se3.exp(jnp.asarray([0.5, -0.3, 0.4, 0.4, -0.3, 0.5], jnp.float32))
+        ) @ (np.linalg.inv(gt[0]) @ gt[-1])
+        graph = pg.from_trajectory(
+            jnp.asarray(est), loop_edges=[(0, n - 1, T_bad.astype(np.float32), 1.0)]
+        )
+        poses_rob, _ = pg.optimize_pose_graph(
+            graph, gn_iters=10, cg_iters=50, huber_delta=0.1
+        )
+        err_rob = max(
+            np.linalg.norm(np.asarray(poses_rob)[k][:3, 3] - gt[k][:3, 3])
+            for k in range(n)
+        )
+        poses_ls, _ = pg.optimize_pose_graph(
+            graph, gn_iters=10, cg_iters=50, huber_delta=0.0
+        )
+        err_ls = max(
+            np.linalg.norm(np.asarray(poses_ls)[k][:3, 3] - gt[k][:3, 3])
+            for k in range(n)
+        )
+        # Robust kernel must beat plain least squares substantially.
+        assert err_rob < 0.5 * err_ls
+
     def test_gauge_fixed(self):
         _, est, _ = _noisy_loop_trajectory()
         graph = pg.from_trajectory(jnp.asarray(est))

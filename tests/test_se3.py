@@ -69,6 +69,59 @@ def test_log_so3_small_angle():
     )
 
 
+def test_orthonormalize_fixes_feedback_amplification():
+    """The inverse-compose feedback loop (tracking warm starts) multiplies
+    R-denormalization ~3x per cycle; orthonormalize must hold it flat."""
+    T = np.asarray(se3.exp(jnp.array([0.1, -0.2, 0.05, 0.2, 0.1, -0.1], jnp.float32)))
+    # Seed a small column-scale error.
+    T = T.copy()
+    T[:3, 0] *= 1.0 + 1e-4
+    X = jnp.asarray(T, jnp.float32)
+    for _ in range(12):
+        # One feedback cycle: init = inv(X) @ X then X = X @ init (the
+        # unstable pattern); project afterwards.
+        init = se3.compose(se3.inverse(X), X)
+        X = se3.orthonormalize(se3.compose(X, init))
+    R = np.asarray(X)[:3, :3]
+    assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
+
+    # Without the projection, the same loop amplifies the seed error.
+    Y = jnp.asarray(T, jnp.float32)
+    for _ in range(12):
+        init = se3.compose(se3.inverse(Y), Y)
+        Y = se3.compose(Y, init)
+    Ry = np.asarray(Y)[:3, :3]
+    assert np.abs(Ry.T @ Ry - np.eye(3)).max() > 1e-2
+
+
+def test_accumulate_matches_compose_then_project():
+    A = se3.exp(jnp.array([0.1, 0.0, -0.2, 0.3, -0.1, 0.2], jnp.float32))
+    B = se3.exp(jnp.array([-0.05, 0.1, 0.0, -0.2, 0.15, 0.1], jnp.float32))
+    got = np.asarray(se3.accumulate(A, B))
+    want = np.asarray(se3.orthonormalize(se3.compose(A, B)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_orthonormalize_batched():
+    Ts = jnp.stack([
+        se3.exp(jnp.array([0.1 * i, 0, 0.05, 0.1, -0.05 * i, 0], jnp.float32))
+        for i in range(4)
+    ])
+    out = np.asarray(se3.orthonormalize(Ts))
+    for k in range(4):
+        R = out[k, :3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(out[k], np.asarray(Ts[k]), atol=1e-5)
+
+
+def test_transform_points_t_matches_pointmajor():
+    T = se3.exp(jnp.array([0.2, -0.1, 0.3, 0.4, 0.2, -0.3], jnp.float32))
+    pts = jax.random.normal(jax.random.PRNGKey(9), (17, 3), dtype=jnp.float32)
+    a = np.asarray(se3.transform_points(T, pts))
+    b = np.asarray(se3.transform_points_t(T, pts.T)).T
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_orthogonalize_projects_to_so3():
     M = jnp.eye(3) + 0.1 * jax.random.normal(jax.random.PRNGKey(5), (3, 3))
     R = se3.orthogonalize(M)
