@@ -13,8 +13,11 @@ algorithms for dense tensor ops:
 
 1. mutual 1-NN feature matching (two dense kNN passes, MXU);
 2. pairwise translation-invariant consistency graph: pairs (i, j) are
-   compatible when ||p_i-p_j| - |q_i-q_j|| <= 2*noise_bound; the k-core
-   screen becomes a degree threshold on this dense boolean matrix;
+   compatible when ||p_i-p_j| - |q_i-q_j|| <= 2*noise_bound; inlier
+   selection extracts the MAXIMUM k-core of this graph by true iterative
+   peeling (binary search over k, simultaneous-removal peeling to a fixed
+   point at each probe) -- the standard surrogate for TEASER's PMC_EXACT
+   max clique, since any clique of size c lives inside the (c-1)-core;
 3. GNC-TLS rotation over translation-invariant measurements (TIMs) built
    from a random pair basis, solved by iterating weighted-SVD Kabsch
    (rotation-only) with the standard GNC-TLS mu schedule;
@@ -23,6 +26,7 @@ algorithms for dense tensor ops:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -55,6 +59,64 @@ def mutual_matches(
     n = src_feats.shape[0]
     keep = (bwd_idx[fwd_idx] == jnp.arange(n)) & src_mask
     return fwd_idx, keep
+
+
+def max_kcore(adj: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """Membership mask of the maximum (non-empty) k-core of `adj`.
+
+    The reference configures TEASER++ with PMC_EXACT max-clique inlier
+    selection behind a k-core pre-screen at threshold 0.5
+    (teaser_interface.cpp:92-99). A clique of size c is contained in the
+    (c-1)-core, so the maximum k-core is the standard dense surrogate for
+    the max clique (TEASER's own KCORE_HEU fallback). TPU shape: binary
+    search over k; each probe peels to a fixed point by SIMULTANEOUS
+    removal of all vertices of degree < k -- every peeling round is one
+    masked boolean row-reduction of the dense adjacency, no sorting, no
+    dynamic shapes.
+
+    adj: (N, N) bool symmetric adjacency (self-loops ignored).
+    keep: (N,) bool candidate mask. Returns (N,) bool core membership
+    (all-False iff keep is all-False).
+    """
+    n = keep.shape[0]
+    adj = adj & ~jnp.eye(n, dtype=bool) & keep[:, None] & keep[None, :]
+
+    def core_at(k):
+        """Peel vertices of degree < k until nothing changes."""
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < n)
+
+        def body(state):
+            alive, _, it = state
+            deg = jnp.sum(adj & alive[None, :], axis=-1)
+            new = alive & (deg >= k)
+            return new, jnp.any(new != alive), it + 1
+
+        alive, _, _ = jax.lax.while_loop(
+            cond, body, (keep, jnp.bool_(True), jnp.int32(0))
+        )
+        return alive
+
+    # Binary search the largest k with a non-empty k-core. core_at(0) ==
+    # keep (feasible); degree < n bounds k above. lo stays feasible.
+    steps = max(1, math.ceil(math.log2(n + 1)) + 1)
+
+    def search(_, state):
+        lo, hi, best = state
+        mid = (lo + hi + 1) // 2
+        core = core_at(mid)
+        nonempty = jnp.any(core)
+        lo = jnp.where(nonempty, mid, lo)
+        hi = jnp.where(nonempty, hi, mid - 1)
+        best = jnp.where(nonempty, core, best)
+        return lo, hi, best
+
+    _, _, best = jax.lax.fori_loop(
+        0, steps, search, (jnp.int32(0), jnp.int32(n), keep)
+    )
+    return best
 
 
 def _gnc_tls_rotation(
@@ -144,7 +206,7 @@ def symmetric_overlap(
     return fwd, bwd
 
 
-@partial(jax.jit, static_argnames=("max_tims", "gnc_iters", "min_degree_frac"))
+@partial(jax.jit, static_argnames=("max_tims", "gnc_iters"))
 def register_robust(
     src: Cloud,
     dst: Cloud,
@@ -153,26 +215,25 @@ def register_robust(
     noise_bound: float = 0.25,
     max_tims: int = 1024,
     gnc_iters: int = 64,
-    min_degree_frac: float = 0.5,
 ) -> RobustRegistrationResult:
     """Full robust global registration (ref RegisterTeaser,
-    teaser_interface.cpp:20-133): FPFH mutual matching -> degree screening
-    -> GNC-TLS rotation on TIMs -> consensus translation."""
+    teaser_interface.cpp:20-133): FPFH mutual matching -> max-k-core inlier
+    screening -> GNC-TLS rotation on TIMs -> consensus translation."""
     n = src.capacity
     match_idx, keep = mutual_matches(src_feats, dst_feats, src.mask, dst.mask)
     p = src.points
     q = dst.points[match_idx]
 
-    # Dense pairwise consistency graph (k-core heuristic stand-in,
-    # teaser_interface.cpp:99: kcore 0.5 "skip max clique").
+    # Dense pairwise consistency graph; inlier screen = maximum k-core by
+    # iterative peeling (the PMC_EXACT clique surrogate,
+    # teaser_interface.cpp:92-99). True-inlier matches are mutually
+    # consistent (they form a clique); structured outlier groups form
+    # SMALLER cliques, so the max core isolates the dominant consistent set
+    # where a one-shot degree threshold admits every sizable group.
     dp = jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1)
     dq = jnp.linalg.norm(q[:, None, :] - q[None, :, :], axis=-1)
     compat = (jnp.abs(dp - dq) <= 2.0 * noise_bound) & keep[:, None] & keep[None, :]
-    degree = jnp.sum(compat, axis=-1) - keep  # exclude self
-    n_keep = jnp.maximum(jnp.sum(keep), 1)
-    screened = keep & (degree >= min_degree_frac * jnp.mean(
-        jnp.where(keep, degree, 0) * n / n_keep
-    ))
+    screened = max_kcore(compat, keep)
 
     # TIMs from a shifted-pair basis (chain + strides) bounded by max_tims.
     m = min(max_tims, n)

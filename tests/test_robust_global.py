@@ -44,6 +44,88 @@ class TestMutualMatches:
         assert not bool(jnp.all(keep))
 
 
+def _numpy_max_kcore(adj: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """Exact maximum k-core by sequential peeling (test oracle)."""
+    adj = adj & ~np.eye(len(keep), dtype=bool) & keep[:, None] & keep[None, :]
+    best = keep.copy()
+    for k in range(1, len(keep) + 1):
+        alive = keep.copy()
+        while True:
+            deg = (adj & alive[None, :]).sum(-1)
+            new = alive & (deg >= k)
+            if (new == alive).all():
+                break
+            alive = new
+        if not alive.any():
+            break
+        best = alive
+    return best
+
+
+def _numpy_max_clique(adj: np.ndarray, keep: np.ndarray) -> set:
+    """Bron-Kerbosch with pivoting (exact; small graphs only) --
+    PMC_EXACT stand-in oracle (teaser_interface.cpp:92-94)."""
+    n = len(keep)
+    adj = adj & ~np.eye(n, dtype=bool) & keep[:, None] & keep[None, :]
+    nbrs = [set(np.nonzero(adj[i])[0].tolist()) for i in range(n)]
+    best: list[set] = [set()]
+
+    def bk(r, p, x):
+        if not p and not x:
+            if len(r) > len(best[0]):
+                best[0] = set(r)
+            return
+        pivot = max(p | x, key=lambda v: len(nbrs[v] & p))
+        for v in list(p - nbrs[pivot]):
+            bk(r | {v}, p & nbrs[v], x & nbrs[v])
+            p.discard(v)
+            x.add(v)
+
+    bk(set(), set(np.nonzero(keep)[0].tolist()), set())
+    return best[0]
+
+
+class TestMaxKcore:
+    def _random_graph(self, seed, n=48, p=0.2):
+        rng = np.random.RandomState(seed)
+        a = rng.rand(n, n) < p
+        adj = a | a.T
+        keep = rng.rand(n) < 0.9
+        return adj, keep
+
+    def test_matches_sequential_peeling_oracle(self):
+        for seed in range(5):
+            adj, keep = self._random_graph(seed)
+            got = np.asarray(
+                jax.jit(robust_global.max_kcore)(jnp.asarray(adj), jnp.asarray(keep))
+            )
+            np.testing.assert_array_equal(got, _numpy_max_kcore(adj, keep))
+
+    def test_contains_max_clique(self):
+        # Any clique of size c lives in the (c-1)-core, so the max clique
+        # must survive peeling whenever its size-1 >= the graph degeneracy.
+        rng = np.random.RandomState(7)
+        n = 40
+        adj = rng.rand(n, n) < 0.1
+        adj |= adj.T
+        clique = rng.choice(n, 12, replace=False)
+        adj[np.ix_(clique, clique)] = True
+        keep = np.ones(n, bool)
+        core = np.asarray(
+            robust_global.max_kcore(jnp.asarray(adj), jnp.asarray(keep))
+        )
+        max_clique = _numpy_max_clique(adj, keep)
+        assert max_clique == set(clique.tolist())
+        assert max_clique <= set(np.nonzero(core)[0].tolist())
+
+    def test_empty_keep(self):
+        adj = np.ones((8, 8), bool)
+        core = np.asarray(
+            robust_global.max_kcore(jnp.asarray(adj), jnp.zeros(8, bool))
+        )
+        assert not core.any()
+
+
 class TestRobustRegistration:
     def test_large_rotation_recovered(self):
         src = _scene(jax.random.PRNGKey(1))
@@ -83,6 +165,55 @@ class TestRobustRegistration:
             cloud_mod.from_points(src), cloud_mod.from_points(dst), sf, df, 0.1
         )
         assert _twist_err(res.transform, T_true) < 5e-2
+
+    def test_structured_outliers_60pct(self):
+        """>=60% outliers arranged as three internally-consistent decoy
+        groups (each moved by its own rigid transform). Every decoy group is
+        a clique of ~half the inlier clique's size: the round-2 one-shot
+        degree screen admits all of them, while max-k-core peeling isolates
+        the true inlier set and registration recovers the true motion."""
+        n, n_in = 256, 102
+        key = jax.random.PRNGKey(20)
+        src = np.asarray(_scene(key, n=n))
+        T_true = se3.exp(jnp.array([0.4, -0.2, 0.3, 0.8, -0.5, 0.6], jnp.float32))
+        dst = np.array(se3.transform_points(T_true, jnp.asarray(src)))
+        decoys = [
+            se3.exp(jnp.array(t, jnp.float32))
+            for t in (
+                [-0.5, 0.3, 0.1, -1.0, 0.4, 0.2],
+                [0.1, 0.6, -0.4, 0.3, 1.1, -0.7],
+                [0.7, -0.1, 0.5, -0.6, -0.9, 1.0],
+            )
+        ]
+        groups = np.array_split(np.arange(n_in, n), 3)
+        for g, Td in zip(groups, decoys):
+            dst[g] = np.asarray(se3.transform_points(Td, jnp.asarray(src[g])))
+        sf, df = _feats_from_identity(n, 0.01, jax.random.PRNGKey(21))
+
+        noise_bound = 0.1
+        res = robust_global.register_robust(
+            cloud_mod.from_points(jnp.asarray(src)),
+            cloud_mod.from_points(jnp.asarray(dst)),
+            sf, df, noise_bound,
+        )
+        assert bool(res.valid)
+        assert _twist_err(res.transform, T_true) < 1e-2
+
+        # Show the screens differ: build the same consistency graph and
+        # compare the old one-shot degree threshold with the peeled core.
+        dp = np.linalg.norm(src[:, None] - src[None, :], axis=-1)
+        dq = np.linalg.norm(dst[:, None] - dst[None, :], axis=-1)
+        keep = np.ones(n, bool)
+        compat = np.abs(dp - dq) <= 2 * noise_bound
+        degree = compat.sum(-1) - 1
+        old_screen = degree >= 0.5 * degree.mean()  # round-2 formula
+        core = np.asarray(
+            robust_global.max_kcore(jnp.asarray(compat), jnp.asarray(keep))
+        )
+        inlier_set = np.zeros(n, bool)
+        inlier_set[:n_in] = True
+        assert (old_screen & ~inlier_set).sum() > 30  # decoys pass old screen
+        np.testing.assert_array_equal(core, inlier_set)  # peeling is exact
 
     def test_too_few_correspondences_invalid(self):
         src = _scene(jax.random.PRNGKey(8), n=8)
