@@ -121,14 +121,18 @@ class SlamTracker:
             cloud=cloud,
             feats=feats,
         )
-        # Query BEFORE adding (never match self).
+        # Query BEFORE adding (never match self). All candidates of this
+        # query verify in ONE vmapped device dispatch (verify_batch), so
+        # loop-closure cost per keyframe is independent of candidate count.
         hits = self._db.query(kf_idx, cloud, feats)
-        for cand_idx, _sim in hits:
-            T_ab, ok = self._db.verify(
-                kf_idx, cloud, feats, cand_idx, cfg.loop_noise_bound,
-                overlap_tau=cfg.loop_overlap_tau,
-                min_overlap=cfg.loop_min_overlap,
-            )
+        verdicts = self._db.verify_batch(
+            kf_idx, cloud, feats, [c for c, _ in hits],
+            noise_bound=cfg.loop_noise_bound,
+            overlap_tau=cfg.loop_overlap_tau,
+            min_overlap=cfg.loop_min_overlap,
+            pad_to=3,  # one compiled program regardless of candidate count
+        )
+        for (cand_idx, _sim), (T_ab, ok) in zip(hits, verdicts):
             if ok:
                 # verify() registers this kf (src) onto the candidate (dst),
                 # returning T mapping this-kf coords -> candidate coords.

@@ -88,6 +88,65 @@ class TestPoseGraph:
         # Robust kernel must beat plain least squares substantially.
         assert err_rob < 0.5 * err_ls
 
+    def test_1000_node_graph_preconditioned_convergence(self):
+        """Scale test (VERDICT r2 #8): 5 laps x 200 nodes with ~5% exact
+        loop edges and drifty odometry. Backbone-factorized PCG at the
+        standard 60-iteration budget must match an unpreconditioned LONG-CG
+        reference and clearly beat unpreconditioned CG at the same budget
+        (plain CG's condition number grows with chain length^2; plain
+        block-Jacobi also fails this test -- it is local, so information
+        still moves one node per iteration)."""
+        laps, per_lap = 5, 200
+        n = laps * per_lap
+        rng = np.random.RandomState(3)
+        ang = 2 * np.pi / per_lap
+        step = np.asarray(
+            se3.exp(jnp.asarray([0.3, 0, 0, 0, 0, ang], jnp.float32))
+        )
+        gt = [np.eye(4, dtype=np.float32)]
+        est = [np.eye(4, dtype=np.float32)]
+        for _ in range(n - 1):
+            gt.append((gt[-1] @ step).astype(np.float32))
+            noise = np.asarray(
+                se3.exp(jnp.asarray(0.01 * rng.randn(6), jnp.float32))
+            )
+            est.append((est[-1] @ step @ noise).astype(np.float32))
+        gt, est = np.stack(gt), np.stack(est)
+        # ~5% loop edges: node i revisits node i - per_lap exactly in GT.
+        loops = []
+        for i in range(per_lap, n, 20):
+            T_ij = (np.linalg.inv(gt[i - per_lap]) @ gt[i]).astype(np.float32)
+            loops.append((i - per_lap, i, T_ij, 1.0))
+        graph = pg.from_trajectory(jnp.asarray(est), loop_edges=loops)
+
+        kw = dict(gn_iters=6, huber_delta=0.1)
+        poses_pcg, cost_pcg = pg.optimize_pose_graph(
+            graph, cg_iters=60, precondition=True, **kw
+        )
+        _, cost_plain60 = pg.optimize_pose_graph(
+            graph, cg_iters=60, precondition=False, **kw
+        )
+        _, cost_ref = pg.optimize_pose_graph(
+            graph, cg_iters=1500, precondition=False, **kw
+        )
+        cost_pcg, cost_plain60, cost_ref = map(
+            float, (cost_pcg, cost_plain60, cost_ref)
+        )
+        # PCG at 60 iters matches the exhaustive reference...
+        assert cost_pcg <= 1.05 * cost_ref + 1e-8
+        # ...and the same budget without preconditioning falls short.
+        assert cost_plain60 > 1.5 * cost_pcg
+        # The optimized trajectory actually improved: max position error
+        # against ground truth shrinks vs raw drifty odometry.
+        err_before = max(
+            np.linalg.norm(est[k][:3, 3] - gt[k][:3, 3]) for k in range(n)
+        )
+        err_after = max(
+            np.linalg.norm(np.asarray(poses_pcg)[k][:3, 3] - gt[k][:3, 3])
+            for k in range(n)
+        )
+        assert err_after < 0.5 * err_before
+
     def test_gauge_fixed(self):
         _, est, _ = _noisy_loop_trajectory()
         graph = pg.from_trajectory(jnp.asarray(est))
@@ -139,3 +198,39 @@ class TestLoopClosureDetection:
         assert ok
         err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(se3.inverse(T_true)), T_ab))))
         assert err.max() < 2e-2
+
+    def test_200_keyframes_device_store_batched_verify(self):
+        """VERDICT r2 #5: device-resident descriptor/cloud store at ~200
+        keyframes (exercising capacity doubling), query still exact, and
+        verify_batch resolves ALL candidates of a query in one vmapped
+        dispatch with results identical to one-at-a-time verification."""
+        db = KeyframeDatabase(
+            min_separation=5, similarity_threshold=0.9, capacity=64
+        )
+        kfs = [self._keyframe(s, n=128) for s in range(200)]
+        for i, (c, f) in enumerate(kfs):
+            db.add(i, c, f)
+        assert len(db) == 200
+        assert db._desc.shape[0] >= 200  # grew past the initial 64 slots
+
+        c0, f0 = kfs[0]
+        hits = db.query(500, c0, f0)
+        assert hits and hits[0][0] == 0 and hits[0][1] > 0.99
+
+        cands = [0, 3, 17]
+        batch = db.verify_batch(500, c0, f0, cands, noise_bound=0.1)
+        assert len(batch) == 3
+        for cid, (T_b, ok_b) in zip(cands, batch):
+            T_s, ok_s = db.verify(500, c0, f0, cid, noise_bound=0.1)
+            assert ok_b == ok_s
+            if ok_b:
+                # Transforms must agree only for ACCEPTED candidates:
+                # rejected ones are GNC fits on unrelated clouds, which are
+                # chaotic -- batch-size-dependent XLA reduction order
+                # legitimately lands them on different (meaningless) fits.
+                np.testing.assert_allclose(np.asarray(T_s), T_b, atol=1e-4)
+
+        # Keyframe 0 vs its own content must verify as a loop (identity).
+        T0, ok0 = batch[0]
+        assert ok0
+        assert np.abs(T0 - np.eye(4)).max() < 1e-2
