@@ -62,6 +62,45 @@ def _whitening(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ik,...k,...jk->...ij", vecs, inv_sqrt, vecs)
 
 
+@jax.custom_jvp
+def _whitening_diff(M: jnp.ndarray) -> jnp.ndarray:
+    """_whitening with a ROBUST matrix-function derivative.
+
+    Ceres evaluates gicp_cost.hpp:57-68 under ceres::Jet, i.e. it
+    differentiates THROUGH the eigendecomposition rsqrt. jnp.linalg.eigh's
+    builtin JVP divides by eigenvalue gaps (singular for the repeated
+    eigenvalues every isotropic neighborhood produces), so this custom_jvp
+    implements the Daleckii-Krein formula for f(M) = M^{-1/2} instead:
+    dW = V (A * G) V^T with A = V^T dM V and G_ij the divided difference
+    (f(l_i) - f(l_j)) / (l_i - l_j), which limits to f'(l) as gaps close --
+    the exact derivative of the matrix FUNCTION, finite for any PSD input.
+    """
+    return _whitening(M)
+
+
+@_whitening_diff.defjvp
+def _whitening_diff_jvp(primals, tangents):
+    (M,) = primals
+    (dM,) = tangents
+    vals, vecs = jnp.linalg.eigh(M)
+    lam = jnp.maximum(vals, 1e-12)
+    f = jax.lax.rsqrt(lam)
+    W = jnp.einsum("...ik,...k,...jk->...ij", vecs, f, vecs)
+    # Divided-difference table G_ij = (f_i - f_j) / (l_i - l_j), guarded to
+    # f'(l) = -1/2 l^{-3/2} when the gap vanishes.
+    li = lam[..., :, None]
+    lj = lam[..., None, :]
+    fi = f[..., :, None]
+    fj = f[..., None, :]
+    gap = li - lj
+    small = jnp.abs(gap) < 1e-9 * jnp.maximum(li, lj)
+    deriv = -0.5 * jax.lax.rsqrt(li) / li  # -1/2 l^{-3/2}
+    G = jnp.where(small, deriv, (fi - fj) / jnp.where(small, 1.0, gap))
+    A = jnp.einsum("...ki,...kl,...lj->...ij", vecs, dM, vecs)
+    dW = jnp.einsum("...ik,...kl,...jl->...ij", vecs, A * G, vecs)
+    return W, dW
+
+
 def _huber_weight(s: jnp.ndarray, delta: float) -> jnp.ndarray:
     """Ceres HuberLoss rho'(s) for squared residual norm s, b = delta^2."""
     b = delta * delta
@@ -84,28 +123,59 @@ def solve_alignment(
     inner_iters: int = 8,
     huber_delta: float = 0.5,
     damping: float = 1e-6,
+    whitening: str = "fixed",
 ):
     """Inner NLLS solve (ref inner ComputeAlignment, align_gicp.cpp:41-103).
 
     Damped Gauss-Newton with per-iteration re-whitening; returns (T, cost).
+
+    whitening: "fixed" holds W constant per GN step (standard GICP
+    linearization; the default); "autodiff" differentiates THROUGH the
+    eigendecomposition rsqrt like Ceres's Jet evaluation of
+    gicp_cost.hpp:57-68 does (see _whitening_diff), so the Gauss-Newton
+    direction includes the dW/dR term. Both share every fixed point (the
+    extra term is dW · e, which vanishes with the residual); measured on
+    anisotropic-covariance scenes the mid-iteration step directions differ
+    by ~2-6 degrees and convergence is indistinguishable
+    (tests/test_gicp.py::TestAutodiffWhitening), so "fixed" -- one eigh
+    instead of seven per point per step -- stays the default.
     """
     m = pair_mask.astype(jnp.float32)
 
+    def residuals_at(T):
+        """Whitened residuals r(T) = (C_dst + R C_src R^T)^{-1/2} (R p + t - q),
+        differentiable through the whitening (gicp_cost.hpp:40-73)."""
+        R = se3.rotation(T)
+        p = se3.transform_points(T, src_points)
+        e = p - dst_points
+        M = dst_covs + jnp.einsum(
+            "ij,njk,lk->nil", R, src_covs, R, precision=jax.lax.Precision.HIGHEST
+        )
+        W = _whitening_diff(M)
+        r = jnp.einsum("nij,nj->ni", W, e, precision=jax.lax.Precision.HIGHEST)
+        return r, (p, W)
+
     def body(_, carry):
         T, _cost = carry
-        R = se3.rotation(T)
-        p = se3.transform_points(T, src_points)  # R p + t
-        e = p - dst_points  # (N, 3)
-        M = dst_covs + jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=jax.lax.Precision.HIGHEST)
-        W = _whitening(M)
-        r = jnp.einsum("nij,nj->ni", W, e, precision=jax.lax.Precision.HIGHEST)  # whitened residual
+        r, (p, W) = residuals_at(T)
         s = jnp.sum(r * r, axis=-1)
         w = _huber_weight(s, huber_delta) * m
 
-        # J_pt = [I | -hat(p')] for left twist [v, w]; J = W @ J_pt (N,3,6).
-        hat_p = se3.hat(p)  # (N, 3, 3)
-        J_rot = -jnp.einsum("nij,njk->nik", W, hat_p, precision=jax.lax.Precision.HIGHEST)
-        J = jnp.concatenate([W, J_rot], axis=-1)  # (N, 3, 6)
+        if whitening == "autodiff":
+            # Exact J = dr/d(delta) at delta = 0 for T' = exp(delta) T,
+            # including the whitening derivative (Ceres-equivalent).
+            def r_of_delta(delta):
+                return residuals_at(se3.compose(se3.exp(delta), T))[0]
+
+            J = jax.jacfwd(r_of_delta)(jnp.zeros(6, jnp.float32))  # (N, 3, 6)
+        else:
+            # Fixed-W linearization: J_pt = [I | -hat(p')] for left twist
+            # [v, w]; J = W @ J_pt (N, 3, 6).
+            hat_p = se3.hat(p)  # (N, 3, 3)
+            J_rot = -jnp.einsum(
+                "nij,njk->nik", W, hat_p, precision=jax.lax.Precision.HIGHEST
+            )
+            J = jnp.concatenate([W, J_rot], axis=-1)  # (N, 3, 6)
         H = jnp.einsum("n,nri,nrj->ij", w, J, J, precision=jax.lax.Precision.HIGHEST)
         g = jnp.einsum("n,nri,nr->i", w, J, r, precision=jax.lax.Precision.HIGHEST)
         lam = damping * jnp.trace(H) + 1e-12
@@ -123,7 +193,7 @@ def solve_alignment(
     )
 
 
-@partial(jax.jit, static_argnames=("max_outer", "inner_iters", "cov_k", "use_gicp_cov", "chunk"))
+@partial(jax.jit, static_argnames=("max_outer", "inner_iters", "cov_k", "use_gicp_cov", "chunk", "whitening"))
 def align_gicp(
     src: Cloud,
     dst: Cloud,
@@ -133,6 +203,7 @@ def align_gicp(
     use_gicp_cov: bool = False,
     huber_delta: float = 0.5,
     chunk: int = 2048,
+    whitening: str = "fixed",
 ) -> GicpResult:
     """Full GICP (ref outer ComputeAlignment, align_gicp.cpp:105-163).
 
@@ -156,6 +227,7 @@ def align_gicp(
             T,
             inner_iters=inner_iters,
             huber_delta=huber_delta,
+            whitening=whitening,
         )
         # NaN guard (align_gicp.cpp:146-151): keep previous estimate.
         ok = jnp.all(jnp.isfinite(T_new))

@@ -186,3 +186,125 @@ class TestGicpAlignment:
         )
         err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
         assert err.max() < 1e-3
+
+
+class TestAutodiffWhitening:
+    """VERDICT r2 #6: differentiate THROUGH the whitening (like Ceres's Jet
+    evaluation of gicp_cost.hpp:57-68) and quantify the step-direction
+    difference vs the fixed-W scheme on anisotropic covariances."""
+
+    def _aniso_problem(self, seed=0, n=200):
+        rng = np.random.RandomState(seed)
+        src = rng.randn(n, 3).astype(np.float32)
+        T_true = se3.exp(
+            jnp.array([0.04, -0.03, 0.05, 0.05, -0.04, 0.03], jnp.float32)
+        )
+        dst = np.asarray(se3.transform_points(T_true, jnp.asarray(src)))
+
+        def rand_covs():
+            covs = np.zeros((n, 3, 3), np.float32)
+            for i in range(n):
+                q, _ = np.linalg.qr(rng.randn(3, 3))
+                # Strongly anisotropic: plane-like neighborhoods.
+                covs[i] = q @ np.diag([1.0, 0.1, 1e-3]) @ q.T
+            return jnp.asarray(covs)
+
+        mask = jnp.ones(n, bool)
+        return (
+            jnp.asarray(src), jnp.asarray(dst), rand_covs(), rand_covs(),
+            mask, T_true,
+        )
+
+    def test_whitening_jvp_finite_differences(self):
+        rng = np.random.RandomState(3)
+        a = rng.randn(5, 3, 3).astype(np.float64)
+        M = jnp.asarray(a @ a.transpose(0, 2, 1) + 0.1 * np.eye(3))
+        dM_a = rng.randn(5, 3, 3)
+        dM = jnp.asarray((dM_a + dM_a.transpose(0, 2, 1)) / 2)
+        _, got = jax.jvp(gicp_mod._whitening_diff, (M,), (dM,))
+        eps = 1e-6
+        fd = (gicp_mod._whitening(M + eps * dM) - gicp_mod._whitening(M - eps * dM)) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(fd), atol=1e-4)
+
+    def test_whitening_jvp_repeated_eigenvalues_finite(self):
+        # eigh's builtin JVP blows up here; the Daleckii-Krein form must not.
+        # f64 so the finite-difference reference is not noise-limited.
+        M = jnp.asarray(np.stack([np.eye(3) * 2.0]))
+        dM = jnp.asarray(np.ones((1, 3, 3)) * 0.1)
+        _, got = jax.jvp(gicp_mod._whitening_diff, (M,), (dM,))
+        assert np.all(np.isfinite(np.asarray(got)))
+        # At M = 2I the exact derivative is f'(2) dM = -0.5 * 2^{-3/2} dM.
+        exact = -0.5 * 2.0 ** (-1.5) * np.asarray(dM)
+        np.testing.assert_allclose(np.asarray(got), exact, atol=1e-6)
+        eps = 1e-6
+        fd = (gicp_mod._whitening(M + eps * dM) - gicp_mod._whitening(M - eps * dM)) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(fd), atol=1e-5)
+
+    def test_step_directions_differ_but_converge_identically(self):
+        src, dst, cs, cd, mask, T_true = self._aniso_problem()
+
+        # ONE Gauss-Newton step from identity: the directions must actually
+        # differ (the dW term is real) but stay within the same half-space.
+        T_fix, _ = gicp_mod.solve_alignment(
+            src, dst, cs, cd, mask, se3.identity(), inner_iters=1,
+        )
+        T_auto, _ = gicp_mod.solve_alignment(
+            src, dst, cs, cd, mask, se3.identity(), inner_iters=1,
+            whitening="autodiff",
+        )
+        tw_f = np.asarray(se3.log(T_fix))
+        tw_a = np.asarray(se3.log(T_auto))
+        cos = float(
+            tw_f @ tw_a / (np.linalg.norm(tw_f) * np.linalg.norm(tw_a))
+        )
+        angle_deg = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert angle_deg > 0.01  # the whitening derivative changes the step
+        assert angle_deg < 30.0  # ...but not its character (measured ~2-6 deg)
+
+        # Shared fixed point: both reach T_true, final transforms agree.
+        T_fix8, _ = gicp_mod.solve_alignment(
+            src, dst, cs, cd, mask, se3.identity(), inner_iters=12,
+        )
+        T_auto8, _ = gicp_mod.solve_alignment(
+            src, dst, cs, cd, mask, se3.identity(), inner_iters=12,
+            whitening="autodiff",
+        )
+        for T in (T_fix8, T_auto8):
+            err = np.abs(
+                np.asarray(se3.log(se3.compose(se3.inverse(T_true), T)))
+            )
+            assert err.max() < 1e-4
+        diff = np.abs(
+            np.asarray(se3.log(se3.compose(se3.inverse(T_fix8), T_auto8)))
+        )
+        assert diff.max() < 1e-5
+
+    def test_align_gicp_autodiff_golden_parity(self):
+        """End-to-end align_gicp with autodiff whitening still matches the
+        golden NumPy oracle (same fixed points as fixed-W)."""
+        rng = np.random.RandomState(15)
+        n = 50
+        src = rng.randn(n, 3).astype(np.float32)
+        T_true = np.asarray(
+            se3.exp(jnp.array([0.03, 0.02, -0.03, -0.02, 0.03, 0.02], jnp.float32))
+        )
+        dst = src @ T_true[:3, :3].T + T_true[:3, 3]
+
+        T_ref, _ = reference_impl.align_gicp_np(
+            src, dst, max_outer=6, inner_iters=4, cov_k=8
+        )
+        res = gicp_mod.align_gicp(
+            cloud_mod.from_points(jnp.asarray(src)),
+            cloud_mod.from_points(jnp.asarray(dst)),
+            max_outer=6, inner_iters=4, cov_k=8, whitening="autodiff",
+        )
+        err = np.abs(
+            np.asarray(
+                se3.log(se3.compose(se3.inverse(jnp.asarray(T_ref)), res.transform))
+            )
+        )
+        assert err.max() < 1e-3, err
