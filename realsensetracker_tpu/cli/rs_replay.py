@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
     p.add_argument("--json", action="store_true", help="Machine-readable per-frame output")
+    p.add_argument("--serve", type=int, default=-1, metavar="PORT",
+                   help="Serve a live view of the tracked sequence over "
+                        "HTTP while replaying (0 = auto port): latest depth "
+                        "frame + pose/rmse status, self-refreshing page")
+    p.add_argument("--live-latest", default="", metavar="PNG",
+                   help="Atomically refresh this PNG with the latest frame")
     return p
 
 
@@ -98,9 +104,18 @@ def main(argv=None) -> int:
                             map_capacity=args.map_capacity)
         tracker = Tracker(cfg)
 
+    server = None
+    if args.serve >= 0 or args.live_latest:
+        from realsensetracker_tpu.vis import live as live_mod
+
+        if args.serve >= 0:
+            server = live_mod.LiveServer(port=args.serve)
+            print(f"live view: http://127.0.0.1:{server.port}/")
+
     n = 0
     t_start = time.perf_counter()
     for item in frames:
+        t_frame = time.perf_counter()
         if args.method == "rgbd":
             ts, depth, gray = item
             if gray is None:
@@ -111,21 +126,45 @@ def main(argv=None) -> int:
         else:
             ts, depth = item
             res = tracker.process(depth, ts)
-        if args.json:
-            import numpy as np
+        import numpy as np
 
+        # Materialize INSIDE the timed window: through the axon relay,
+        # block_until_ready is not a reliable fence (BENCHMARKS.md), so the
+        # per-frame latency is only honest once the pose reaches the host.
+        pose_np = np.asarray(res.pose)
+        frame_ms = (time.perf_counter() - t_frame) * 1000.0
+        if args.json:
             print(json.dumps({
                 "frame": res.frame_index,
                 "timestamp": ts,
                 "success": bool(res.success),
                 "rmse": float(res.rmse),
                 "inliers": float(res.inlier_fraction),
-                "pose": np.asarray(res.pose).reshape(-1).round(6).tolist(),
+                "ms": round(frame_ms, 2),
+                "pose": pose_np.reshape(-1).round(6).tolist(),
             }))
         else:
             tag = "ok" if res.success else "ALIGNMENT FAILED"
             print(f"frame {res.frame_index:4d} t={ts:.3f} [{tag}] "
                   f"rmse={res.rmse:.4f} inliers={res.inlier_fraction:.2f}")
+        if server is not None or args.live_latest:
+            import numpy as np
+
+            from realsensetracker_tpu.vis import live as live_mod
+
+            png = live_mod.encode_png(live_mod.depth_to_rgb(np.asarray(depth)))
+            status = {
+                "frame": res.frame_index,
+                "timestamp": float(ts),
+                "success": bool(res.success),
+                "rmse": round(float(res.rmse), 5),
+                "position": np.asarray(res.pose)[:3, 3].round(4).tolist(),
+                "fps": round((n + 1) / max(time.perf_counter() - t_start, 1e-6), 2),
+            }
+            if server is not None:
+                server.update(png, status)
+            if args.live_latest:
+                live_mod.write_latest_png(args.live_latest, png)
         if args.render_dir and getattr(tracker, "world_map", None) is not None:
             import os
 
@@ -157,6 +196,8 @@ def main(argv=None) -> int:
 
         ate = absolute_trajectory_error(tracker.trajectory, gt)
         print("ATE:", json.dumps(ate))
+    if server is not None:
+        server.close()
     return 0
 
 

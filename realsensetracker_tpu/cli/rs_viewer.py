@@ -32,13 +32,100 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-dir", default="", help="Write depth PNGs here")
     p.add_argument("--ply-dir", default="",
                    help="Export per-frame (colored) PLY clouds here")
+    p.add_argument("--loop", action="store_true",
+                   help="Run the live viewer Loop (rs_viewer.cpp:67-117): "
+                        "poll source -> render fresh frames -> sleep "
+                        "interval/8 when stale -> optionally record")
+    p.add_argument("--serve", type=int, default=-1, metavar="PORT",
+                   help="Serve the live view over HTTP (0 = auto port); "
+                        "GET / is a self-refreshing page, /stream a "
+                        "multipart live stream. Implies --loop.")
+    p.add_argument("--live-latest", default="", metavar="PNG",
+                   help="Atomically refresh this PNG with the latest frame "
+                        "(file-watcher live view). Implies --loop.")
     return p
+
+
+def _live_loop(args) -> int:
+    """The reference viewer's Loop + record semantics (rs_viewer.cpp:67-117)
+    over a paced FrameStream: the producer thread rate-limits frames like
+    the camera driver (rs_driver.cpp:196), the loop polls, renders fresh
+    frames to the HTTP/live-file view, sleeps interval/8 when stale, and
+    records every shown frame (:105-112)."""
+    import time
+
+    import numpy as np
+
+    from realsensetracker_tpu.data import recorded, stream as stream_mod
+    from realsensetracker_tpu.geometry import camera as camera_mod
+    from realsensetracker_tpu.vis import live
+
+    if args.view:
+        clip = recorded.read_clip(args.view)
+        depths = np.asarray(clip.depths)
+        stamps = np.asarray(clip.timestamps)
+        intr = clip.intrinsics
+    else:
+        from realsensetracker_tpu.data import synthetic
+
+        w, h = args.width, args.height
+        intr = camera_mod.Intrinsics(
+            fx=w * 0.8, fy=w * 0.8, cx=(w - 1) / 2, cy=(h - 1) / 2,
+            width=w, height=h,
+        )
+        d, _ = synthetic.render_trajectory(intr, args.frames, seed=args.seed)
+        depths = np.asarray(d)
+        stamps = np.arange(len(depths), dtype=np.float64) / 30.0
+
+    interval_s = args.frame_interval / 1000.0
+    stream = stream_mod.FrameStream(
+        ((stamps[i], depths[i]) for i in range(len(depths))),
+        transfer=lambda x: x,  # host-side rendering; no device staging
+        min_interval_s=interval_s,
+    )
+    server = live.LiveServer(port=args.serve) if args.serve >= 0 else None
+    if server is not None:
+        print(f"live view: http://127.0.0.1:{server.port}/")
+    shown_frames: list = []
+    t0 = time.monotonic()
+
+    def on_frame(ts, depth):
+        png = live.encode_png(live.depth_to_rgb(depth))
+        elapsed = max(time.monotonic() - t0, 1e-6)
+        status = {
+            "frame": len(shown_frames),
+            "timestamp": float(ts),
+            "fps": round((len(shown_frames) + 1) / elapsed, 2),
+        }
+        if server is not None:
+            server.update(png, status)
+        if args.live_latest:
+            live.write_latest_png(args.live_latest, png)
+        shown_frames.append((ts, depth))
+
+    shown = live.viewer_loop(
+        stream, on_frame, frame_interval_s=interval_s, max_frames=args.frames
+    )
+    if args.record and shown_frames:
+        recorded.write_clip(
+            args.record,
+            np.stack([d for _, d in shown_frames]),
+            np.asarray([t for t, _ in shown_frames], np.float64),
+            intr,
+        )
+        print(f"recorded {len(shown_frames)} frames -> {args.record}")
+    print(f"live loop: {shown} frames shown")
+    if server is not None:
+        server.close()
+    return 0
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from realsensetracker_tpu.data import recorded
 
+    if args.loop or args.serve >= 0 or args.live_latest:
+        return _live_loop(args)
     if args.record:
         clip = recorded.record_synthetic_clip(
             args.record, num_frames=args.frames, seed=args.seed,

@@ -34,6 +34,7 @@ class FrameStream:
         self._done = object()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._started = False
+        self._exhausted = False
 
     def _producer(self) -> None:
         last = 0.0
@@ -51,15 +52,37 @@ class FrameStream:
         finally:
             self._queue.put(self._done)
 
-    def __iter__(self) -> Iterator:
+    def _start(self) -> None:
         if not self._started:
             self._thread.start()
             self._started = True
+
+    def __iter__(self) -> Iterator:
+        self._start()
         while True:
             item = self._queue.get()
             if item is self._done:
+                self._exhausted = True
                 return
             yield item
+
+    @property
+    def exhausted(self) -> bool:
+        return self._exhausted
+
+    def poll(self):
+        """Non-blocking GetFrame analog (rs_driver.cpp:233-262): returns
+        (ts, frame) when a fresh frame is staged, else None (the caller
+        sleeps interval/8 and retries -- rs_viewer.cpp:82-86)."""
+        self._start()
+        try:
+            item = self._queue.get_nowait()
+        except queue.Empty:
+            return None
+        if item is self._done:
+            self._exhausted = True
+            return None
+        return item
 
 
 def stream_clip(clip, prefetch: int = 2) -> FrameStream:
