@@ -153,3 +153,184 @@ def build_level_packed(
         out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
         interpret=interpret,
     )(depth, depth, depth)
+
+
+# ---------------------------------------------------------------------------
+# Batched-grid variants (VERDICT r2 #3 probe): the production path batches by
+# vmap-lifting the per-image pallas_call above; these express the batch as an
+# EXPLICIT grid dimension instead, plus a 2-pass variant that replaces the
+# three shifted passes over the depth array (the halo trick reads every
+# depth byte three times) with one pass + a precomputed (B, bands, 2, W)
+# boundary-row sideband -- cutting kernel HBM reads from 3x to ~1x of the
+# depth bytes for a kernel whose own profile says it is DMA-bound.
+# ---------------------------------------------------------------------------
+
+
+def _level_kernel_batched(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w,
+                          fx, fy, cx, cy):
+    """Same math as _level_kernel; refs carry a leading (1,) batch block."""
+    i = pl.program_id(1)
+    _level_body(
+        jnp.concatenate(
+            [d_prev[0, -1:, :], d_cur[0], d_next[0, :1, :]], axis=0
+        ),
+        i, out_ref, tile_h=tile_h, h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy,
+    )
+
+
+def _level_kernel_rows(d_cur, bounds, out_ref, *, tile_h, h, w,
+                       fx, fy, cx, cy):
+    """One full pass + boundary-row sideband: bounds[0] = row above the
+    band (clamped), bounds[1] = row below."""
+    i = pl.program_id(1)
+    _level_body(
+        jnp.concatenate(
+            [bounds[0, 0, :1, :], d_cur[0], bounds[0, 0, 1:, :]], axis=0
+        ),
+        i, out_ref, tile_h=tile_h, h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy,
+    )
+
+
+def _level_body(band, i, out_ref, *, tile_h, h, w, fx, fy, cx, cy):
+    """Shared kernel body: (tile_h + 2, W) depth band -> (1, 4, tile_h, W)
+    plane-table block (the math of _level_kernel, factored out)."""
+    fx, fy, cx, cy = (jnp.float32(v) for v in (fx, fy, cx, cy))
+    valid = band > 0.0
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, w), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, w), 1).astype(jnp.float32)
+    vv = rows + (i * tile_h - 1).astype(jnp.float32)
+    x = band * (cols - cx) * (1.0 / fx)
+    y = band * (vv - cy) * (1.0 / fy)
+    z = band
+
+    def lroll(a, s):
+        return pltpu.roll(a, shift=s % w, axis=1)
+
+    du_x = lroll(x, -1) - lroll(x, 1)
+    du_y = lroll(y, -1) - lroll(y, 1)
+    du_z = lroll(z, -1) - lroll(z, 1)
+    c = slice(1, tile_h + 1)
+    up = slice(0, tile_h)
+    dn = slice(2, tile_h + 2)
+    dv_x = x[dn, :] - x[up, :]
+    dv_y = y[dn, :] - y[up, :]
+    dv_z = z[dn, :] - z[up, :]
+    duc_x, duc_y, duc_z = du_x[c, :], du_y[c, :], du_z[c, :]
+
+    nx = duc_y * dv_z - duc_z * dv_y
+    ny = duc_z * dv_x - duc_x * dv_z
+    nz = duc_x * dv_y - duc_y * dv_x
+    n2 = nx * nx + ny * ny + nz * nz
+
+    v_c = valid[c, :]
+    ok = (
+        v_c
+        & (lroll(z, -1)[c, :] > 0.0)
+        & (lroll(z, 1)[c, :] > 0.0)
+        & valid[dn, :]
+        & valid[up, :]
+        & (n2 > 1e-24)
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + i * tile_h
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+    ok = ok & (row_ids > 0) & (row_ids < h - 1) & (col_ids > 0) & (col_ids < w - 1)
+
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    xc, yc, zc = x[c, :], y[c, :], z[c, :]
+    flip = jnp.where(
+        nx * xc + ny * yc + nz * zc > 0, jnp.float32(-1.0), jnp.float32(1.0)
+    )
+    okf = ok.astype(jnp.float32)
+    nx, ny, nz = nx * flip * okf, ny * flip * okf, nz * flip * okf
+    d_plane = nx * xc + ny * yc + nz * zc
+
+    out_ref[0] = jnp.stack([nx, ny, nz, d_plane], axis=0)
+
+
+def _resolve_tile(h: int, tile_h: int) -> int:
+    if h % tile_h != 0:
+        tile_h = next(
+            (t for t in range(min(tile_h, h), 7, -1) if h % t == 0 and t % 8 == 0),
+            h,
+        )
+    return tile_h
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "tile_h", "interpret"))
+def build_level_packed_batched(
+    depths: jnp.ndarray,  # (B, H, W)
+    intr: camera.Intrinsics,
+    tile_h: int = 240,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Explicit grid=(B, bands) batch variant of build_level_packed."""
+    depths = depths.astype(jnp.float32)
+    b, h, w = depths.shape
+    tile_h = _resolve_tile(h, tile_h)
+    grid_h = h // tile_h
+    kernel = functools.partial(
+        _level_kernel_batched, tile_h=tile_h, h=h, w=w,
+        fx=intr.fx, fy=intr.fy, cx=intr.cx, cy=intr.cy,
+    )
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, tile_h, w),
+        lambda bi, i, off=off: (bi, jnp.clip(i + off, 0, grid_h - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, grid_h),
+        in_specs=[spec(-1), spec(0), spec(1)],
+        out_specs=pl.BlockSpec(
+            (1, 4, tile_h, w), lambda bi, i: (bi, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h, w), jnp.float32),
+        interpret=interpret,
+    )(depths, depths, depths)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "tile_h", "interpret"))
+def build_level_packed_rows(
+    depths: jnp.ndarray,  # (B, H, W)
+    intr: camera.Intrinsics,
+    tile_h: int = 240,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """2-pass batch variant: one streaming pass over the depth plus a tiny
+    XLA-precomputed boundary-row sideband, instead of three shifted passes."""
+    depths = depths.astype(jnp.float32)
+    b, h, w = depths.shape
+    tile_h = _resolve_tile(h, tile_h)
+    grid_h = h // tile_h
+    band_starts = jnp.arange(grid_h) * tile_h
+    above = jnp.clip(band_starts - 1, 0, h - 1)
+    below = jnp.clip(band_starts + tile_h, 0, h - 1)
+    # (B, bands, 2, W): row above each band, row below each band.
+    bounds = jnp.stack([depths[:, above, :], depths[:, below, :]], axis=2)
+    kernel = functools.partial(
+        _level_kernel_rows, tile_h=tile_h, h=h, w=w,
+        fx=intr.fx, fy=intr.fy, cx=intr.cx, cy=intr.cy,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, grid_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, w), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, w), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, tile_h, w), lambda bi, i: (bi, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h, w), jnp.float32),
+        interpret=interpret,
+    )(depths, bounds)
