@@ -211,20 +211,31 @@ def _random_walk_poses(num_frames: int, seed: int, step_scale: float) -> jnp.nda
     return jnp.stack(poses)
 
 
+def poses_from_twists(twists: jnp.ndarray) -> jnp.ndarray:
+    """Integrate per-step twists (F-1, 6) into world poses (F, 4, 4) from
+    identity -- for scripted trajectories (loops, aggressive segments)."""
+    poses = [se3.identity()]
+    for i in range(twists.shape[0]):
+        poses.append(se3.compose(poses[-1], se3.exp(twists[i])))
+    return jnp.stack(poses)
+
+
 def render_trajectory(
     intr: camera.Intrinsics,
     num_frames: int,
     scene: Scene | None = None,
     seed: int = 0,
     step_scale: float = 0.02,
+    poses: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Render a smooth random-walk trajectory.
+    """Render a smooth random-walk trajectory (or a scripted `poses` one).
 
     Returns (depths (F, H, W), poses_wc (F, 4, 4)).
     """
     if scene is None:
         scene = default_scene()
-    poses = _random_walk_poses(num_frames, seed, step_scale)
+    if poses is None:
+        poses = _random_walk_poses(num_frames, seed, step_scale)
     depths = jax.vmap(lambda T: render_depth(intr, T, scene))(poses)
     return depths, poses
 
@@ -235,10 +246,12 @@ def render_trajectory_rgbd(
     scene: Scene | None = None,
     seed: int = 0,
     step_scale: float = 0.02,
+    poses: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RGB-D random-walk trajectory: (depths (F,H,W), colors (F,H,W,3), poses)."""
     if scene is None:
         scene = default_scene()
-    poses = _random_walk_poses(num_frames, seed, step_scale)
+    if poses is None:
+        poses = _random_walk_poses(num_frames, seed, step_scale)
     depths, colors = jax.vmap(lambda T: render_rgbd(intr, T, scene))(poses)
     return depths, colors, poses

@@ -204,7 +204,7 @@ def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
 
 def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
                             width: int = 640, height: int = 480,
-                            with_color: bool = False) -> str:
+                            with_color: bool = False, poses=None) -> str:
     """Write a small synthetic TUM-format sequence (tests / offline demos).
 
     Renders the raycast scene along a random-walk trajectory and saves
@@ -221,13 +221,17 @@ def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
         fx=width * 0.8, fy=width * 0.8, cx=(width - 1) / 2, cy=(height - 1) / 2,
         width=width, height=height,
     )
+    if poses is not None:
+        poses = jnp.asarray(poses, jnp.float32)
     if with_color:
         depths, colors, poses = synthetic.render_trajectory_rgbd(
-            intr, num_frames, seed=seed
+            intr, num_frames, seed=seed, poses=poses
         )
         os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     else:
-        depths, poses = synthetic.render_trajectory(intr, num_frames, seed=seed)
+        depths, poses = synthetic.render_trajectory(
+            intr, num_frames, seed=seed, poses=poses
+        )
         colors = None
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     index_lines, rgb_lines, gt_lines = [], [], []
