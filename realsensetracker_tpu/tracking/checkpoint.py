@@ -88,7 +88,13 @@ def load_tracker(path: str, tracker) -> None:
         traj.append(float(ts), T)
     tracker.trajectory = traj
     tracker._pose = jnp.asarray(data["pose"]) if "pose" in data else None
-    tracker._prev_levels = _restore_levels(data)
+    # Host mirror kept by the streaming trackers (the per-frame path reads
+    # poses from the fused step's packed stats, never from the device copy).
+    tracker._pose_np = (
+        np.asarray(data["pose"], np.float32) if "pose" in data else None
+    )
+    levels = _restore_levels(data)
+    tracker._prev_levels = tuple(levels) if levels is not None else None
     if tracker._prev_levels is not None:
         # Rebuild the intrinsics pyramid from the tracker's base intrinsics
         # (same iterated halving as ops.pyramid.build_pyramid).

@@ -6,13 +6,25 @@ frame-to-KEYFRAME: register every frame against a held keyframe (less drift
 than frame-to-frame), promoting the current frame to keyframe when motion or
 overlap crosses a threshold. Same failure semantics as the replay loop:
 a failed registration keeps both the pose and the keyframe.
+
+Streaming cost model (measured round 3): through the axon relay every
+eager device op AND every host transfer costs ~45 ms in a warmed process
+(CLAUDE.md gotcha 11), so the round-2 op-by-op process() -- pyramid,
+inverse, compose, icp, accumulate, log, plus five scalar materializations
+-- ran at ~620 ms/frame on the real chip at 640x480. The whole per-frame
+step is therefore ONE jitted program (_fused_track_step) returning the
+device-resident pyramid (kept on device for possible keyframe promotion)
+plus a single packed 25-float stats vector, so a tracked frame costs one
+dispatch + one tiny transfer (~90 ms on TPU, 7x faster).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,12 +34,46 @@ from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 
 class KeyframeResult(NamedTuple):
-    pose: jnp.ndarray  # world_from_camera
+    pose: np.ndarray  # world_from_camera (host array; device copy stays on chip)
     success: bool
     is_new_keyframe: bool
     rmse: float
     inlier_fraction: float
     frame_index: int
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg):
+    """One whole tracked frame as a single XLA program.
+
+    Builds the frame pyramid, warm-starts from the last pose relative to
+    the keyframe, runs coarse-to-fine projective ICP, accumulates the pose
+    (SE(3)-projected), and packs every scalar the host needs into one
+    vector: [rmse, inlier_fraction, finite_ok, twist(6), new_pose(16)].
+    Returns (levels, new_pose_device, stats (25,))."""
+    from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+    levels, intrs = build_pyramid(
+        depth, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth
+    )
+    init = se3.compose(se3.inverse(kf_pose), pose)
+    icp = projective.projective_icp(
+        levels, kf_levels, tuple(intrs), init_transform=init, cfg=cfg
+    )
+    new_pose = se3.accumulate(kf_pose, icp.transform)
+    tw = se3.log(icp.transform)
+    ok = jnp.all(jnp.isfinite(icp.transform))
+    f32 = jnp.float32
+    stats = jnp.concatenate([
+        jnp.stack([
+            icp.rmse.astype(f32),
+            icp.inlier_fraction.astype(f32),
+            ok.astype(f32),
+        ]),
+        tw.astype(f32),
+        new_pose.reshape(-1).astype(f32),
+    ])
+    return tuple(levels), new_pose, stats
 
 
 @dataclass
@@ -50,51 +96,51 @@ class KeyframeTracker:
     _fail_streak: int = 0
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
-    _pose: object = field(default=None, repr=False)
+    _pose: object = field(default=None, repr=False)  # device copy
+    _pose_np: object = field(default=None, repr=False)  # host mirror
     _index: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
     @property
     def pose(self):
-        return self._pose
+        return self._pose_np
 
     def process(self, depth, timestamp: float | None = None) -> KeyframeResult:
         from realsensetracker_tpu.ops.pyramid import build_pyramid
 
         depth = jnp.asarray(depth)
-        levels, intrs = build_pyramid(
-            depth, self.intr, len(self.cfg.iters), self.cfg.min_depth, self.cfg.max_depth
-        )
         if timestamp is None:
             timestamp = float(self._index)
 
         if self._kf_levels is None:
+            levels, _ = build_pyramid(
+                depth, self.intr, len(self.cfg.iters),
+                self.cfg.min_depth, self.cfg.max_depth,
+            )
             self._pose = se3.identity()
+            self._pose_np = np.eye(4, dtype=np.float32)
             self._kf_pose = self._pose
-            self._kf_levels = levels
-            self._intrs = tuple(intrs)
-            self.trajectory.append(timestamp, self._pose)
-            res = KeyframeResult(self._pose, True, True, 0.0, 1.0, self._index)
+            self._kf_levels = tuple(levels)
+            self.trajectory.append(timestamp, self._pose_np)
+            res = KeyframeResult(self._pose_np, True, True, 0.0, 1.0, self._index)
             self._index += 1
             return res
 
-        # Warm-start from the last pose relative to the keyframe.
-        init = se3.compose(se3.inverse(self._kf_pose), self._pose)
-        icp = projective.projective_icp(
-            levels, self._kf_levels, self._intrs, init_transform=init, cfg=self.cfg
+        levels, new_pose_dev, stats = _fused_track_step(
+            depth, self._kf_levels, self._kf_pose, self._pose,
+            intr=self.intr, cfg=self.cfg,
         )
-        inlier = float(icp.inlier_fraction)
-        success = bool(np.isfinite(np.asarray(icp.transform)).all()) and (
-            inlier >= self.min_inlier_fraction
-        )
+        s = np.asarray(stats)  # the frame's ONE host transfer
+        rmse, inlier, finite_ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
+        tw = s[3:9]
+        new_pose_np = s[9:25].reshape(4, 4)
+
+        success = finite_ok and inlier >= self.min_inlier_fraction
         is_new_kf = False
         if success:
             self._fail_streak = 0
-            # orthonormalize: the warm-start feedback loop amplifies any
-            # rotation denormalization exponentially (se3.orthonormalize);
-            # se3.accumulate keeps it one jitted dispatch per frame.
-            self._pose = se3.accumulate(self._kf_pose, icp.transform)
-            tw = np.asarray(se3.log(icp.transform))
+            self._pose = new_pose_dev  # stays on device for the warm start
+            self._pose_np = new_pose_np
             if (
                 np.linalg.norm(tw[:3]) > self.max_translation
                 or np.linalg.norm(tw[3:]) > self.max_rotation
@@ -112,12 +158,12 @@ class KeyframeTracker:
                 self._kf_levels = levels
                 self._kf_pose = self._pose
                 is_new_kf = True
-        self.trajectory.append(timestamp, self._pose)
+        self.trajectory.append(timestamp, self._pose_np)
         res = KeyframeResult(
-            pose=self._pose,
+            pose=self._pose_np,
             success=success,
             is_new_keyframe=is_new_kf,
-            rmse=float(icp.rmse),
+            rmse=rmse,
             inlier_fraction=inlier,
             frame_index=self._index,
         )
