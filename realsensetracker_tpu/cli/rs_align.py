@@ -22,8 +22,10 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rs-align", description=__doc__)
-    p.add_argument("--source-file", "-s", default="", help="Source cloud .npy")
-    p.add_argument("--target-file", "-t", default="", help="Target cloud .npy")
+    p.add_argument("--source-file", "-s", default="",
+                   help="Source cloud (.npy, or reference-recorded .pb)")
+    p.add_argument("--target-file", "-t", default="",
+                   help="Target cloud (.npy, or reference-recorded .pb)")
     p.add_argument("--clip", default="", help=".rsc clip to take frames from")
     p.add_argument("--source-frame", type=int, default=0)
     p.add_argument("--target-frame", type=int, default=1)
@@ -71,8 +73,17 @@ def main(argv=None) -> int:
         src = _cloud_from_depth(clip.depths[args.source_frame], clip.intrinsics, args.capacity)
         dst = _cloud_from_depth(clip.depths[args.target_frame], clip.intrinsics, args.capacity)
     elif args.source_file and args.target_file:
-        src = cloud_mod.pad_to_capacity(np.load(args.source_file), args.capacity)
-        dst = cloud_mod.pad_to_capacity(np.load(args.target_file), args.capacity)
+        def load_cloud(path):
+            if path.endswith(".pb"):
+                # Reference-recorded protobuf cloud (rs_viewer.cpp:105-112),
+                # schema-free best-effort parse (data.pb_interop).
+                from realsensetracker_tpu.data import pb_interop
+
+                return pb_interop.read_pb_cloud(path)[0]
+            return np.load(path)
+
+        src = cloud_mod.pad_to_capacity(load_cloud(args.source_file), args.capacity)
+        dst = cloud_mod.pad_to_capacity(load_cloud(args.target_file), args.capacity)
     else:
         print("need --clip or --source-file/--target-file", file=sys.stderr)
         return 1

@@ -1,7 +1,9 @@
 """rs-view-clouds: render saved xyzrgb/ply clouds to PNG.
 
 Port of the viewer app (view_xyzrgb.cpp:14-63): loops over numbered
-/tmp/%04d.xyzrgb files and renders them -- here to PNG images.
+/tmp/%04d.xyzrgb files and renders them -- here to PNG images. Also reads
+the reference's recorded .pb clouds (pattern ending in .pb; see
+data.pb_interop for the schema-free best-effort parser).
 
 Usage:
   python -m realsensetracker_tpu.cli.view_clouds --pattern "/tmp/{:04d}.xyzrgb" \
@@ -32,7 +34,16 @@ def main(argv=None) -> int:
         path = args.pattern.format(i)
         if not os.path.exists(path):
             continue
-        pts, cols = load_xyzrgb(path)
+        if path.endswith(".pb"):
+            from realsensetracker_tpu.data import pb_interop
+
+            pts, cols = pb_interop.read_pb_cloud(path)
+            if cols is None:
+                import numpy as _np
+
+                cols = _np.full((len(pts), 3), 0.5, _np.float32)
+        else:
+            pts, cols = load_xyzrgb(path)
         out = os.path.join(args.out_dir, f"view_{i:04d}.png")
         render_cloud_png(out, [(pts, cols / 255.0 if cols.max() > 1 else cols)])
         count += 1
