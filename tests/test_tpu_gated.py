@@ -55,10 +55,17 @@ def _run_on_tpu(code: str) -> subprocess.CompletedProcess:
     env = {
         k: v
         for k, v in os.environ.items()
-        # Strip the CPU-forcing the conftest applied to THIS process, and
-        # PYTHONPATH (it breaks axon backend registration, gotcha 9).
-        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+        # Strip the CPU-forcing the conftest applied to THIS process.
+        # PYTHONPATH must be PRESERVED: the accelerator backend registers
+        # via a sitecustomize module that PYTHONPATH points at (overwriting
+        # it, e.g. with /root/repo, is what breaks registration -- gotcha 9;
+        # the repo itself is put on sys.path by cwd instead).
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
+    # The conftest OVERWROTE the container's JAX_PLATFORMS, so stripping it
+    # is not enough -- request the accelerator platform explicitly
+    # (overridable for other deployments).
+    env["JAX_PLATFORMS"] = os.environ.get("RST_TPU_PLATFORM", "axon")
     # stdin-script so cwd (/root/repo) lands on sys.path (gotcha 9).
     return subprocess.run(
         [sys.executable, "-"],
