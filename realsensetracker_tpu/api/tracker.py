@@ -8,6 +8,9 @@ and manages the trajectory + optional world model.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,21 +110,66 @@ def _as_gray(color):
     return arr.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
+@partial(jax.jit, static_argnames=(
+    "intr", "voxel_size", "capacity", "method", "icp_max_iter",
+    "max_outer", "inner_iters", "cov_k", "use_gicp_cov", "huber_delta"))
+def _fused_cloud_step(depth, prev, pose, *, intr, voxel_size, capacity,
+                      method, icp_max_iter, max_outer, inner_iters, cov_k,
+                      use_gicp_cov, huber_delta):
+    """One cloud-tracker frame as a single XLA program (unproject + voxel
+    downsample + GNC-ICP/GICP + pose composition + packed stats); see
+    tracking/keyframe.py for the relay dispatch-cost model. Returns
+    (curr_cloud, new_pose_device, relative, stats (18,)) with
+    stats = [cost, ok, new_pose(16)]."""
+    from realsensetracker_tpu.align import gicp as gicp_mod
+    from realsensetracker_tpu.align import icp as icp_mod
+
+    levels, _ = build_pyramid(depth, intr, 1)
+    h, w = levels[0].valid.shape
+    c = cloud_mod.Cloud(
+        points=levels[0].vertex_map.reshape(h * w, 3),
+        mask=levels[0].vertex_valid.reshape(h * w),
+    )
+    c = voxel_mod.downsample_voxel(c, voxel_size)
+    curr = cloud_mod.Cloud(points=c.points[:capacity], mask=c.mask[:capacity])
+
+    if method == "icp":
+        out = icp_mod.align_icp(curr, prev, icp_max_iter)
+        rel, cost = out.transform, out.mean_cost
+        ok = jnp.all(jnp.isfinite(rel)) & out.success
+    else:
+        out = gicp_mod.align_gicp(
+            curr, prev, max_outer=max_outer, inner_iters=inner_iters,
+            cov_k=cov_k, use_gicp_cov=use_gicp_cov, huber_delta=huber_delta,
+        )
+        rel, cost = out.transform, out.cost
+        ok = jnp.all(jnp.isfinite(rel))
+    new_pose = se3.compose(pose, rel)
+    new_pose = jnp.where(ok, new_pose, pose)
+    f32 = jnp.float32
+    stats = jnp.concatenate([
+        jnp.stack([cost.astype(f32), ok.astype(f32)]),
+        new_pose.reshape(-1).astype(f32),
+    ])
+    return curr, new_pose, rel, stats
+
+
 class _CloudTracker:
     """Cloud-based backends: the reference replay-loop semantics
     (rs_replay_app.cpp:244-273) with GNC-ICP or GICP registration on
-    voxel-downsampled clouds."""
+    voxel-downsampled clouds, one jitted program per frame."""
 
     def __init__(self, config: TrackerConfig):
         self.config = config
         self._prev = None
         self._pose = None
+        self._pose_np = None
         self._index = 0
         self.trajectory = Trajectory()
 
     @property
     def pose(self):
-        return self._pose
+        return self._pose_np
 
     def _depth_to_cloud(self, depth):
         cfg = self.config
@@ -135,39 +183,42 @@ class _CloudTracker:
         return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
 
     def process(self, depth, timestamp: float | None = None):
-        from realsensetracker_tpu.align import gicp as gicp_mod
-        from realsensetracker_tpu.align import icp as icp_mod
         from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
 
         if timestamp is None:
             timestamp = float(self._index)
-        curr = self._depth_to_cloud(depth)
         if self._prev is None:
             self._pose = se3.identity()
-            self._prev = curr
-            self.trajectory.append(timestamp, self._pose)
-            res = FrameResult(self._pose, se3.identity(), True, 0.0, 1.0, self._index)
+            self._pose_np = np.eye(4, dtype=np.float32)
+            self._prev = self._depth_to_cloud(depth)
+            self.trajectory.append(timestamp, self._pose_np)
+            res = FrameResult(
+                self._pose_np, se3.identity(), True, 0.0, 1.0, self._index
+            )
             self._index += 1
             return res
 
-        if self.config.method == "icp":
-            out = icp_mod.align_icp(curr, self._prev, self.config.align.icp_max_iter)
-            rel, ok, cost = out.transform, bool(out.success), float(out.mean_cost)
-        else:
-            g = self.config.gicp
-            out = gicp_mod.align_gicp(
-                curr, self._prev,
-                max_outer=g.max_outer, inner_iters=g.inner_iters,
-                cov_k=g.cov_k, use_gicp_cov=g.use_gicp_cov,
-                huber_delta=g.huber_delta,
-            )
-            rel, cost = out.transform, float(out.cost)
-            ok = bool(np.isfinite(np.asarray(rel)).all())
-
+        g = self.config.gicp
+        curr, new_pose_dev, rel, stats = _fused_cloud_step(
+            jnp.asarray(depth, jnp.float32), self._prev, self._pose,
+            intr=self.config.intrinsics,
+            voxel_size=self.config.align.voxel_size,
+            capacity=self.config.align.cloud_capacity,
+            method=self.config.method,
+            icp_max_iter=self.config.align.icp_max_iter,
+            max_outer=g.max_outer, inner_iters=g.inner_iters,
+            cov_k=g.cov_k, use_gicp_cov=g.use_gicp_cov,
+            huber_delta=g.huber_delta,
+        )
+        s = np.asarray(stats)  # the frame's one host transfer
+        cost, ok = float(s[0]), bool(s[1] > 0.5)
         if ok:
-            self._pose = se3.compose(self._pose, rel)
+            self._pose = new_pose_dev
+            self._pose_np = s[2:18].reshape(4, 4)
             self._prev = curr
-        self.trajectory.append(timestamp, self._pose)
-        res = FrameResult(self._pose, rel, ok, cost, 1.0 if ok else 0.0, self._index)
+        self.trajectory.append(timestamp, self._pose_np)
+        res = FrameResult(
+            self._pose_np, rel, ok, cost, 1.0 if ok else 0.0, self._index
+        )
         self._index += 1
         return res
