@@ -48,8 +48,16 @@ class SlamConfig:
     loop_overlap_tau: float = 0.05
     loop_min_overlap: float = 0.6
     # Odometry gate: reject loop transforms that contradict the current
-    # trajectory estimate by more than this twist norm (drift bound).
+    # trajectory estimate by more than this twist norm (drift bound). The
+    # allowance GROWS with keyframe separation (gate + drift_per_keyframe
+    # * |i - j|): odometry drift is unbounded over time, so a fixed gate
+    # rejects every TRUE loop precisely when tracking has drifted far and
+    # re-anchoring matters most -- measured on a 500-frame aggressive
+    # sweep, a fixed 0.3 gate let only 7 loops through after meter-scale
+    # drift. Geometric verification (symmetric overlap) remains the
+    # primary wrong-loop rejector; the gate is near-range safety only.
     loop_odometry_gate: float = 0.3
+    loop_drift_per_keyframe: float = 0.05
     optimize_every: int = 0  # 0 = only on demand via optimize()
     keyframe_cloud_capacity: int = 4096
 
@@ -150,7 +158,10 @@ class SlamTracker:
                         jnp.asarray(np.linalg.inv(T_meas) @ pred, jnp.float32)
                     )
                 )
-                if np.linalg.norm(delta) > cfg.loop_odometry_gate:
+                allowed = cfg.loop_odometry_gate + (
+                    cfg.loop_drift_per_keyframe * abs(kf_idx - cand_idx)
+                )
+                if np.linalg.norm(delta) > allowed:
                     continue
                 self._loop_edges.append(
                     (cand_idx, kf_idx, T_meas, cfg.loop_weight)
