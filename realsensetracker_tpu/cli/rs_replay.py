@@ -186,6 +186,7 @@ def main(argv=None) -> int:
         opt = tracker.optimize()
         print(f"keyframes={tracker.keyframe_count} "
               f"loop_closures={tracker.num_loop_closures} "
+              f"relocalizations={tracker.num_relocalizations} "
               f"optimized={'yes' if opt is not None else 'no'}")
 
     if args.trajectory_out:

@@ -76,9 +76,17 @@ def _edge_residuals(twists, graph: PoseGraph):
 def _cg(matvec, b, iters: int, eps: float = 1e-12, precond=None):
     """(Preconditioned) conjugate gradients for SPD systems, fixed count.
 
-    precond: optional M^-1 apply. Without it this is plain CG (z = r)."""
+    precond: optional M^-1 apply. Without it this is plain CG (z = r).
+    The preconditioner output is guarded: if an apply goes non-finite
+    (e.g. a numerically singular backbone block on reduced-precision
+    hardware), that apply degrades to the identity preconditioner instead
+    of poisoning the whole solve."""
     if precond is None:
         precond = lambda r: r  # noqa: E731
+
+    def safe_precond(r):
+        z = precond(r)
+        return jnp.where(jnp.all(jnp.isfinite(z)), z, r)
 
     def body(_, state):
         x, r, z, p, rz = state
@@ -86,17 +94,29 @@ def _cg(matvec, b, iters: int, eps: float = 1e-12, precond=None):
         alpha = rz / jnp.maximum(jnp.vdot(p, Ap), eps)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = precond(r)
+        z = safe_precond(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.maximum(rz, eps)
         p = z + beta * p
         return x, r, z, p, rz_new
 
     x0 = jnp.zeros_like(b)
-    z0 = precond(b)
+    z0 = safe_precond(b)
     state = (x0, b, z0, z0, jnp.vdot(b, z0))
     x, *_ = jax.lax.fori_loop(0, iters, body, state)
     return x
+
+
+def _inv6(M):
+    """Scale-normalized 6x6 inverse: inv(M) = inv(M/s)/s with s = tr(M)/6.
+
+    Keeps the LU factorization's pivots near unit scale regardless of the
+    edge-weight magnitudes feeding the blocks -- on TPU the factorization
+    runs at reduced matmul precision, and poorly scaled blocks are where
+    it goes singular first."""
+    s = jnp.trace(M) / 6.0
+    s = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
+    return jnp.linalg.inv(M / s) / s
 
 
 def _block_tridiag_precond(graph: PoseGraph, poses, w_rob, n, damping):
@@ -161,13 +181,16 @@ def _block_tridiag_precond(graph: PoseGraph, poses, w_rob, n, damping):
 
     # Block LDL^T of the tridiagonal: S_0 = D_0; S_i = D_i - O_{i-1}^T
     # S_{i-1}^{-1} O_{i-1}; store S_i^{-1} and U_{i-1} = S_{i-1}^{-1} O_{i-1}.
-    S0_inv = jnp.linalg.inv(D[0])
+    # All matmuls at HIGHEST precision: the factorization feeds back into
+    # itself along the whole chain, and the TPU's default bf16 operand
+    # rounding compounds across hundreds of nodes (CLAUDE.md gotcha 4).
+    S0_inv = _inv6(D[0])
 
     def factor_step(S_prev_inv, DO):
         D_i, O_im1 = DO
-        U = S_prev_inv @ O_im1
-        S = D_i - O_im1.T @ U + 1e-10 * eye6
-        S_inv = jnp.linalg.inv(S)
+        U = jnp.matmul(S_prev_inv, O_im1, precision=hi)
+        S = D_i - jnp.matmul(O_im1.T, U, precision=hi) + 1e-10 * eye6
+        S_inv = _inv6(S)
         return S_inv, (S_inv, U)
 
     _, (S_inv_rest, U) = jax.lax.scan(factor_step, S0_inv, (D[1:], O))
@@ -179,7 +202,7 @@ def _block_tridiag_precond(graph: PoseGraph, poses, w_rob, n, damping):
         # L y = r  (L unit lower block-bidiagonal, L[i, i-1] = U_{i-1}^T).
         def fwd(y_prev, rU):
             r_i, U_im1 = rU
-            y_i = r_i - U_im1.T @ y_prev
+            y_i = r_i - jnp.matmul(U_im1.T, y_prev, precision=hi)
             return y_i, y_i
 
         y0 = rn[0]
@@ -191,7 +214,7 @@ def _block_tridiag_precond(graph: PoseGraph, poses, w_rob, n, damping):
 
         def bwd(z_next, uU):
             u_i, U_i = uU
-            z_i = u_i - U_i @ z_next
+            z_i = u_i - jnp.matmul(U_i, z_next, precision=hi)
             return z_i, z_i
 
         z_last = u[-1]
@@ -210,14 +233,25 @@ def optimize_pose_graph(
     damping: float = 1e-6,
     huber_delta: float = 0.1,
     precondition: bool = True,
+    trust_radius: float = 2.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Optimize node poses; returns (poses (N, 4, 4), final cost).
 
-    Each GN iteration linearizes all edges at once and solves the damped
+    Each iteration linearizes all edges at once and solves the damped
     normal equations with matrix-free CG (Hv = J^T(J v) via jvp+vjp),
     preconditioned by default with an exact block-LDL^T factorization of
     the odometry backbone (see _block_tridiag_precond) so the fixed
     cg_iters budget converges on 1000-node graphs, not just ~40-node ones.
+
+    The step is SAFEGUARDED (Levenberg-Marquardt accept/reject, the same
+    scheme Ceres applies to the reference's GICP solve,
+    align_gicp.cpp:19-21 TRUST_REGION/LM): each candidate step is clipped
+    to `trust_radius` per-node twist norm, evaluated against the current
+    robustified cost, and REJECTED (poses kept, damping x10) if it fails
+    to decrease it or goes non-finite; accepted steps relax damping /2.
+    An unsafeguarded GN loop diverges to NaN on large drifted graphs whose
+    loop residuals approach the pi rotation branch cut -- measured on a
+    real 229-keyframe, 48-loop, meter-scale-drift graph.
 
     huber_delta: robust kernel scale on each edge's twist-norm residual
     (IRLS, re-evaluated per GN iteration). Staged GNC-style schedule: the
@@ -232,7 +266,7 @@ def optimize_pose_graph(
     n = graph.poses.shape[0]
 
     def gn_step(it, carry):
-        poses, _cost = carry
+        poses, lm_damping, _cost = carry
         g = graph._replace(poses=poses)
         zero = jnp.zeros((n, 6), jnp.float32)
 
@@ -260,22 +294,44 @@ def optimize_pose_graph(
         def matvec(v):
             _, jv = jax.jvp(res_flat, (zero.reshape(-1),), (v,))
             (jtjv,) = vjp(jv)
-            return jtjv + damping * v
+            return jtjv + lm_damping * v
 
         (grad,) = vjp(r0)
         precond = (
-            _block_tridiag_precond(graph, poses, w_rob, n, damping)
+            _block_tridiag_precond(graph, poses, w_rob, n, lm_damping)
             if precondition
             else None
         )
         dx = _cg(matvec, -grad, cg_iters, precond=precond)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         tw = dx.reshape(n, 6).at[0].set(0.0)
+        # Trust region: clip each node's step. A single ill-conditioned
+        # linearization (log Jacobian ~ 1/sin(theta) near pi) can emit a
+        # huge but useless step; beyond ~pi per iteration it carries no
+        # information anyway.
+        step_norm = jnp.linalg.norm(tw, axis=-1, keepdims=True)
+        tw = tw * jnp.minimum(1.0, trust_radius / jnp.maximum(step_norm, 1e-12))
         new_poses = se3.compose(se3.exp(tw), poses)
         cost = 0.5 * jnp.sum(r0 * r0)
-        return new_poses, cost
 
-    poses, cost = jax.lax.fori_loop(
-        0, gn_iters, gn_step, (graph.poses, jnp.float32(0.0))
+        # LM accept/reject under the SAME robust weights.
+        r_new = (
+            _edge_residuals(zero, g._replace(poses=new_poses)) * w_rob[:, None]
+        )
+        new_cost = 0.5 * jnp.sum(r_new * r_new)
+        accept = jnp.isfinite(new_cost) & jnp.all(
+            jnp.isfinite(new_poses)
+        ) & (new_cost <= cost)
+        poses = jnp.where(accept, new_poses, poses)
+        lm_damping = jnp.where(
+            accept,
+            jnp.maximum(lm_damping * 0.5, damping),
+            jnp.minimum(lm_damping * 10.0, 1e4),
+        )
+        return poses, lm_damping, cost
+
+    poses, _lm, cost = jax.lax.fori_loop(
+        0, gn_iters, gn_step, (graph.poses, jnp.float32(damping), jnp.float32(0.0))
     )
     # Report the cost at the final poses.
     final_r = _edge_residuals(jnp.zeros((n, 6), jnp.float32), graph._replace(poses=poses))

@@ -94,6 +94,7 @@ class KeyframeTracker:
     max_consecutive_failures: int = 5
 
     _fail_streak: int = 0
+    _last_levels: object = field(default=None, repr=False)
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
     _pose: object = field(default=None, repr=False)  # device copy
@@ -121,6 +122,7 @@ class KeyframeTracker:
             self._pose_np = np.eye(4, dtype=np.float32)
             self._kf_pose = self._pose
             self._kf_levels = tuple(levels)
+            self._last_levels = self._kf_levels
             self.trajectory.append(timestamp, self._pose_np)
             res = KeyframeResult(self._pose_np, True, True, 0.0, 1.0, self._index)
             self._index += 1
@@ -130,6 +132,7 @@ class KeyframeTracker:
             depth, self._kf_levels, self._kf_pose, self._pose,
             intr=self.intr, cfg=self.cfg,
         )
+        self._last_levels = levels  # kept for a possible external re-seed
         s = np.asarray(stats)  # the frame's ONE host transfer
         rmse, inlier, finite_ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
         tw = s[3:9]
@@ -169,3 +172,21 @@ class KeyframeTracker:
         )
         self._index += 1
         return res
+
+    def relocalize_to(self, pose) -> None:
+        """Override the pose with an externally-computed estimate and
+        re-seed the keyframe at the LAST processed frame.
+
+        Used by the SLAM layer's relocalization: when projective ICP falls
+        outside its convergence basin (fast rotation bursts), a robust
+        global registration (FPFH + GNC-TLS -- the reference's TEASER
+        recovery role, rs_align_app.cpp:310-314) recovers the pose and
+        hands it back here so local tracking resumes from the corrected
+        state instead of holding a stale pose through the burst."""
+        self._pose = jnp.asarray(pose, jnp.float32)
+        self._pose_np = np.asarray(pose, np.float32)
+        self._kf_pose = self._pose
+        self._kf_levels = self._last_levels
+        self._fail_streak = 0
+        if self.trajectory.poses:
+            self.trajectory.poses[-1] = np.asarray(pose, np.float64)

@@ -60,6 +60,16 @@ class SlamConfig:
     loop_drift_per_keyframe: float = 0.05
     optimize_every: int = 0  # 0 = only on demand via optimize()
     keyframe_cloud_capacity: int = 4096
+    # Relocalization: when local projective ICP loses tracking for a full
+    # failure streak (KeyframeTracker.max_consecutive_failures) the VO
+    # layer re-seeds holding a stale pose; with relocalize=True the SLAM
+    # layer instead registers the current frame against recent keyframes
+    # with the robust global pipeline (FPFH + GNC-TLS + ICP refine -- the
+    # reference's TEASER recovery role, rs_align_app.cpp:310-314) and, if
+    # the symmetric-overlap verifier accepts, hands the recovered pose
+    # back to the VO (KeyframeTracker.relocalize_to).
+    relocalize: bool = True
+    reloc_candidates: int = 3  # most-recent keyframes tried, newest first
 
 
 @dataclass
@@ -84,6 +94,7 @@ class SlamTracker:
         self._keyframes: list[_Keyframe] = []
         self._loop_edges: list[tuple] = []  # (kf_i, kf_j, T_ij, weight)
         self.num_loop_closures = 0
+        self.num_relocalizations = 0
 
     @property
     def trajectory(self) -> Trajectory:
@@ -95,9 +106,49 @@ class SlamTracker:
 
     def process(self, depth, timestamp: float | None = None):
         res = self._vo.process(depth, timestamp)
+        precomputed = None
+        if (
+            self.config.relocalize
+            and res.is_new_keyframe
+            and not res.success  # a failure-streak re-seed, not a promotion
+            and self._keyframes
+        ):
+            pose, precomputed = self._try_relocalize(depth)
+            if pose is not None:
+                self._vo.relocalize_to(pose)
+                self.num_relocalizations += 1
+                res = res._replace(pose=np.asarray(pose, np.float32))
         if res.is_new_keyframe:
-            self._on_keyframe(depth, res)
+            self._on_keyframe(depth, res, precomputed=precomputed)
         return res
+
+    def _try_relocalize(self, depth):
+        """Robust global registration of the current frame against the most
+        recent keyframes; returns (world_pose | None, (cloud, feats))."""
+        cfg = self.config
+        cloud = self._frame_cloud(depth)
+        feats = fpfh_mod.compute_fpfh(
+            cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
+            cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
+        )
+        cands = [kf.index for kf in self._keyframes[-cfg.reloc_candidates:]]
+        cands.reverse()  # newest first: most likely overlap
+        # Same verifier (and therefore the SAME compiled program) as loop
+        # closure: symmetric-overlap acceptance rejects confidently wrong
+        # registrations, so a failed relocalization holds the pose rather
+        # than corrupting it.
+        verdicts = self._db.verify_batch(
+            -1, cloud, feats, cands,
+            noise_bound=cfg.loop_noise_bound,
+            overlap_tau=cfg.loop_overlap_tau,
+            min_overlap=cfg.loop_min_overlap,
+            pad_to=3,
+        )
+        for kf_i, (T_cur_to_kf, ok) in zip(cands, verdicts):
+            if ok:
+                pose = self._keyframes[kf_i].pose @ np.asarray(T_cur_to_kf)
+                return pose, (cloud, feats)
+        return None, (cloud, feats)
 
     def _frame_cloud(self, depth):
         cfg = self.config
@@ -114,14 +165,17 @@ class SlamTracker:
         cap = cfg.keyframe_cloud_capacity
         return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
 
-    def _on_keyframe(self, depth, res) -> None:
+    def _on_keyframe(self, depth, res, precomputed=None) -> None:
         cfg = self.config
         kf_idx = len(self._keyframes)
-        cloud = self._frame_cloud(depth)
-        feats = fpfh_mod.compute_fpfh(
-            cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
-            cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
-        )
+        if precomputed is not None:  # reuse the relocalization attempt's work
+            cloud, feats = precomputed
+        else:
+            cloud = self._frame_cloud(depth)
+            feats = fpfh_mod.compute_fpfh(
+                cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
+                cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
+            )
         kf = _Keyframe(
             index=kf_idx,
             frame_index=res.frame_index,

@@ -147,6 +147,43 @@ class TestPoseGraph:
         )
         assert err_after < 0.5 * err_before
 
+    def test_lm_safeguard_survives_meter_scale_drift(self):
+        """Regression (round 3): an unsafeguarded GN loop diverges to NaN
+        on large drifted graphs whose loop residuals approach the pi
+        rotation branch cut (first seen on a real 229-keyframe, 48-loop
+        aggressive-motion run). The LM accept/reject + trust-region step
+        must keep the solve finite AND actually remove the drift."""
+        n = 80
+        # Ground truth: straight walk in x.
+        step_gt = np.asarray(
+            se3.exp(jnp.asarray([0.05, 0, 0, 0, 0, 0], jnp.float32))
+        )
+        gt = [np.eye(4, dtype=np.float32)]
+        for _ in range(n - 1):
+            gt.append((gt[-1] @ step_gt).astype(np.float32))
+        # Estimate: every step also drifts 0.042 rad about z -> the final
+        # node's orientation error is ~3.3 rad, past the branch cut.
+        step_est = np.asarray(
+            se3.exp(jnp.asarray([0.05, 0, 0, 0, 0, 0.042], jnp.float32))
+        )
+        est = [np.eye(4, dtype=np.float32)]
+        for _ in range(n - 1):
+            est.append((est[-1] @ step_est).astype(np.float32))
+        gt, est = np.stack(gt), np.stack(est)
+
+        loops = []
+        for j in (n - 1, n - 2, n - 3, n // 2):
+            T_true = (np.linalg.inv(gt[0]) @ gt[j]).astype(np.float32)
+            loops.append((0, j, T_true, 1.0))
+        graph = pg.from_trajectory(jnp.asarray(est), loop_edges=loops)
+        poses, cost = pg.optimize_pose_graph(graph, gn_iters=25, cg_iters=60)
+        poses = np.asarray(poses)
+        assert np.isfinite(poses).all()
+        assert np.isfinite(float(cost))
+        err_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        err_after = np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
     def test_gauge_fixed(self):
         _, est, _ = _noisy_loop_trajectory()
         graph = pg.from_trajectory(jnp.asarray(est))

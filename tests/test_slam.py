@@ -120,6 +120,45 @@ class TestSlam:
         # Loop closure must not make the endpoint worse.
         assert err_after <= err_before + 1e-4
 
+    def test_relocalization_recovers_from_lost_tracking(self):
+        """When projective ICP is blinded (invalid frames) and the camera
+        reappears at a different pose, the SLAM layer must recover the
+        pose by robust global registration against recent keyframes
+        (SlamConfig.relocalize) instead of holding the stale estimate."""
+        scene = synthetic.default_scene(seed=21)
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for _ in range(3):
+            poses.append(se3.compose(poses[-1], se3.exp(step)))
+        # Frames 0-3: tracked. Frames 4-5: blind (all-invalid depth).
+        # Frames 6-7: camera reappears AT FRAME 1's POSE (held estimate is
+        # frame 3's). Frames 8-9: resume stepping from there.
+        reappear = [poses[1]]
+        for _ in range(3):
+            reappear.append(se3.compose(reappear[-1], se3.exp(step)))
+        good = [synthetic.render_depth(INTR, T, scene) for T in poses]
+        blind = jnp.zeros_like(good[0])
+        back = [synthetic.render_depth(INTR, T, scene) for T in reappear]
+        frames = good + [blind, blind] + back
+        gt_final = np.asarray(reappear[-1])
+
+        tracker = _make_tracker()
+        tracker._vo.max_consecutive_failures = 2
+        for i, d in enumerate(frames):
+            res = tracker.process(d, float(i))
+        assert tracker.num_relocalizations >= 1
+        assert res.success, "tracking must resume after relocalization"
+        final = np.asarray(tracker.trajectory.poses[-1])
+        err = np.linalg.norm(
+            np.asarray(
+                se3.log(jnp.asarray(np.linalg.inv(gt_final) @ final, jnp.float32))
+            )
+        )
+        # Without relocalization the pose error would be ~2 lost steps
+        # (>= 0.08 twist) plus the blind-stretch drift; recovered tracking
+        # must land well inside that.
+        assert err < 0.04, err
+
     def test_map_builds_from_keyframes(self):
         depths, _ = _loop_sequence(6)
         tracker = _make_tracker()
