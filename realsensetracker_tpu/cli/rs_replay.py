@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--trajectory-out", default="")
+    p.add_argument("--optimize-every", type=int, default=0,
+                   help="SLAM only: run pose-graph optimization in-stream "
+                        "every N keyframes, feeding the correction back "
+                        "into tracking (0 = only once at the end)")
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
@@ -98,7 +102,9 @@ def main(argv=None) -> int:
     if args.method == "slam":
         from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
-        tracker = SlamTracker(SlamConfig(intrinsics=intr))
+        tracker = SlamTracker(
+            SlamConfig(intrinsics=intr, optimize_every=args.optimize_every)
+        )
     else:
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity)
@@ -187,6 +193,7 @@ def main(argv=None) -> int:
         print(f"keyframes={tracker.keyframe_count} "
               f"loop_closures={tracker.num_loop_closures} "
               f"relocalizations={tracker.num_relocalizations} "
+              f"online_optimizations={tracker.num_online_optimizations} "
               f"optimized={'yes' if opt is not None else 'no'}")
 
     if args.trajectory_out:

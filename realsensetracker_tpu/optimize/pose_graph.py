@@ -33,17 +33,41 @@ class PoseGraph(NamedTuple):
     weights: jnp.ndarray  # (E,) scalar edge weights
 
 
-def from_trajectory(poses, loop_edges=()):
+def from_trajectory(poses, loop_edges=(), odometry=None, odometry_weights=None):
     """Build a graph with consecutive odometry edges + optional loop edges.
 
     loop_edges: iterable of (i, j, T_ij (4,4), weight).
+    odometry: optional explicit consecutive-edge measurements (n-1 of
+    (4,4), T_i^-1 T_j as MEASURED at tracking time). Without it the
+    measurements are re-extracted from `poses` -- fine for a one-shot
+    solve, but WRONG for repeated online optimization: re-extracting from
+    already-optimized poses erases the original odometry information a
+    little more each round, so streaming callers must pass the
+    measurements they recorded at keyframe insertion.
     """
     poses = jnp.asarray(poses, jnp.float32)
     n = poses.shape[0]
     ei = list(range(n - 1))
     ej = list(range(1, n))
-    meas = [se3.compose(se3.inverse(poses[i]), poses[i + 1]) for i in range(n - 1)]
-    w = [1.0] * (n - 1)
+    if odometry is None:
+        meas = [
+            se3.compose(se3.inverse(poses[i]), poses[i + 1]) for i in range(n - 1)
+        ]
+    else:
+        meas = [jnp.asarray(T, jnp.float32) for T in odometry]
+        if len(meas) != n - 1:
+            raise ValueError(f"odometry must have {n - 1} edges, got {len(meas)}")
+    if odometry_weights is None:
+        w = [1.0] * (n - 1)
+    else:
+        # Per-edge odometry confidence: edges spanning tracking loss carry
+        # less information (the held pose misses real motion), so the SLAM
+        # layer down-weights them and lets loop closures re-anchor.
+        w = [float(x) for x in odometry_weights]
+        if len(w) != n - 1:
+            raise ValueError(
+                f"odometry_weights must have {n - 1} entries, got {len(w)}"
+            )
     for (i, j, T_ij, weight) in loop_edges:
         ei.append(i)
         ej.append(j)

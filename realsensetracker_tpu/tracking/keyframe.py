@@ -94,6 +94,12 @@ class KeyframeTracker:
     max_consecutive_failures: int = 5
 
     _fail_streak: int = 0
+    # Failed frames since the previous keyframe, snapshotted into
+    # last_span_failures at every keyframe event: the SLAM layer uses it
+    # to DOWN-WEIGHT odometry edges spanning tracking loss (the held pose
+    # makes those edges miss real motion entirely).
+    _fails_since_kf: int = 0
+    last_span_failures: int = 0
     _last_levels: object = field(default=None, repr=False)
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
@@ -154,6 +160,7 @@ class KeyframeTracker:
                 is_new_kf = True
         else:
             self._fail_streak += 1
+            self._fails_since_kf += 1
             if self._fail_streak >= self.max_consecutive_failures:
                 # Recovery re-seed: pose held, current frame becomes the
                 # reference so tracking can resume.
@@ -161,6 +168,9 @@ class KeyframeTracker:
                 self._kf_levels = levels
                 self._kf_pose = self._pose
                 is_new_kf = True
+        if is_new_kf:
+            self.last_span_failures = self._fails_since_kf
+            self._fails_since_kf = 0
         self.trajectory.append(timestamp, self._pose_np)
         res = KeyframeResult(
             pose=self._pose_np,
@@ -188,5 +198,21 @@ class KeyframeTracker:
         self._kf_pose = self._pose
         self._kf_levels = self._last_levels
         self._fail_streak = 0
+        self._fails_since_kf = 0
         if self.trajectory.poses:
             self.trajectory.poses[-1] = np.asarray(pose, np.float64)
+
+    def apply_world_correction(self, delta) -> None:
+        """Left-multiply a world-frame correction into the tracker state.
+
+        Used by online pose-graph optimization (SlamConfig.optimize_every):
+        after the graph moves the latest keyframe from P to P', the SLAM
+        layer hands delta = P' P^-1 here so subsequent tracking continues
+        from the drift-corrected trajectory. Keyframe pyramids live in
+        CAMERA coordinates, so only the pose state changes."""
+        d = jnp.asarray(delta, jnp.float32)
+        self._pose = se3.orthonormalize(se3.compose(d, self._pose))
+        self._kf_pose = se3.orthonormalize(se3.compose(d, self._kf_pose))
+        self._pose_np = np.asarray(self._pose)
+        if self.trajectory.poses:
+            self.trajectory.poses[-1] = np.asarray(self._pose_np, np.float64)

@@ -58,7 +58,11 @@ class SlamConfig:
     # primary wrong-loop rejector; the gate is near-range safety only.
     loop_odometry_gate: float = 0.3
     loop_drift_per_keyframe: float = 0.05
-    optimize_every: int = 0  # 0 = only on demand via optimize()
+    # Online optimization: every N keyframes (when loop edges exist), run
+    # pose-graph optimization in-stream and feed the latest keyframe's
+    # correction back into the VO (see _optimize_online). 0 = only on
+    # demand via optimize().
+    optimize_every: int = 0
     keyframe_cloud_capacity: int = 4096
     # Relocalization: when local projective ICP loses tracking for a full
     # failure streak (KeyframeTracker.max_consecutive_failures) the VO
@@ -69,16 +73,34 @@ class SlamConfig:
     # the symmetric-overlap verifier accepts, hands the recovered pose
     # back to the VO (KeyframeTracker.relocalize_to).
     relocalize: bool = True
-    reloc_candidates: int = 3  # most-recent keyframes tried, newest first
+    # Candidates per attempt: the most recent keyframes plus the best
+    # place-recognition (descriptor) hit anywhere in the map -- after a
+    # long blind stretch the camera may resurface at a place from an
+    # earlier pass, not near the latest keyframes.
+    reloc_candidates: int = 3
+    # Lost mode: if the attempt at the failure-streak re-seed does not
+    # verify (typical mid-burst: no view overlap yet), keep retrying --
+    # on every new keyframe and every reloc_retry_every-th frame -- until
+    # one verifies. Local tracking meanwhile resumes RELATIVE to the
+    # stale pose, so the first verified relocalization snaps the
+    # trajectory back; its keyframe edge carries loop_weight only.
+    reloc_retry_every: int = 5
 
 
 @dataclass
 class _Keyframe:
     index: int  # keyframe index (graph node id)
     frame_index: int
-    pose: np.ndarray  # world_from_keyframe at insertion time
+    pose: np.ndarray  # world_from_keyframe (updated by optimization)
     cloud: object
     feats: object
+    # Odometry measurement prev_kf^-1 @ this, captured AT INSERTION: the
+    # graph must be rebuilt from these originals, not re-extracted from
+    # (possibly already-optimized) poses -- see pose_graph.from_trajectory.
+    odom_from_prev: np.ndarray | None = None
+    # Confidence of that edge: 1.0 for a clean tracked span, reduced when
+    # the span contained tracking failures (held pose misses real motion).
+    odom_weight: float = 1.0
 
 
 class SlamTracker:
@@ -95,6 +117,9 @@ class SlamTracker:
         self._loop_edges: list[tuple] = []  # (kf_i, kf_j, T_ij, weight)
         self.num_loop_closures = 0
         self.num_relocalizations = 0
+        self.num_online_optimizations = 0
+        self.lost = False  # un-relocalized tracking loss: pose is stale
+        self._frame_count = 0
 
     @property
     def trajectory(self) -> Trajectory:
@@ -106,21 +131,58 @@ class SlamTracker:
 
     def process(self, depth, timestamp: float | None = None):
         res = self._vo.process(depth, timestamp)
+        self._frame_count += 1
         precomputed = None
-        if (
-            self.config.relocalize
-            and res.is_new_keyframe
-            and not res.success  # a failure-streak re-seed, not a promotion
-            and self._keyframes
-        ):
+        odom_weight = None  # None -> derive from the span's failure count
+        # A failure-streak re-seed means the held pose is stale: attempt
+        # relocalization now, and -- if it does not verify (typical
+        # mid-burst) -- enter lost mode and keep retrying until one does.
+        reseed_fail = res.is_new_keyframe and not res.success
+        retry = self.lost and (
+            res.is_new_keyframe
+            or self._frame_count % max(self.config.reloc_retry_every, 1) == 0
+        )
+        if self.config.relocalize and self._keyframes and (reseed_fail or retry):
             pose, precomputed = self._try_relocalize(depth)
             if pose is not None:
                 self._vo.relocalize_to(pose)
                 self.num_relocalizations += 1
-                res = res._replace(pose=np.asarray(pose, np.float32))
+                self.lost = False
+                # Force a keyframe at the recovery point so the graph gets
+                # a node there; its odometry edge is relocalization-
+                # derived: as trustworthy as a verified loop edge, no more.
+                res = res._replace(
+                    pose=np.asarray(pose, np.float32), is_new_keyframe=True
+                )
+                odom_weight = self.config.loop_weight
+            elif reseed_fail:
+                self.lost = True
         if res.is_new_keyframe:
-            self._on_keyframe(depth, res, precomputed=precomputed)
+            self._on_keyframe(
+                depth, res, precomputed=precomputed, odom_weight=odom_weight
+            )
+            ev = self.config.optimize_every
+            if (
+                ev
+                and len(self._keyframes) >= 2
+                and len(self._keyframes) % ev == 0
+                and self._loop_edges
+            ):
+                self._optimize_online()
         return res
+
+    def _optimize_online(self) -> None:
+        """Periodic in-stream pose-graph optimization (optimize_every):
+        optimize the keyframe graph, then left-multiply the latest
+        keyframe's correction into the VO so tracking continues from the
+        drift-corrected trajectory instead of only fixing it post-hoc."""
+        old_last = self._keyframes[-1].pose.astype(np.float64).copy()
+        opt = self.optimize(pad=True)
+        if opt is None or not np.isfinite(opt).all():
+            return
+        delta = opt[-1].astype(np.float64) @ np.linalg.inv(old_last)
+        self._vo.apply_world_correction(delta.astype(np.float32))
+        self.num_online_optimizations += 1
 
     def _try_relocalize(self, depth):
         """Robust global registration of the current frame against the most
@@ -131,8 +193,16 @@ class SlamTracker:
             cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
             cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
         )
-        cands = [kf.index for kf in self._keyframes[-cfg.reloc_candidates:]]
+        n_recent = max(cfg.reloc_candidates - 1, 1)
+        cands = [kf.index for kf in self._keyframes[-n_recent:]]
         cands.reverse()  # newest first: most likely overlap
+        # Plus the best place-recognition hits anywhere in the map (the
+        # query frame id is far from every keyframe id, so the temporal-
+        # separation filter never rejects).
+        for cand_id, _sim in self._db.query(1 << 30, cloud, feats,
+                                            top_k=cfg.reloc_candidates):
+            if cand_id not in cands and len(cands) < cfg.reloc_candidates:
+                cands.append(cand_id)
         # Same verifier (and therefore the SAME compiled program) as loop
         # closure: symmetric-overlap acceptance rejects confidently wrong
         # registrations, so a failed relocalization holds the pose rather
@@ -142,7 +212,7 @@ class SlamTracker:
             noise_bound=cfg.loop_noise_bound,
             overlap_tau=cfg.loop_overlap_tau,
             min_overlap=cfg.loop_min_overlap,
-            pad_to=3,
+            pad_to=max(3, cfg.reloc_candidates),
         )
         for kf_i, (T_cur_to_kf, ok) in zip(cands, verdicts):
             if ok:
@@ -165,9 +235,15 @@ class SlamTracker:
         cap = cfg.keyframe_cloud_capacity
         return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
 
-    def _on_keyframe(self, depth, res, precomputed=None) -> None:
+    def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None) -> None:
         cfg = self.config
         kf_idx = len(self._keyframes)
+        if odom_weight is None:
+            # Discount the incoming odometry edge by the tracking failures
+            # in its span: each failed frame held the pose while the
+            # camera kept moving, so the measured relative motion is
+            # incomplete. Clean spans keep weight 1.0.
+            odom_weight = max(0.02, 1.0 / (1.0 + self._vo.last_span_failures))
         if precomputed is not None:  # reuse the relocalization attempt's work
             cloud, feats = precomputed
         else:
@@ -176,12 +252,20 @@ class SlamTracker:
                 cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
                 cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
             )
+        pose = np.asarray(res.pose, np.float64)
         kf = _Keyframe(
             index=kf_idx,
             frame_index=res.frame_index,
-            pose=np.asarray(res.pose),
+            pose=pose.astype(np.float32),
             cloud=cloud,
             feats=feats,
+            odom_from_prev=(
+                (np.linalg.inv(self._keyframes[-1].pose.astype(np.float64)) @ pose)
+                .astype(np.float32)
+                if self._keyframes
+                else None
+            ),
+            odom_weight=float(odom_weight),
         )
         # Query BEFORE adding (never match self). All candidates of this
         # query verify in ONE vmapped device dispatch (verify_batch), so
@@ -224,18 +308,59 @@ class SlamTracker:
         self._db.add(kf_idx, cloud, feats)
         self._keyframes.append(kf)
 
-    def optimize(self, gn_iters: int = 10, cg_iters: int = 60):
+    def optimize(self, gn_iters: int = 10, cg_iters: int = 60, pad: bool = False):
         """Run pose-graph optimization over keyframes; returns optimized
-        keyframe poses (K, 4, 4). Loop edges measured candidate<-this."""
+        keyframe poses (K, 4, 4). Loop edges measured candidate<-this.
+
+        The graph is built from the odometry measurements CAPTURED AT
+        INSERTION (kf.odom_from_prev), so repeated calls keep optimizing
+        against the original measurements instead of re-extracting them
+        from already-optimized poses.
+
+        pad: round the node/edge counts up to capacity steps (powers of
+        two) with inert padding -- identical results, but every program
+        shape repeats across calls, so ONLINE optimization (which runs
+        every few keyframes) costs one relay compile per capacity
+        doubling instead of one per keyframe count."""
         if len(self._keyframes) < 2:
             return np.stack([k.pose for k in self._keyframes]) if self._keyframes else None
-        poses = jnp.asarray(np.stack([k.pose for k in self._keyframes]), jnp.float32)
-        loop_edges = [
-            (i, j, jnp.asarray(T, jnp.float32), w) for (i, j, T, w) in self._loop_edges
-        ]
-        graph = pg.from_trajectory(poses, loop_edges=loop_edges)
-        opt_poses, cost = pg.optimize_pose_graph(graph, gn_iters=gn_iters, cg_iters=cg_iters)
-        opt = np.asarray(opt_poses)
+        K = len(self._keyframes)
+        poses = np.stack([k.pose for k in self._keyframes]).astype(np.float32)
+        odom = [k.odom_from_prev for k in self._keyframes[1:]]
+        odom_w = [k.odom_weight for k in self._keyframes[1:]]
+        loops = [(i, j, np.asarray(T, np.float32), w)
+                 for (i, j, T, w) in self._loop_edges]
+        n_pad = K
+        if pad:
+            eye = np.eye(4, dtype=np.float32)
+            n_pad = max(8, 1 << (K - 1).bit_length())
+            if n_pad > K:
+                poses = np.concatenate(
+                    [poses, np.repeat(poses[-1][None], n_pad - K, axis=0)]
+                )
+                odom = odom + [eye] * (n_pad - K)
+                odom_w = odom_w + [0.0] * (n_pad - K)
+            ne = max(len(loops), 1)
+            e_pad = max(4, 1 << (ne - 1).bit_length())
+            # (0, 0) self-edges have identically zero residual and gradient
+            # at any weight: inert edge padding.
+            loops = loops + [(0, 0, eye, 0.0)] * (e_pad - len(loops))
+        # Padded chain edges get weight 0: the padded subspace then
+        # decouples EXACTLY (its residuals, gradient, and CG Krylov
+        # vectors are identically zero), so padding cannot perturb the
+        # real solution.
+        graph = pg.from_trajectory(
+            jnp.asarray(poses),
+            loop_edges=[(i, j, jnp.asarray(T), w) for (i, j, T, w) in loops],
+            odometry=[jnp.asarray(T) for T in odom],
+            odometry_weights=odom_w,
+        )
+        opt_poses, _cost = pg.optimize_pose_graph(
+            graph, gn_iters=gn_iters, cg_iters=cg_iters
+        )
+        opt = np.asarray(opt_poses)[:K]
+        if not np.isfinite(opt).all():
+            return opt  # caller decides; keyframe poses stay untouched
         for k, kf in enumerate(self._keyframes):
             kf.pose = opt[k]
         return opt

@@ -184,6 +184,64 @@ class TestPoseGraph:
         err_after = np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3])
         assert err_after < 0.5 * err_before, (err_before, err_after)
 
+    def test_explicit_odometry_measurements(self):
+        """from_trajectory(odometry=...) must use the given measurements,
+        not re-extract them from the (possibly optimized) poses."""
+        gt, est, _ = _noisy_loop_trajectory(n=8, drift=0.03)
+        n = len(est)
+        odom = [
+            (np.linalg.inv(est[i]) @ est[i + 1]).astype(np.float32)
+            for i in range(n - 1)
+        ]
+        g_implicit = pg.from_trajectory(jnp.asarray(est))
+        g_explicit = pg.from_trajectory(jnp.asarray(est), odometry=odom)
+        np.testing.assert_allclose(
+            np.asarray(g_explicit.measurements),
+            np.asarray(g_implicit.measurements),
+            atol=1e-5,
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            pg.from_trajectory(jnp.asarray(est), odometry=odom[:-1])
+
+    def test_downweighted_odometry_lets_loop_reanchor(self):
+        """Per-edge odometry confidence: an edge that MISSED motion
+        (tracking loss held the pose) drags the whole tail when weighted
+        like clean odometry; down-weighted, the loop edge re-anchors the
+        tail onto ground truth."""
+        n = 10
+        step = np.asarray(
+            se3.exp(jnp.asarray([0.3, 0, 0, 0, 0, 0], jnp.float32))
+        )
+        gt = [np.eye(4, dtype=np.float32)]
+        for _ in range(n - 1):
+            gt.append((gt[-1] @ step).astype(np.float32))
+        # Measured odometry: edge 4 saw NO motion (held pose).
+        odom = [step.astype(np.float32)] * (n - 1)
+        odom[4] = np.eye(4, dtype=np.float32)
+        est = [np.eye(4, dtype=np.float32)]
+        for T in odom:
+            est.append((est[-1] @ T).astype(np.float32))
+        est = np.stack(est[:n])
+        T_loop = (np.linalg.inv(gt[0]) @ gt[-1]).astype(np.float32)
+        loops = [(0, n - 1, T_loop, 2.0)]
+
+        def solve(weights):
+            g = pg.from_trajectory(
+                jnp.asarray(est), loop_edges=loops, odometry=odom,
+                odometry_weights=weights,
+            )
+            p, _ = pg.optimize_pose_graph(g, gn_iters=15, cg_iters=60)
+            return np.linalg.norm(np.asarray(p)[-1][:3, 3] - gt[-1][:3, 3])
+
+        err_flat = solve([1.0] * (n - 1))
+        w = [1.0] * (n - 1)
+        w[4] = 0.05
+        err_weighted = solve(w)
+        assert err_weighted < 0.5 * err_flat, (err_flat, err_weighted)
+        assert err_weighted < 0.03
+
     def test_gauge_fixed(self):
         _, est, _ = _noisy_loop_trajectory()
         graph = pg.from_trajectory(jnp.asarray(est))

@@ -148,6 +148,9 @@ class TestSlam:
             res = tracker.process(d, float(i))
         assert tracker.num_relocalizations >= 1
         assert res.success, "tracking must resume after relocalization"
+        # The odometry edge into a failure-span keyframe must be
+        # down-weighted (relocalized edge carries loop_weight).
+        assert any(k.odom_weight < 1.0 for k in tracker._keyframes[1:])
         final = np.asarray(tracker.trajectory.poses[-1])
         err = np.linalg.norm(
             np.asarray(
@@ -158,6 +161,45 @@ class TestSlam:
         # (>= 0.08 twist) plus the blind-stretch drift; recovered tracking
         # must land well inside that.
         assert err < 0.04, err
+
+    def test_padded_optimize_matches_unpadded(self):
+        """Capacity padding (pad=True: pose/edge counts rounded up so
+        online optimization reuses one compiled program per capacity) must
+        be EXACTLY inert: the padded subspace is fully decoupled."""
+        import copy
+
+        depths, _ = _loop_sequence(10)
+        tracker = _make_tracker()
+        for i in range(10):
+            tracker.process(depths[i], float(i))
+        if tracker.num_loop_closures == 0:
+            import pytest
+
+            pytest.skip("no loop closures found on this synthetic sequence")
+        twin = copy.deepcopy(tracker)
+        opt_plain = tracker.optimize(gn_iters=6, cg_iters=40, pad=False)
+        opt_pad = twin.optimize(gn_iters=6, cg_iters=40, pad=True)
+        assert opt_pad.shape == opt_plain.shape  # padding stripped
+        np.testing.assert_allclose(opt_pad, opt_plain, atol=1e-5)
+
+    def test_online_optimization_feeds_back(self):
+        """SlamConfig.optimize_every: once loop edges exist the graph
+        optimizes IN-STREAM and the correction feeds back into the VO."""
+        depths, poses_gt = _loop_sequence(10)
+        tracker = _make_tracker()
+        tracker.config.optimize_every = 2
+        for i in range(10):
+            tracker.process(depths[i], float(i))
+        if tracker.num_loop_closures == 0:
+            import pytest
+
+            pytest.skip("no loop closures found on this synthetic sequence")
+        assert tracker.num_online_optimizations >= 1
+        traj = np.stack(tracker.trajectory.poses)
+        assert np.isfinite(traj).all()
+        gt_end = np.asarray(poses_gt[-1])
+        err = np.linalg.norm(traj[-1][:3, 3] - gt_end[:3, 3])
+        assert err < 0.05, err
 
     def test_map_builds_from_keyframes(self):
         depths, _ = _loop_sequence(6)
