@@ -31,11 +31,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["projective", "rgbd", "keyframe", "model", "icp",
                             "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--start-frame", type=int, default=0,
+                   help="Skip this many frames first (with --resume-state: "
+                        "continue exactly where the snapshot left off)")
     p.add_argument("--trajectory-out", default="")
     p.add_argument("--optimize-every", type=int, default=0,
                    help="SLAM only: run pose-graph optimization in-stream "
                         "every N keyframes, feeding the correction back "
                         "into tracking (0 = only once at the end)")
+    p.add_argument("--save-state", default="", metavar="NPZ",
+                   help="SLAM only: snapshot the tracker state (VO + "
+                        "keyframe store + loop edges) after the run")
+    p.add_argument("--resume-state", default="", metavar="NPZ",
+                   help="SLAM only: restore a --save-state snapshot "
+                        "before processing frames")
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
@@ -76,25 +85,28 @@ def main(argv=None) -> int:
                 return 1
             frames = (
                 (ts, d, g)
-                for ts, d, g in seq.frames_rgbd(stop=args.max_frames or None)
+                for ts, d, g in seq.frames_rgbd(start=args.start_frame,
+                                                stop=args.max_frames or None)
             )
         else:
-            frames = stream_mod.stream_tum(seq, stop=args.max_frames or None)
+            frames = stream_mod.stream_tum(seq, stop=args.max_frames or None,
+                                           start=args.start_frame)
         if args.ate and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
         clip = recorded.read_clip(args.record)
         intr = clip.intrinsics
         stop = args.max_frames or len(clip)
+        start = args.start_frame
         if args.method == "rgbd":
             if not clip.has_color:
                 print(f"{args.record}: depth-only clip (record with "
                       "rs-viewer --color for --method rgbd)", file=sys.stderr)
                 return 1
             frames = ((clip.timestamps[i], clip.depths[i], clip.gray(i))
-                      for i in range(stop))
+                      for i in range(start, stop))
         else:
-            frames = ((clip.timestamps[i], clip.depths[i]) for i in range(stop))
+            frames = ((clip.timestamps[i], clip.depths[i]) for i in range(start, stop))
     else:
         print("need --record or --tum", file=sys.stderr)
         return 1
@@ -105,7 +117,17 @@ def main(argv=None) -> int:
         tracker = SlamTracker(
             SlamConfig(intrinsics=intr, optimize_every=args.optimize_every)
         )
+        if args.resume_state:
+            from realsensetracker_tpu.tracking import checkpoint
+
+            checkpoint.load_slam(args.resume_state, tracker)
+            print(f"resumed {tracker.keyframe_count} keyframes, "
+                  f"{len(tracker.trajectory)} frames from {args.resume_state}")
     else:
+        if args.resume_state or args.save_state:
+            print("--save-state/--resume-state require --method slam",
+                  file=sys.stderr)
+            return 1
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity)
         tracker = Tracker(cfg)
@@ -195,6 +217,11 @@ def main(argv=None) -> int:
               f"relocalizations={tracker.num_relocalizations} "
               f"online_optimizations={tracker.num_online_optimizations} "
               f"optimized={'yes' if opt is not None else 'no'}")
+        if args.save_state:
+            from realsensetracker_tpu.tracking import checkpoint
+
+            checkpoint.save_slam(args.save_state, tracker)
+            print(f"state -> {args.save_state}")
 
     if args.trajectory_out:
         tracker.trajectory.save_tum(args.trajectory_out)

@@ -93,6 +93,7 @@ def stream_clip(clip, prefetch: int = 2) -> FrameStream:
     )
 
 
-def stream_tum(seq, prefetch: int = 2, stop: int | None = None) -> FrameStream:
+def stream_tum(seq, prefetch: int = 2, stop: int | None = None,
+               start: int = 0) -> FrameStream:
     """Stream a TumSequence: PNG decode happens on the producer thread."""
-    return FrameStream(seq.frames(stop=stop), prefetch=prefetch)
+    return FrameStream(seq.frames(start=start, stop=stop), prefetch=prefetch)

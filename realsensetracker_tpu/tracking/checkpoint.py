@@ -110,3 +110,141 @@ def load_tracker(path: str, tracker) -> None:
             keys=jnp.asarray(data["map_keys"]),
             mask=jnp.asarray(data["map_mask"]),
         )
+
+
+SLAM_FORMAT_VERSION = 1
+
+
+def save_slam(path: str, tracker) -> None:
+    """Snapshot a SlamTracker: VO state, keyframe store (poses, clouds,
+    FPFH features, odometry measurements + confidences), loop edges, and
+    counters, so a long SLAM stream survives restarts and can migrate
+    hosts. The reference never persists program state (SURVEY.md section
+    5.4); this is the mapping-pipeline extension of save_tracker."""
+    vo = tracker._vo
+    payload = {
+        "slam_version": np.int64(SLAM_FORMAT_VERSION),
+        "format_version": np.int64(FORMAT_VERSION),
+        "frame_index": np.int64(vo._index),
+        "fail_streak": np.int64(vo._fail_streak),
+        "fails_since_kf": np.int64(vo._fails_since_kf),
+        "last_span_failures": np.int64(vo.last_span_failures),
+        "frame_count": np.int64(tracker._frame_count),
+        "lost": np.bool_(tracker.lost),
+        "num_loop_closures": np.int64(tracker.num_loop_closures),
+        "num_relocalizations": np.int64(tracker.num_relocalizations),
+        "num_online_optimizations": np.int64(tracker.num_online_optimizations),
+        "traj_timestamps": np.asarray(vo.trajectory.timestamps, np.float64),
+        "traj_poses": np.stack(vo.trajectory.poses)
+        if vo.trajectory.poses
+        else np.zeros((0, 4, 4)),
+    }
+    if vo._pose is not None:
+        payload["pose"] = np.asarray(vo._pose)
+        payload["kf_pose"] = np.asarray(vo._kf_pose)
+    payload.update(_flatten_levels(vo._kf_levels))
+    kfs = tracker._keyframes
+    if kfs:
+        eye = np.eye(4, dtype=np.float32)
+        payload["kf_frame_indices"] = np.asarray(
+            [k.frame_index for k in kfs], np.int64
+        )
+        payload["kf_poses"] = np.stack([np.asarray(k.pose, np.float32) for k in kfs])
+        payload["kf_cloud_points"] = np.stack(
+            [np.asarray(k.cloud.points, np.float32) for k in kfs]
+        )
+        payload["kf_cloud_mask"] = np.stack([np.asarray(k.cloud.mask) for k in kfs])
+        payload["kf_feats"] = np.stack(
+            [np.asarray(k.feats, np.float32) for k in kfs]
+        )
+        payload["kf_odom"] = np.stack(
+            [
+                np.asarray(k.odom_from_prev, np.float32)
+                if k.odom_from_prev is not None
+                else eye
+                for k in kfs
+            ]
+        )
+        payload["kf_odom_w"] = np.asarray([k.odom_weight for k in kfs], np.float32)
+    edges = tracker._loop_edges
+    payload["loop_i"] = np.asarray([e[0] for e in edges], np.int64)
+    payload["loop_j"] = np.asarray([e[1] for e in edges], np.int64)
+    payload["loop_T"] = (
+        np.stack([np.asarray(e[2], np.float32) for e in edges])
+        if edges
+        else np.zeros((0, 4, 4), np.float32)
+    )
+    payload["loop_w"] = np.asarray([e[3] for e in edges], np.float32)
+    np.savez_compressed(path, **payload)
+
+
+def load_slam(path: str, tracker) -> None:
+    """Restore a save_slam snapshot into a freshly-constructed SlamTracker
+    (same SlamConfig) in place. The keyframe database is rebuilt by
+    re-adding every keyframe (descriptors are deterministic functions of
+    the stored features), so place recognition and loop closure continue
+    seamlessly."""
+    import jax.numpy as jnp
+
+    from realsensetracker_tpu.ops import cloud as cloud_mod
+    from realsensetracker_tpu.tracking.slam import _Keyframe
+
+    data = np.load(path, allow_pickle=False)
+    sv = int(data["slam_version"])
+    if sv != SLAM_FORMAT_VERSION:
+        raise ValueError(f"slam checkpoint version {sv} != {SLAM_FORMAT_VERSION}")
+    version = int(data["format_version"])
+    if version != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {version} != {FORMAT_VERSION}")
+
+    vo = tracker._vo
+    vo._index = int(data["frame_index"])
+    vo._fail_streak = int(data["fail_streak"])
+    vo._fails_since_kf = int(data["fails_since_kf"])
+    vo.last_span_failures = int(data["last_span_failures"])
+    traj = Trajectory()
+    for ts, T in zip(data["traj_timestamps"], data["traj_poses"]):
+        traj.append(float(ts), T)
+    vo.trajectory = traj
+    vo._pose = jnp.asarray(data["pose"]) if "pose" in data else None
+    vo._pose_np = (
+        np.asarray(data["pose"], np.float32) if "pose" in data else None
+    )
+    vo._kf_pose = jnp.asarray(data["kf_pose"]) if "kf_pose" in data else None
+    levels = _restore_levels(data)
+    vo._kf_levels = tuple(levels) if levels is not None else None
+    vo._last_levels = vo._kf_levels
+
+    tracker._frame_count = int(data["frame_count"])
+    tracker.lost = bool(data["lost"])
+    tracker.num_loop_closures = int(data["num_loop_closures"])
+    tracker.num_relocalizations = int(data["num_relocalizations"])
+    tracker.num_online_optimizations = int(data["num_online_optimizations"])
+
+    tracker._keyframes = []
+    if "kf_poses" in data:
+        for k in range(data["kf_poses"].shape[0]):
+            cloud = cloud_mod.Cloud(
+                points=jnp.asarray(data["kf_cloud_points"][k]),
+                mask=jnp.asarray(data["kf_cloud_mask"][k]),
+            )
+            feats = jnp.asarray(data["kf_feats"][k])
+            kf = _Keyframe(
+                index=k,
+                frame_index=int(data["kf_frame_indices"][k]),
+                pose=np.asarray(data["kf_poses"][k], np.float32),
+                cloud=cloud,
+                feats=feats,
+                odom_from_prev=(
+                    np.asarray(data["kf_odom"][k], np.float32) if k else None
+                ),
+                odom_weight=float(data["kf_odom_w"][k]),
+            )
+            tracker._keyframes.append(kf)
+            tracker._db.add(k, cloud, feats)
+    tracker._loop_edges = [
+        (int(i), int(j), np.asarray(T, np.float32), float(w))
+        for i, j, T, w in zip(
+            data["loop_i"], data["loop_j"], data["loop_T"], data["loop_w"]
+        )
+    ]

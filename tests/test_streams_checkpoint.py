@@ -106,3 +106,63 @@ class TestCheckpoint:
             assert False
         except ValueError:
             pass
+
+
+class TestSlamCheckpoint:
+    def test_slam_save_load_resume(self, tmp_path):
+        """A SlamTracker snapshot (VO state + keyframe store + loop edges)
+        restores into a fresh tracker that continues identically -- and
+        whose rebuilt keyframe database still closes loops."""
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        scene = synthetic.default_scene(seed=21)
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for tw in [step] * 5 + [-step] * 4:
+            poses.append(se3.compose(poses[-1], se3.exp(tw)))
+        depths = [synthetic.render_depth(INTR, T, scene) for T in poses]
+
+        def make():
+            cfg = SlamConfig(
+                intrinsics=INTR, icp=CFG, loop_min_separation=3,
+                loop_similarity=0.8, keyframe_cloud_capacity=1024,
+            )
+            cfg.align.fpfh_max_neighbors = 32
+            t = SlamTracker(cfg)
+            t._vo.max_translation = 1e-6  # every frame a keyframe
+            t._vo.max_rotation = 1e-6
+            return t
+
+        t1 = make()
+        for i in range(6):
+            t1.process(depths[i], float(i))
+        path = os.path.join(tmp_path, "slam.npz")
+        checkpoint.save_slam(path, t1)
+
+        t2 = make()
+        checkpoint.load_slam(path, t2)
+        assert t2.keyframe_count == t1.keyframe_count
+        assert len(t2._db) == len(t1._db)
+        assert len(t2.trajectory) == len(t1.trajectory)
+
+        for i in range(6, 10):
+            r1 = t1.process(depths[i], float(i))
+            r2 = t2.process(depths[i], float(i))
+            np.testing.assert_allclose(
+                np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-5
+            )
+        # The resumed tracker's database must still detect the revisit.
+        assert t2.num_loop_closures == t1.num_loop_closures
+        assert t2.num_loop_closures >= 1
+
+    def test_slam_version_check(self, tmp_path):
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        path = os.path.join(tmp_path, "bad.npz")
+        np.savez(path, slam_version=np.int64(999), format_version=np.int64(1))
+        t = SlamTracker(SlamConfig(intrinsics=INTR, icp=CFG))
+        try:
+            checkpoint.load_slam(path, t)
+            assert False
+        except ValueError:
+            pass
