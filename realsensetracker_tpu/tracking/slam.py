@@ -83,8 +83,19 @@ class SlamConfig:
     # on every new keyframe and every reloc_retry_every-th frame -- until
     # one verifies. Local tracking meanwhile resumes RELATIVE to the
     # stale pose, so the first verified relocalization snaps the
-    # trajectory back; its keyframe edge carries loop_weight only.
+    # trajectory back.
     reloc_retry_every: int = 5
+    # The odometry edge INTO a relocalized keyframe measures stale-held
+    # drift plus unobserved real motion -- garbage. The verified
+    # relocalization registration is recorded as a LOOP edge to the
+    # keyframe it matched (that edge carries the actual information);
+    # the jump chain edge is floored to this weight so it cannot drag
+    # the graph. Measured on the 500-frame aggressive TPU sweep
+    # (.data/sweep500_r3b.npz): keeping the jump edge at loop_weight
+    # 0.25 poisons optimization (keyframe ATE 1062 -> 1285 mm, WORSE
+    # than no optimization, even with oracle-true loop edges); flooring
+    # it recovers 1285 -> 780 mm, within 30 mm of the oracle-loop bound.
+    reloc_odom_weight: float = 0.02
 
 
 @dataclass
@@ -142,24 +153,31 @@ class SlamTracker:
             res.is_new_keyframe
             or self._frame_count % max(self.config.reloc_retry_every, 1) == 0
         )
+        reloc_edge = None
         if self.config.relocalize and self._keyframes and (reseed_fail or retry):
-            pose, precomputed = self._try_relocalize(depth)
+            pose, precomputed, reloc_edge = self._try_relocalize(depth)
             if pose is not None:
                 self._vo.relocalize_to(pose)
                 self.num_relocalizations += 1
                 self.lost = False
                 # Force a keyframe at the recovery point so the graph gets
-                # a node there; its odometry edge is relocalization-
-                # derived: as trustworthy as a verified loop edge, no more.
+                # a node there. The chain edge into it measures held-stale
+                # drift + unobserved motion (garbage) -> floored weight;
+                # the verified registration itself becomes a LOOP edge to
+                # the matched keyframe (added in _on_keyframe), which is
+                # where the recovery information actually lives.
                 res = res._replace(
                     pose=np.asarray(pose, np.float32), is_new_keyframe=True
                 )
-                odom_weight = self.config.loop_weight
-            elif reseed_fail:
-                self.lost = True
+                odom_weight = self.config.reloc_odom_weight
+            else:
+                reloc_edge = None
+                if reseed_fail:
+                    self.lost = True
         if res.is_new_keyframe:
             self._on_keyframe(
-                depth, res, precomputed=precomputed, odom_weight=odom_weight
+                depth, res, precomputed=precomputed, odom_weight=odom_weight,
+                reloc_edge=reloc_edge,
             )
             ev = self.config.optimize_every
             if (
@@ -186,7 +204,8 @@ class SlamTracker:
 
     def _try_relocalize(self, depth):
         """Robust global registration of the current frame against the most
-        recent keyframes; returns (world_pose | None, (cloud, feats))."""
+        recent keyframes; returns (world_pose | None, (cloud, feats),
+        (matched_kf_index, T_cur_to_kf) | None)."""
         cfg = self.config
         cloud = self._frame_cloud(depth)
         feats = fpfh_mod.compute_fpfh(
@@ -216,9 +235,10 @@ class SlamTracker:
         )
         for kf_i, (T_cur_to_kf, ok) in zip(cands, verdicts):
             if ok:
-                pose = self._keyframes[kf_i].pose @ np.asarray(T_cur_to_kf)
-                return pose, (cloud, feats)
-        return None, (cloud, feats)
+                T = np.asarray(T_cur_to_kf)
+                pose = self._keyframes[kf_i].pose @ T
+                return pose, (cloud, feats), (kf_i, T)
+        return None, (cloud, feats), None
 
     def _frame_cloud(self, depth):
         cfg = self.config
@@ -235,7 +255,8 @@ class SlamTracker:
         cap = cfg.keyframe_cloud_capacity
         return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
 
-    def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None) -> None:
+    def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None,
+                     reloc_edge=None) -> None:
         cfg = self.config
         kf_idx = len(self._keyframes)
         if odom_weight is None:
@@ -305,6 +326,18 @@ class SlamTracker:
                     (cand_idx, kf_idx, T_meas, cfg.loop_weight)
                 )
                 self.num_loop_closures += 1
+        if reloc_edge is not None:
+            # Verified relocalization measurement cand_from_this: the SAME
+            # quantity a loop edge measures, produced by the same verifier.
+            # Recording it here (instead of trusting the jump chain edge)
+            # is what lets optimization re-anchor the post-recovery
+            # segment; see SlamConfig.reloc_odom_weight.
+            cand_idx, T_reloc = reloc_edge
+            self._loop_edges.append(
+                (int(cand_idx), kf_idx, np.asarray(T_reloc, np.float32),
+                 cfg.loop_weight)
+            )
+            self.num_loop_closures += 1
         self._db.add(kf_idx, cloud, feats)
         self._keyframes.append(kf)
 

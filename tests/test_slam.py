@@ -148,9 +148,23 @@ class TestSlam:
             res = tracker.process(d, float(i))
         assert tracker.num_relocalizations >= 1
         assert res.success, "tracking must resume after relocalization"
-        # The odometry edge into a failure-span keyframe must be
-        # down-weighted (relocalized edge carries loop_weight).
-        assert any(k.odom_weight < 1.0 for k in tracker._keyframes[1:])
+        # The chain edge into a relocalized keyframe measures stale-held
+        # drift + unobserved motion: it must be FLOORED (not merely
+        # loop-weighted -- measured on the 500-frame sweep, a 0.25 jump
+        # edge poisons optimization, ATE 1062 -> 1285 mm), and the
+        # verified registration must instead be recorded as a loop edge
+        # to the matched keyframe.
+        floor = tracker.config.reloc_odom_weight
+        assert any(
+            abs(k.odom_weight - floor) < 1e-9 for k in tracker._keyframes[1:]
+        )
+        reloc_nodes = [
+            k.index for k in tracker._keyframes[1:]
+            if abs(k.odom_weight - floor) < 1e-9
+        ]
+        assert any(j in reloc_nodes for (_i, j, _T, _w) in tracker._loop_edges), (
+            "relocalization must add a loop edge anchoring the recovered node"
+        )
         final = np.asarray(tracker.trajectory.poses[-1])
         err = np.linalg.norm(
             np.asarray(
