@@ -41,12 +41,27 @@ def global_descriptor(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
 
 
+@jax.jit
+def _insert_row(desc_s, pts_s, mask_s, feats_s, k, pts, mask, feats):
+    """Insert one keyframe into all four store matrices (descriptor
+    computed in-program) as ONE device dispatch. Through the axon relay
+    each eager `.at[].set` plus the eager descriptor pooling previously
+    cost its own ~45 ms round trip per insertion."""
+    return (
+        desc_s.at[k].set(global_descriptor(feats, mask)),
+        pts_s.at[k].set(pts.astype(jnp.float32)),
+        mask_s.at[k].set(mask),
+        feats_s.at[k].set(feats.astype(jnp.float32)),
+    )
+
+
 @partial(jax.jit, static_argnames=("noise_bound", "min_inliers",
                                    "min_inlier_fraction", "overlap_tau",
                                    "min_overlap", "refine_iters"))
 def _verify_candidates(
     q_pts, q_mask, q_feats,           # query keyframe
-    c_pts, c_mask, c_feats,           # (C, N, ...) candidate stack
+    pts_s, mask_s, feats_s,           # (K, N, ...) FULL keyframe stores
+    idx,                              # (C,) candidate row indices
     noise_bound: float,
     min_inliers: int,
     min_inlier_fraction: float,
@@ -55,6 +70,11 @@ def _verify_candidates(
     refine_iters: int,
 ):
     """Geometric verification of ALL candidates in one dispatch.
+
+    Takes the full device-resident stores plus the candidate row indices
+    and gathers in-program, so the three store gathers do not each pay
+    their own relay dispatch; the program recompiles only when the store
+    capacity doubles.
 
     Per candidate (vmapped): robust global registration of the query onto
     the candidate, symmetric-overlap acceptance, then ICP refinement of the
@@ -105,7 +125,7 @@ def _verify_candidates(
         T = jnp.where(use_ref, ref.transform, res.transform)
         return T, ok, ov
 
-    return jax.vmap(one)(c_pts, c_mask, c_feats)
+    return jax.vmap(one)(pts_s[idx], mask_s[idx], feats_s[idx])
 
 
 @dataclass
@@ -144,22 +164,28 @@ class KeyframeDatabase:
         self._ensure_store(cloud, feats)
         # Device-array row index: keeps the update ONE cached program for
         # every insertion (a Python int would bake a new constant-index
-        # program per row -- hundreds of relay compiles on TPU).
+        # program per row -- hundreds of relay compiles on TPU). All four
+        # row writes plus the descriptor pooling fuse into one dispatch.
         k = jnp.int32(len(self._ids))
-        self._desc = self._desc.at[k].set(global_descriptor(feats, cloud.mask))
-        self._pts = self._pts.at[k].set(cloud.points.astype(jnp.float32))
-        self._mask = self._mask.at[k].set(cloud.mask)
-        self._feats = self._feats.at[k].set(feats.astype(jnp.float32))
+        self._desc, self._pts, self._mask, self._feats = _insert_row(
+            self._desc, self._pts, self._mask, self._feats,
+            k, cloud.points, cloud.mask, feats,
+        )
         self._ids.append(int(frame_id))
 
-    def query(self, frame_id: int, cloud: cloud_mod.Cloud, feats: jnp.ndarray, top_k: int = 3):
+    def query(self, frame_id: int, cloud: cloud_mod.Cloud, feats: jnp.ndarray,
+              top_k: int = 3, desc: jnp.ndarray | None = None):
         """Return [(candidate_frame_id, similarity), ...] above threshold,
         excluding temporally nearby keyframes. One device dispatch (the
-        similarity matmul); selection on the (K,) host vector."""
+        similarity matmul); selection on the (K,) host vector.
+
+        desc: optional precomputed query descriptor (the fused keyframe
+        prep produces it in-program; recomputing it here would cost extra
+        eager dispatches)."""
         if not self._ids:
             return []
         count = len(self._ids)
-        q = global_descriptor(feats, cloud.mask)
+        q = global_descriptor(feats, cloud.mask) if desc is None else desc
         # Full fixed-shape store matmul (one program per store SIZE, which
         # only changes on doubling); slice to live rows on host.
         sims = np.asarray(self._desc @ q)[:count]
@@ -202,7 +228,7 @@ class KeyframeDatabase:
         T, ok, _ov = _verify_candidates(
             cloud_a.points.astype(jnp.float32), cloud_a.mask,
             feats_a.astype(jnp.float32),
-            self._pts[idx], self._mask[idx], self._feats[idx],
+            self._pts, self._mask, self._feats, idx,
             noise_bound=float(noise_bound), min_inliers=int(min_inliers),
             min_inlier_fraction=float(min_inlier_fraction),
             overlap_tau=float(overlap_tau), min_overlap=float(min_overlap),

@@ -11,20 +11,56 @@ the voxel world model rebuilds from optimized keyframe poses.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.api.config import AlignConfig
 from realsensetracker_tpu.geometry import camera, se3
-from realsensetracker_tpu.loop_closure.detector import KeyframeDatabase
+from realsensetracker_tpu.loop_closure.detector import (
+    KeyframeDatabase,
+    global_descriptor,
+)
 from realsensetracker_tpu.ops import cloud as cloud_mod
 from realsensetracker_tpu.ops import fpfh as fpfh_mod
 from realsensetracker_tpu.ops import voxel as voxel_mod
 from realsensetracker_tpu.optimize import pose_graph as pg
 from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
 from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+@partial(jax.jit, static_argnames=("intr", "voxel_size", "normal_k",
+                                   "feature_radius", "max_neighbors",
+                                   "capacity"))
+def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
+                         feature_radius, max_neighbors, capacity):
+    """Depth frame -> (keyframe cloud, FPFH features, place descriptor) as
+    ONE XLA program: unproject, voxel downsample, capacity slice, FPFH,
+    descriptor pooling. Through the axon relay every eager op costs ~45 ms
+    (CLAUDE.md gotcha 11), so the op-by-op version of this path dominated
+    keyframe-event latency on the real chip; fused it is one dispatch."""
+    from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+    levels, _ = build_pyramid(
+        jnp.asarray(depth, jnp.float32), intr, 1,
+        with_normals=False, use_kernel=False,
+    )
+    h, w = levels[0].vertex_valid.shape
+    pts = levels[0].vertex_map.reshape(h * w, 3)
+    ok = levels[0].vertex_valid.reshape(h * w)
+    c = voxel_mod.downsample_voxel(
+        cloud_mod.Cloud(points=pts, mask=ok), voxel_size
+    )
+    kf_cloud = cloud_mod.Cloud(points=c.points[:capacity], mask=c.mask[:capacity])
+    feats = fpfh_mod.compute_fpfh(
+        kf_cloud, jnp.zeros(3, jnp.float32), normal_k, feature_radius,
+        max_neighbors,
+    )
+    desc = global_descriptor(feats, kf_cloud.mask)
+    return kf_cloud, feats, desc
 
 
 @dataclass
@@ -207,11 +243,7 @@ class SlamTracker:
         recent keyframes; returns (world_pose | None, (cloud, feats),
         (matched_kf_index, T_cur_to_kf) | None)."""
         cfg = self.config
-        cloud = self._frame_cloud(depth)
-        feats = fpfh_mod.compute_fpfh(
-            cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
-            cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
-        )
+        cloud, feats, desc = self._prepare(depth)
         n_recent = max(cfg.reloc_candidates - 1, 1)
         cands = [kf.index for kf in self._keyframes[-n_recent:]]
         cands.reverse()  # newest first: most likely overlap
@@ -219,7 +251,8 @@ class SlamTracker:
         # query frame id is far from every keyframe id, so the temporal-
         # separation filter never rejects).
         for cand_id, _sim in self._db.query(1 << 30, cloud, feats,
-                                            top_k=cfg.reloc_candidates):
+                                            top_k=cfg.reloc_candidates,
+                                            desc=desc):
             if cand_id not in cands and len(cands) < cfg.reloc_candidates:
                 cands.append(cand_id)
         # Same verifier (and therefore the SAME compiled program) as loop
@@ -237,23 +270,21 @@ class SlamTracker:
             if ok:
                 T = np.asarray(T_cur_to_kf)
                 pose = self._keyframes[kf_i].pose @ T
-                return pose, (cloud, feats), (kf_i, T)
-        return None, (cloud, feats), None
+                return pose, (cloud, feats, desc), (kf_i, T)
+        return None, (cloud, feats, desc), None
 
-    def _frame_cloud(self, depth):
+    def _prepare(self, depth):
+        """(cloud, feats, descriptor) for the current frame -- one dispatch."""
         cfg = self.config
-        from realsensetracker_tpu.ops.pyramid import build_pyramid
-
-        levels, _ = build_pyramid(jnp.asarray(depth), cfg.intrinsics, 1,
-                                  use_kernel=False)
-        h, w = levels[0].valid.shape
-        pts = levels[0].vertex_map.reshape(h * w, 3)
-        ok = levels[0].vertex_valid.reshape(h * w)
-        c = voxel_mod.downsample_voxel(
-            cloud_mod.Cloud(points=pts, mask=ok), cfg.align.voxel_size
+        return _fused_keyframe_prep(
+            depth,
+            intr=cfg.intrinsics,
+            voxel_size=float(cfg.align.voxel_size),
+            normal_k=int(cfg.align.normal_k),
+            feature_radius=float(cfg.align.feature_radius),
+            max_neighbors=int(cfg.align.fpfh_max_neighbors),
+            capacity=int(cfg.keyframe_cloud_capacity),
         )
-        cap = cfg.keyframe_cloud_capacity
-        return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
 
     def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None,
                      reloc_edge=None) -> None:
@@ -266,13 +297,9 @@ class SlamTracker:
             # incomplete. Clean spans keep weight 1.0.
             odom_weight = max(0.02, 1.0 / (1.0 + self._vo.last_span_failures))
         if precomputed is not None:  # reuse the relocalization attempt's work
-            cloud, feats = precomputed
+            cloud, feats, desc = precomputed
         else:
-            cloud = self._frame_cloud(depth)
-            feats = fpfh_mod.compute_fpfh(
-                cloud, jnp.zeros(3, jnp.float32), cfg.align.normal_k,
-                cfg.align.feature_radius, cfg.align.fpfh_max_neighbors,
-            )
+            cloud, feats, desc = self._prepare(depth)
         pose = np.asarray(res.pose, np.float64)
         kf = _Keyframe(
             index=kf_idx,
@@ -291,7 +318,7 @@ class SlamTracker:
         # Query BEFORE adding (never match self). All candidates of this
         # query verify in ONE vmapped device dispatch (verify_batch), so
         # loop-closure cost per keyframe is independent of candidate count.
-        hits = self._db.query(kf_idx, cloud, feats)
+        hits = self._db.query(kf_idx, cloud, feats, desc=desc)
         verdicts = self._db.verify_batch(
             kf_idx, cloud, feats, [c for c, _ in hits],
             noise_bound=cfg.loop_noise_bound,
