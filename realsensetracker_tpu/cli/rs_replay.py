@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip this many frames first (with --resume-state: "
                         "continue exactly where the snapshot left off)")
     p.add_argument("--trajectory-out", default="")
+    p.add_argument("--slam-rgb", action="store_true",
+                   help="SLAM only: use the joint geometric+photometric "
+                        "RGB-D odometry (requires a color stream); loop "
+                        "closure stays geometric")
     p.add_argument("--optimize-every", type=int, default=0,
                    help="SLAM only: run pose-graph optimization in-stream "
                         "every N keyframes, feeding the correction back "
@@ -63,6 +67,11 @@ def main(argv=None) -> int:
     from realsensetracker_tpu.api import Tracker, TrackerConfig
     from realsensetracker_tpu.data import recorded, stream as stream_mod
 
+    if args.slam_rgb and args.method != "slam":
+        print("--slam-rgb requires --method slam", file=sys.stderr)
+        return 1
+    wants_color = args.method == "rgbd" or args.slam_rgb
+
     gt = None
     if args.tum:
         from realsensetracker_tpu.data import tum
@@ -78,10 +87,10 @@ def main(argv=None) -> int:
         intr = camera.TUM_FR1 if (w, h) == (640, 480) else camera.Intrinsics(
             fx=w * 0.8, fy=w * 0.8, cx=(w - 1) / 2, cy=(h - 1) / 2, width=w, height=h
         )
-        if args.method == "rgbd":
+        if wants_color:
             if not seq.rgb_index:
-                print(f"{args.tum}: no rgb.txt (required by --method rgbd)",
-                      file=sys.stderr)
+                print(f"{args.tum}: no rgb.txt (required by --method rgbd "
+                      "/ --slam-rgb)", file=sys.stderr)
                 return 1
             frames = (
                 (ts, d, g)
@@ -98,10 +107,11 @@ def main(argv=None) -> int:
         intr = clip.intrinsics
         stop = args.max_frames or len(clip)
         start = args.start_frame
-        if args.method == "rgbd":
+        if wants_color:
             if not clip.has_color:
                 print(f"{args.record}: depth-only clip (record with "
-                      "rs-viewer --color for --method rgbd)", file=sys.stderr)
+                      "rs-viewer --color for --method rgbd / --slam-rgb)",
+                      file=sys.stderr)
                 return 1
             frames = ((clip.timestamps[i], clip.depths[i], clip.gray(i))
                       for i in range(start, stop))
@@ -115,7 +125,8 @@ def main(argv=None) -> int:
         from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
         tracker = SlamTracker(
-            SlamConfig(intrinsics=intr, optimize_every=args.optimize_every)
+            SlamConfig(intrinsics=intr, optimize_every=args.optimize_every,
+                       use_rgb=args.slam_rgb)
         )
         if args.resume_state:
             from realsensetracker_tpu.tracking import checkpoint
@@ -144,13 +155,16 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     for item in frames:
         t_frame = time.perf_counter()
-        if args.method == "rgbd":
+        if wants_color:
             ts, depth, gray = item
             if gray is None:
                 print(f"t={ts:.3f}: no associated rgb frame, skipping",
                       file=sys.stderr)
                 continue
-            res = tracker.process(depth, ts, color=gray)
+            if args.slam_rgb:
+                res = tracker.process(depth, ts, gray=gray)
+            else:
+                res = tracker.process(depth, ts, color=gray)
         else:
             ts, depth = item
             res = tracker.process(depth, ts)

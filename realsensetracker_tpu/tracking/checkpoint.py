@@ -142,7 +142,15 @@ def save_slam(path: str, tracker) -> None:
     if vo._pose is not None:
         payload["pose"] = np.asarray(vo._pose)
         payload["kf_pose"] = np.asarray(vo._kf_pose)
-    payload.update(_flatten_levels(vo._kf_levels))
+    if hasattr(vo, "_kf_target"):  # RGB-D VO (tracking/keyframe_rgbd.py)
+        payload["slam_rgb"] = np.bool_(True)
+        if vo._kf_target is not None:
+            levels, grays = vo._kf_target
+            payload.update(_flatten_levels(levels))
+            for i, g in enumerate(grays):
+                payload[f"level{i}_gray"] = np.asarray(g)
+    else:
+        payload.update(_flatten_levels(vo._kf_levels))
     kfs = tracker._keyframes
     if kfs:
         eye = np.eye(4, dtype=np.float32)
@@ -212,8 +220,25 @@ def load_slam(path: str, tracker) -> None:
     )
     vo._kf_pose = jnp.asarray(data["kf_pose"]) if "kf_pose" in data else None
     levels = _restore_levels(data)
-    vo._kf_levels = tuple(levels) if levels is not None else None
-    vo._last_levels = vo._kf_levels
+    saved_rgb = "slam_rgb" in data and bool(data["slam_rgb"])
+    if hasattr(vo, "_kf_target") != saved_rgb:
+        raise ValueError(
+            "SLAM checkpoint VO mismatch: snapshot "
+            f"{'uses' if saved_rgb else 'does not use'} RGB-D odometry but "
+            f"the tracker's SlamConfig.use_rgb disagrees"
+        )
+    if saved_rgb:
+        if levels is not None:
+            grays = tuple(
+                jnp.asarray(data[f"level{i}_gray"]) for i in range(len(levels))
+            )
+            vo._kf_target = (tuple(levels), grays)
+        else:
+            vo._kf_target = None
+        vo._last_target = vo._kf_target
+    else:
+        vo._kf_levels = tuple(levels) if levels is not None else None
+        vo._last_levels = vo._kf_levels
 
     tracker._frame_count = int(data["frame_count"])
     tracker.lost = bool(data["lost"])

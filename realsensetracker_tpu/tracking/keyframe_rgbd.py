@@ -1,0 +1,179 @@
+"""Frame-to-keyframe RGB-D tracking (joint geometry + photometry VO).
+
+The colored counterpart of tracking/keyframe.py: every frame registers
+against a held keyframe with the combined point-to-plane + photometric
+objective (align/rgbd.py), promoting the current frame to keyframe on
+motion/overlap thresholds, with the reference's failure-holds-pose
+semantics (rs_replay_app.cpp:266-273). This is the VO the SLAM layer uses
+when a color stream exists: on geometry-degenerate stretches (flat walls,
+the seed-11 sliding ambiguity recorded in BENCHMARKS.md) the photometric
+term pins the in-plane motion that point-to-plane leaves unobservable.
+
+Same single-dispatch streaming shape as the depth tracker: one jitted
+program per tracked frame returning the device-resident target (kept for
+possible keyframe promotion) plus one packed 25-float stats vector.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import rgbd as rgbd_mod
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.tracking.keyframe import KeyframeResult
+from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def _fused_rgbd_track_step(depth, gray, kf_levels, kf_grays, kf_pose, pose,
+                           *, intr, cfg):
+    """One whole RGB-D tracked frame as a single XLA program.
+
+    Builds the frame's target (plane-table levels + intensity pyramid,
+    kept on device for possible keyframe promotion), samples the source,
+    warm-starts from the last pose relative to the keyframe, runs the
+    coarse-to-fine joint alignment, and packs the scalars the host needs:
+    [rmse, inlier_fraction, finite_ok, twist(6), new_pose(16)]."""
+    levels, grays, intrs = rgbd_mod.build_rgbd_target(depth, gray, intr, cfg)
+    src_samples = rgbd_mod.sample_rgbd_source(depth, gray, intrs, cfg)
+    init = se3.compose(se3.inverse(kf_pose), pose)
+    out = rgbd_mod.rgbd_icp_sampled(
+        src_samples, kf_levels, kf_grays, intrs, init_transform=init, cfg=cfg
+    )
+    new_pose = se3.accumulate(kf_pose, out.transform)
+    tw = se3.log(out.transform)
+    ok = jnp.all(jnp.isfinite(out.transform))
+    f32 = jnp.float32
+    stats = jnp.concatenate([
+        jnp.stack([
+            out.rmse.astype(f32),
+            out.inlier_fraction.astype(f32),
+            ok.astype(f32),
+        ]),
+        tw.astype(f32),
+        new_pose.reshape(-1).astype(f32),
+    ])
+    return levels, grays, new_pose, stats
+
+
+@dataclass
+class RgbdKeyframeTracker:
+    """Drop-in VO for the SLAM layer when color exists: same interface as
+    KeyframeTracker (process -> KeyframeResult, relocalize_to,
+    apply_world_correction, last_span_failures) with (depth, gray) input."""
+
+    intr: camera.Intrinsics
+    cfg: rgbd_mod.RgbdIcpConfig = rgbd_mod.RgbdIcpConfig()
+    min_inlier_fraction: float = 0.2
+    max_translation: float = 0.15  # meters
+    max_rotation: float = 0.15  # radians
+    min_overlap: float = 0.6
+    max_consecutive_failures: int = 5
+
+    _fail_streak: int = 0
+    _fails_since_kf: int = 0
+    last_span_failures: int = 0
+    _last_target: object = field(default=None, repr=False)  # (levels, grays)
+    _kf_target: object = field(default=None, repr=False)
+    _kf_pose: object = field(default=None, repr=False)
+    _pose: object = field(default=None, repr=False)
+    _pose_np: object = field(default=None, repr=False)
+    _index: int = 0
+    trajectory: Trajectory = field(default_factory=Trajectory)
+
+    @property
+    def pose(self):
+        return self._pose_np
+
+    def process(self, depth, gray, timestamp: float | None = None) -> KeyframeResult:
+        depth = jnp.asarray(depth, jnp.float32)
+        gray = jnp.asarray(gray, jnp.float32)
+        if timestamp is None:
+            timestamp = float(self._index)
+
+        if self._kf_target is None:
+            levels, grays, _ = rgbd_mod.build_rgbd_target(
+                depth, gray, self.intr, self.cfg
+            )
+            self._pose = se3.identity()
+            self._pose_np = np.eye(4, dtype=np.float32)
+            self._kf_pose = self._pose
+            self._kf_target = (tuple(levels), tuple(grays))
+            self._last_target = self._kf_target
+            self.trajectory.append(timestamp, self._pose_np)
+            res = KeyframeResult(self._pose_np, True, True, 0.0, 1.0, self._index)
+            self._index += 1
+            return res
+
+        kf_levels, kf_grays = self._kf_target
+        levels, grays, new_pose_dev, stats = _fused_rgbd_track_step(
+            depth, gray, kf_levels, kf_grays, self._kf_pose, self._pose,
+            intr=self.intr, cfg=self.cfg,
+        )
+        self._last_target = (levels, grays)
+        s = np.asarray(stats)  # the frame's ONE host transfer
+        rmse, inlier, finite_ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
+        tw = s[3:9]
+        new_pose_np = s[9:25].reshape(4, 4)
+
+        success = finite_ok and inlier >= self.min_inlier_fraction
+        is_new_kf = False
+        if success:
+            self._fail_streak = 0
+            self._pose = new_pose_dev
+            self._pose_np = new_pose_np
+            if (
+                np.linalg.norm(tw[:3]) > self.max_translation
+                or np.linalg.norm(tw[3:]) > self.max_rotation
+                or inlier < self.min_overlap
+            ):
+                self._kf_target = (levels, grays)
+                self._kf_pose = self._pose
+                is_new_kf = True
+        else:
+            self._fail_streak += 1
+            self._fails_since_kf += 1
+            if self._fail_streak >= self.max_consecutive_failures:
+                self._fail_streak = 0
+                self._kf_target = (levels, grays)
+                self._kf_pose = self._pose
+                is_new_kf = True
+        if is_new_kf:
+            self.last_span_failures = self._fails_since_kf
+            self._fails_since_kf = 0
+        self.trajectory.append(timestamp, self._pose_np)
+        res = KeyframeResult(
+            pose=self._pose_np,
+            success=success,
+            is_new_keyframe=is_new_kf,
+            rmse=rmse,
+            inlier_fraction=inlier,
+            frame_index=self._index,
+        )
+        self._index += 1
+        return res
+
+    def relocalize_to(self, pose) -> None:
+        """See KeyframeTracker.relocalize_to."""
+        self._pose = jnp.asarray(pose, jnp.float32)
+        self._pose_np = np.asarray(pose, np.float32)
+        self._kf_pose = self._pose
+        self._kf_target = self._last_target
+        self._fail_streak = 0
+        self._fails_since_kf = 0
+        if self.trajectory.poses:
+            self.trajectory.poses[-1] = np.asarray(pose, np.float64)
+
+    def apply_world_correction(self, delta) -> None:
+        """See KeyframeTracker.apply_world_correction."""
+        d = jnp.asarray(delta, jnp.float32)
+        self._pose = se3.orthonormalize(se3.compose(d, self._pose))
+        self._kf_pose = se3.orthonormalize(se3.compose(d, self._kf_pose))
+        self._pose_np = np.asarray(self._pose)
+        if self.trajectory.poses:
+            self.trajectory.poses[-1] = np.asarray(self._pose_np, np.float64)

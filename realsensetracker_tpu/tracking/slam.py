@@ -132,6 +132,16 @@ class SlamConfig:
     # than no optimization, even with oracle-true loop edges); flooring
     # it recovers 1285 -> 780 mm, within 30 mm of the oracle-loop bound.
     reloc_odom_weight: float = 0.02
+    # RGB-D odometry: when True, process() takes (depth, gray) and the VO
+    # is the joint geometric+photometric keyframe tracker
+    # (tracking/keyframe_rgbd.py). On geometry-degenerate stretches the
+    # photometric term pins the in-plane motion point-to-plane cannot
+    # observe -- the structural fix for the sliding ambiguity recorded in
+    # BENCHMARKS.md ("seed-11 residual edges"). Loop closure, verification
+    # and relocalization stay geometric (FPFH on the depth cloud) and work
+    # unchanged.
+    use_rgb: bool = False
+    rgbd: "object" = None  # align.rgbd.RgbdIcpConfig; None -> defaults
 
 
 @dataclass
@@ -155,7 +165,17 @@ class SlamTracker:
 
     def __init__(self, config: SlamConfig | None = None):
         self.config = config or SlamConfig()
-        self._vo = KeyframeTracker(self.config.intrinsics, self.config.icp)
+        if self.config.use_rgb:
+            from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+            from realsensetracker_tpu.tracking.keyframe_rgbd import (
+                RgbdKeyframeTracker,
+            )
+
+            self._vo = RgbdKeyframeTracker(
+                self.config.intrinsics, self.config.rgbd or RgbdIcpConfig()
+            )
+        else:
+            self._vo = KeyframeTracker(self.config.intrinsics, self.config.icp)
         self._db = KeyframeDatabase(
             min_separation=self.config.loop_min_separation,
             similarity_threshold=self.config.loop_similarity,
@@ -176,8 +196,17 @@ class SlamTracker:
     def keyframe_count(self) -> int:
         return len(self._keyframes)
 
-    def process(self, depth, timestamp: float | None = None):
-        res = self._vo.process(depth, timestamp)
+    def process(self, depth, timestamp: float | None = None, gray=None):
+        if self.config.use_rgb:
+            if gray is None:
+                raise ValueError(
+                    "SlamConfig.use_rgb=True: process() needs gray frames"
+                )
+            from realsensetracker_tpu.api.tracker import _as_gray
+
+            res = self._vo.process(depth, _as_gray(gray), timestamp)
+        else:
+            res = self._vo.process(depth, timestamp)
         self._frame_count += 1
         precomputed = None
         odom_weight = None  # None -> derive from the span's failure count
