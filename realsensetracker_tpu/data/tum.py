@@ -204,12 +204,15 @@ def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
 
 def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
                             width: int = 640, height: int = 480,
-                            with_color: bool = False, poses=None) -> str:
+                            with_color: bool = False, poses=None,
+                            scene=None) -> str:
     """Write a small synthetic TUM-format sequence (tests / offline demos).
 
     Renders the raycast scene along a random-walk trajectory and saves
     16-bit depth PNGs + depth.txt + groundtruth.txt; with_color also writes
     8-bit rgb/ frames + rgb.txt (the reference's color stream analog).
+    `scene` overrides the default raycast scene (e.g. a geometry-degenerate
+    textured wall for RGB-D odometry demos).
     """
     import jax.numpy as jnp
     from PIL import Image
@@ -225,12 +228,12 @@ def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
         poses = jnp.asarray(poses, jnp.float32)
     if with_color:
         depths, colors, poses = synthetic.render_trajectory_rgbd(
-            intr, num_frames, seed=seed, poses=poses
+            intr, num_frames, scene=scene, seed=seed, poses=poses
         )
         os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     else:
         depths, poses = synthetic.render_trajectory(
-            intr, num_frames, seed=seed, poses=poses
+            intr, num_frames, scene=scene, seed=seed, poses=poses
         )
         colors = None
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
