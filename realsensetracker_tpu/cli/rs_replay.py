@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SLAM only: use the joint geometric+photometric "
                         "RGB-D odometry (requires a color stream); loop "
                         "closure stays geometric")
+    p.add_argument("--window", type=int, default=0, metavar="W",
+                   help="SLAM only (depth-only): scan up to W frames per "
+                        "device dispatch (amortizes the per-dispatch "
+                        "overhead; identical trajectory to per-frame mode "
+                        "-- the scan truncates at every keyframe event)")
     p.add_argument("--optimize-every", type=int, default=0,
                    help="SLAM only: run pose-graph optimization in-stream "
                         "every N keyframes, feeding the correction back "
@@ -69,6 +74,10 @@ def main(argv=None) -> int:
 
     if args.slam_rgb and args.method != "slam":
         print("--slam-rgb requires --method slam", file=sys.stderr)
+        return 1
+    if args.window > 0 and (args.method != "slam" or args.slam_rgb):
+        print("--window requires --method slam without --slam-rgb",
+              file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb
 
@@ -151,30 +160,61 @@ def main(argv=None) -> int:
             server = live_mod.LiveServer(port=args.serve)
             print(f"live view: http://127.0.0.1:{server.port}/")
 
+    def per_frame_results():
+        for item in frames:
+            t_frame = time.perf_counter()
+            if wants_color:
+                ts, depth, gray = item
+                if gray is None:
+                    print(f"t={ts:.3f}: no associated rgb frame, skipping",
+                          file=sys.stderr)
+                    continue
+                if args.slam_rgb:
+                    res = tracker.process(depth, ts, gray=gray)
+                else:
+                    res = tracker.process(depth, ts, color=gray)
+            else:
+                ts, depth = item
+                res = tracker.process(depth, ts)
+            import numpy as np
+
+            # Materialize INSIDE the timed window: through the axon relay,
+            # block_until_ready is not a reliable fence (BENCHMARKS.md), so
+            # the per-frame latency is only honest once the pose reaches
+            # the host.
+            np.asarray(res.pose)
+            yield ts, depth, res, (time.perf_counter() - t_frame) * 1000.0
+
+    def windowed_results():
+        # One scanned dispatch per window (truncated at keyframe events
+        # inside process_window); ms is amortized over the window's frames.
+        buf = []
+
+        def flush():
+            t0 = time.perf_counter()
+            res_list = tracker.process_window(
+                [d for _, d in buf], [t for t, _ in buf], window=args.window
+            )
+            ms = (time.perf_counter() - t0) * 1000.0 / max(len(buf), 1)
+            for (ts, depth), res in zip(buf, res_list):
+                yield ts, depth, res, ms
+            buf.clear()
+
+        for ts, depth in frames:
+            buf.append((ts, depth))
+            if len(buf) >= args.window:
+                yield from flush()
+        if buf:
+            yield from flush()
+
     n = 0
     t_start = time.perf_counter()
-    for item in frames:
-        t_frame = time.perf_counter()
-        if wants_color:
-            ts, depth, gray = item
-            if gray is None:
-                print(f"t={ts:.3f}: no associated rgb frame, skipping",
-                      file=sys.stderr)
-                continue
-            if args.slam_rgb:
-                res = tracker.process(depth, ts, gray=gray)
-            else:
-                res = tracker.process(depth, ts, color=gray)
-        else:
-            ts, depth = item
-            res = tracker.process(depth, ts)
+    for ts, depth, res, frame_ms in (
+        windowed_results() if args.window > 0 else per_frame_results()
+    ):
         import numpy as np
 
-        # Materialize INSIDE the timed window: through the axon relay,
-        # block_until_ready is not a reliable fence (BENCHMARKS.md), so the
-        # per-frame latency is only honest once the pose reaches the host.
         pose_np = np.asarray(res.pose)
-        frame_ms = (time.perf_counter() - t_frame) * 1000.0
         if args.json:
             print(json.dumps({
                 "frame": res.frame_index,

@@ -76,6 +76,87 @@ def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg):
     return tuple(levels), new_pose, stats
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
+                        thresholds, max_fails, *, intr, cfg):
+    """A whole WINDOW of tracked frames as a single XLA program.
+
+    lax.scan of the fused track step over W depth frames, carrying the
+    keyframe pyramid/pose on device and replicating the host promotion
+    logic (motion/overlap thresholds, failure streaks, recovery re-seed)
+    with `where` selects. Through the axon relay every dispatch costs
+    ~45 ms (CLAUDE.md gotcha 11), so the per-frame fused step is dispatch-
+    floor-bound at ~59 ms/frame; scanning W frames amortizes that floor
+    to 45/W + compute. Only the per-frame stats come back (one (W, 30)
+    transfer) -- the host truncates the window at the first keyframe
+    event and rebuilds that frame's pyramid in one dispatch, so the
+    pyramids never cross the relay.
+
+    thresholds: (4,) f32 [min_inlier_fraction, max_translation,
+    max_rotation, min_overlap]; max_fails: int32 scalar.
+
+    Per-frame stats row (30,) f32:
+    [0] rmse  [1] inlier_fraction  [2] finite_ok  [3:9] twist
+    [9:25] pose after the frame (held on failure)  [25] success
+    [26] is_new_keyframe  [27] span failures at the event (value BEFORE
+    the keyframe reset)  [28] fail streak after  [29] fails since
+    keyframe after.
+    """
+    from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+    f32, i32 = jnp.float32, jnp.int32
+
+    def body(carry, depth):
+        kf_lv, kf_p, p, streak, fails = carry
+        levels, intrs = build_pyramid(
+            depth, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth
+        )
+        levels = tuple(levels)
+        init = se3.compose(se3.inverse(kf_p), p)
+        icp = projective.projective_icp(
+            levels, kf_lv, tuple(intrs), init_transform=init, cfg=cfg
+        )
+        new_pose = se3.accumulate(kf_p, icp.transform)
+        tw = se3.log(icp.transform).astype(f32)
+        ok = jnp.all(jnp.isfinite(icp.transform))
+        inlier = icp.inlier_fraction.astype(f32)
+        success = ok & (inlier >= thresholds[0])
+        promote = success & (
+            (jnp.linalg.norm(tw[:3]) > thresholds[1])
+            | (jnp.linalg.norm(tw[3:]) > thresholds[2])
+            | (inlier < thresholds[3])
+        )
+        streak1 = jnp.where(success, i32(0), streak + i32(1))
+        fails1 = jnp.where(success, fails, fails + i32(1))
+        reseed = (~success) & (streak1 >= max_fails)
+        is_new_kf = promote | reseed
+        p1 = jnp.where(success, new_pose, p).astype(f32)
+        kf_p1 = jnp.where(is_new_kf, p1, kf_p).astype(f32)
+        kf_lv1 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_new_kf, a, b), levels, kf_lv
+        )
+        streak2 = jnp.where(reseed, i32(0), streak1)
+        fails2 = jnp.where(is_new_kf, i32(0), fails1)
+        stats = jnp.concatenate([
+            jnp.stack([icp.rmse.astype(f32), inlier, ok.astype(f32)]),
+            tw,
+            p1.reshape(-1),
+            jnp.stack([
+                success.astype(f32),
+                is_new_kf.astype(f32),
+                fails1.astype(f32),  # span failures at a (potential) event
+                streak2.astype(f32),
+                fails2.astype(f32),
+            ]),
+        ])
+        return (kf_lv1, kf_p1, p1, streak2, fails2), stats
+
+    carry0 = (kf_levels, kf_pose, pose,
+              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32))
+    _, stats = jax.lax.scan(body, carry0, depths)
+    return stats
+
+
 @dataclass
 class KeyframeTracker:
     intr: camera.Intrinsics
@@ -101,6 +182,10 @@ class KeyframeTracker:
     _fails_since_kf: int = 0
     last_span_failures: int = 0
     _last_levels: object = field(default=None, repr=False)
+    # Windowed mode keeps the last frame's depth instead of its pyramid
+    # (the scan never ships pyramids to the host); _last_levels rebuilds
+    # lazily from it if relocalize_to needs the frame as a keyframe.
+    _last_depth: object = field(default=None, repr=False)
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
     _pose: object = field(default=None, repr=False)  # device copy
@@ -183,6 +268,80 @@ class KeyframeTracker:
         self._index += 1
         return res
 
+    def process_window(self, depths, timestamps=None) -> list[KeyframeResult]:
+        """Process up to len(depths) frames in ONE device dispatch.
+
+        Consumes frames up to and INCLUDING the first keyframe event
+        (promotion or recovery re-seed), or the whole window if none
+        occurs, and returns their KeyframeResults -- fewer results than
+        depths means the caller should re-submit the unconsumed tail
+        (the event may change tracking state in ways only the host
+        decides, e.g. the SLAM layer's relocalization). Per-frame
+        semantics are replicated exactly on device (_fused_track_window);
+        a window costs one scan dispatch + one (W, 30) stats transfer,
+        plus one pyramid rebuild when a window ends at a keyframe event.
+        """
+        if timestamps is None:
+            timestamps = [None] * len(depths)
+        if self._kf_levels is None:  # bootstrap: first frame seeds the keyframe
+            return [self.process(depths[0], timestamps[0])]
+        from realsensetracker_tpu.ops.pyramid import build_pyramid
+
+        stats = _fused_track_window(
+            jnp.asarray(np.stack([np.asarray(d) for d in depths])),
+            self._kf_levels, self._kf_pose, self._pose,
+            self._fail_streak, self._fails_since_kf,
+            jnp.asarray([
+                self.min_inlier_fraction, self.max_translation,
+                self.max_rotation, self.min_overlap,
+            ], jnp.float32),
+            jnp.int32(self.max_consecutive_failures),
+            intr=self.intr, cfg=self.cfg,
+        )
+        s = np.asarray(stats)  # the window's ONE host transfer
+        results: list[KeyframeResult] = []
+        consumed = 0
+        event = False
+        for i in range(len(depths)):
+            ts = timestamps[i] if timestamps[i] is not None else float(self._index)
+            pose_np = s[i, 9:25].reshape(4, 4).astype(np.float32)
+            success = s[i, 25] > 0.5
+            is_new_kf = s[i, 26] > 0.5
+            self._pose_np = pose_np
+            self.trajectory.append(ts, pose_np)
+            results.append(KeyframeResult(
+                pose=pose_np,
+                success=bool(success),
+                is_new_keyframe=bool(is_new_kf),
+                rmse=float(s[i, 0]),
+                inlier_fraction=float(s[i, 1]),
+                frame_index=self._index,
+            ))
+            self._index += 1
+            consumed = i + 1
+            if is_new_kf:
+                event = True
+                break
+        last = consumed - 1
+        self._pose = jnp.asarray(self._pose_np)
+        self._last_depth = depths[last]
+        self._last_levels = None  # rebuilt lazily from _last_depth if needed
+        if event:
+            levels, _ = build_pyramid(
+                depths[last], self.intr, len(self.cfg.iters),
+                self.cfg.min_depth, self.cfg.max_depth,
+            )
+            self._kf_levels = tuple(levels)
+            self._last_levels = self._kf_levels
+            self._kf_pose = self._pose
+            self.last_span_failures = int(s[last, 27])
+            self._fail_streak = 0
+            self._fails_since_kf = 0
+        else:
+            self._fail_streak = int(s[last, 28])
+            self._fails_since_kf = int(s[last, 29])
+        return results
+
     def relocalize_to(self, pose) -> None:
         """Override the pose with an externally-computed estimate and
         re-seed the keyframe at the LAST processed frame.
@@ -193,9 +352,17 @@ class KeyframeTracker:
         recovery role, rs_align_app.cpp:310-314) recovers the pose and
         hands it back here so local tracking resumes from the corrected
         state instead of holding a stale pose through the burst."""
+        from realsensetracker_tpu.ops.pyramid import build_pyramid
+
         self._pose = jnp.asarray(pose, jnp.float32)
         self._pose_np = np.asarray(pose, np.float32)
         self._kf_pose = self._pose
+        if self._last_levels is None and self._last_depth is not None:
+            levels, _ = build_pyramid(
+                self._last_depth, self.intr, len(self.cfg.iters),
+                self.cfg.min_depth, self.cfg.max_depth,
+            )
+            self._last_levels = tuple(levels)
         self._kf_levels = self._last_levels
         self._fail_streak = 0
         self._fails_since_kf = 0

@@ -208,6 +208,48 @@ class SlamTracker:
         else:
             res = self._vo.process(depth, timestamp)
         self._frame_count += 1
+        return self._post_frame(depth, res)
+
+    def process_window(self, depths, timestamps=None, window: int = 8):
+        """Process a batch of depth frames, scanning up to `window` frames
+        per device dispatch (KeyframeTracker.process_window).
+
+        Semantics match per-frame process(): the VO scan truncates at
+        every keyframe event, so all host-side SLAM logic (loop closure,
+        relocalization, online optimization) runs at exactly the same
+        frames with the same state. While lost (un-relocalized tracking
+        loss) processing falls back to per-frame so the relocalization
+        retry cadence is preserved. RGB-D odometry (use_rgb) has no
+        windowed path yet. Returns one result per frame.
+        """
+        if self.config.use_rgb:
+            raise ValueError(
+                "process_window() is depth-only; use per-frame process() "
+                "with SlamConfig.use_rgb"
+            )
+        if timestamps is None:
+            timestamps = [None] * len(depths)
+        results = []
+        i = 0
+        while i < len(depths):
+            if self.lost:
+                results.append(self.process(depths[i], timestamps[i]))
+                i += 1
+                continue
+            consumed = self._vo.process_window(
+                depths[i : i + window], timestamps[i : i + window]
+            )
+            self._frame_count += len(consumed)
+            res = consumed[-1]
+            if res.is_new_keyframe:
+                consumed[-1] = self._post_frame(depths[i + len(consumed) - 1], res)
+            results.extend(consumed)
+            i += len(consumed)
+        return results
+
+    def _post_frame(self, depth, res):
+        """Everything process() does after the VO step: relocalization,
+        keyframe events (loop closure + graph edges), online optimization."""
         precomputed = None
         odom_weight = None  # None -> derive from the span's failure count
         # A failure-streak re-seed means the held pose is stale: attempt

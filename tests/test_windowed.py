@@ -1,0 +1,160 @@
+"""Windowed (scanned) VO and SLAM: process_window must replicate the
+per-frame path's results exactly -- same poses, same success flags, same
+keyframe events -- while batching up to W frames per device dispatch
+(tracking/keyframe.py _fused_track_window; the scan truncates the window
+at every keyframe event so host-side SLAM logic runs unchanged)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
+from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=49.5, cy=37.0, width=100, height=75)
+CFG = projective.ProjectiveIcpConfig(iters=(4, 4, 5), samples=1024)
+
+
+def _sequence(n, step=(0.03, 0.0, 0.02, 0.0, 0.025, 0.0), seed=21):
+    scene = synthetic.default_scene(seed=seed)
+    step = jnp.asarray(step, jnp.float32)
+    poses = [se3.identity()]
+    for _ in range(n - 1):
+        poses.append(se3.compose(poses[-1], se3.exp(step)))
+    return [synthetic.render_depth(INTR, T, scene) for T in poses]
+
+
+def _run_per_frame(tracker, depths):
+    return [tracker.process(d, float(i)) for i, d in enumerate(depths)]
+
+
+def _run_windowed(tracker, depths, window):
+    out = []
+    i = 0
+    while i < len(depths):
+        chunk = depths[i : i + window]
+        ts = [float(j) for j in range(i, i + len(chunk))]
+        if isinstance(tracker, SlamTracker):
+            res = tracker.process_window(chunk, ts, window=window)
+            out.extend(res)
+            i += len(res)
+        else:
+            res = tracker.process_window(chunk, ts)
+            out.extend(res)
+            i += len(res)
+    return out
+
+
+def _assert_results_match(a, b):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.frame_index == rb.frame_index
+        assert ra.success == rb.success, ra.frame_index
+        assert ra.is_new_keyframe == rb.is_new_keyframe, ra.frame_index
+        np.testing.assert_allclose(ra.pose, rb.pose, atol=1e-5)
+        assert abs(ra.rmse - rb.rmse) < 1e-5
+        assert abs(ra.inlier_fraction - rb.inlier_fraction) < 1e-5
+
+
+class TestWindowedVo:
+    def test_matches_per_frame_with_promotions(self):
+        depths = _sequence(9)
+        ref = KeyframeTracker(INTR, CFG, max_translation=0.06, max_rotation=0.05)
+        win = KeyframeTracker(INTR, CFG, max_translation=0.06, max_rotation=0.05)
+        ra = _run_per_frame(ref, depths)
+        rb = _run_windowed(win, depths, window=4)
+        _assert_results_match(ra, rb)
+        # State converges identically: keyframe pose and bookkeeping.
+        np.testing.assert_allclose(
+            np.asarray(ref._kf_pose), np.asarray(win._kf_pose), atol=1e-5
+        )
+        assert ref._fail_streak == win._fail_streak
+        assert len(ref.trajectory) == len(win.trajectory)
+        assert any(r.is_new_keyframe for r in ra[1:])  # promotions exercised
+
+    def test_matches_per_frame_through_failures_and_reseed(self):
+        good = _sequence(4, step=(0.01, 0.0, 0.01, 0.0, 0.01, 0.0))
+        dead = [jnp.zeros_like(good[0])] * 3  # all-invalid: tracking fails
+        tail = [good[-1]] * 2
+        depths = good + dead + tail
+        kw = dict(max_consecutive_failures=2, max_translation=10.0,
+                  max_rotation=10.0)
+        ref = KeyframeTracker(INTR, CFG, **kw)
+        win = KeyframeTracker(INTR, CFG, **kw)
+        ra = _run_per_frame(ref, depths)
+        rb = _run_windowed(win, depths, window=4)
+        _assert_results_match(ra, rb)
+        assert any(not r.success for r in ra)  # failures exercised
+        # The recovery re-seed (failure-streak keyframe) fired identically.
+        assert any(r.is_new_keyframe and not r.success for r in ra)
+        assert ref.last_span_failures == win.last_span_failures
+
+    def test_window_larger_than_sequence(self):
+        depths = _sequence(3, step=(0.01, 0.0, 0.0, 0.0, 0.0, 0.0))
+        ref = KeyframeTracker(INTR, CFG)
+        win = KeyframeTracker(INTR, CFG)
+        ra = _run_per_frame(ref, depths)
+        rb = _run_windowed(win, depths, window=16)
+        _assert_results_match(ra, rb)
+
+
+class TestWindowedSlam:
+    def _make(self):
+        cfg = SlamConfig(
+            intrinsics=INTR,
+            icp=CFG,
+            loop_min_separation=3,
+            loop_similarity=0.8,
+            keyframe_cloud_capacity=1024,
+        )
+        cfg.align.fpfh_max_neighbors = 32
+        t = SlamTracker(cfg)
+        t._vo.max_translation = 0.05  # dense keyframes on this trajectory
+        t._vo.max_rotation = 0.05
+        return t
+
+    def test_matches_per_frame_slam(self):
+        scene = synthetic.default_scene(seed=21)
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for i in range(9):
+            s = step if i < 5 else -step
+            poses.append(se3.compose(poses[-1], se3.exp(s)))
+        depths = [synthetic.render_depth(INTR, T, scene) for T in poses]
+        ref = self._make()
+        win = self._make()
+        ra = _run_per_frame(ref, depths)
+        rb = _run_windowed(win, depths, window=4)
+        _assert_results_match(ra, rb)
+        assert win.keyframe_count == ref.keyframe_count
+        assert win.num_loop_closures == ref.num_loop_closures
+        for pa, pb in zip(ref.trajectory.poses, win.trajectory.poses):
+            np.testing.assert_allclose(pa, pb, atol=1e-5)
+
+    def test_cli_window_flag(self, tmp_path, capsys):
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data import tum as tum_mod
+
+        root = str(tmp_path / "seq")
+        tum_mod.synthesize_tum_sequence(root, num_frames=6, seed=3,
+                                        width=100, height=75)
+        rc = rs_replay.main(["--tum", root, "--method", "slam",
+                             "--window", "4", "--ate"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "processed 6 frames" in out
+        assert "ATE:" in out
+        # --window outside depth-only SLAM is rejected.
+        assert rs_replay.main(["--tum", root, "--method", "projective",
+                               "--window", "4"]) == 1
+
+    def test_rgb_mode_rejected(self):
+        cfg = SlamConfig(intrinsics=INTR, use_rgb=True)
+        t = SlamTracker(cfg)
+        try:
+            t.process_window([jnp.zeros((75, 100), jnp.float32)])
+        except ValueError:
+            return
+        raise AssertionError("use_rgb process_window should raise")
