@@ -78,6 +78,28 @@ class Tracker:
             return self._impl.process(depth, _as_gray(color), timestamp)
         return self._impl.process(depth, timestamp)
 
+    def process_window(self, depths, timestamps=None, window: int = 8):
+        """Process a batch of frames, scanning up to `window` frames per
+        device dispatch (method='keyframe' only; see
+        tracking/keyframe.py process_window). Identical results to
+        per-frame process(); one result per frame."""
+        if self.config.method != "keyframe":
+            raise ValueError(
+                "process_window() requires method='keyframe' "
+                f"(got {self.config.method!r})"
+            )
+        if timestamps is None:
+            timestamps = [None] * len(depths)
+        results = []
+        i = 0
+        while i < len(depths):
+            consumed = self._impl.process_window(
+                depths[i : i + window], timestamps[i : i + window]
+            )
+            results.extend(consumed)
+            i += len(consumed)
+        return results
+
     @property
     def pose(self):
         return self._impl.pose

@@ -40,10 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "RGB-D odometry (requires a color stream); loop "
                         "closure stays geometric")
     p.add_argument("--window", type=int, default=0, metavar="W",
-                   help="SLAM only (depth-only): scan up to W frames per "
-                        "device dispatch (amortizes the per-dispatch "
-                        "overhead; identical trajectory to per-frame mode "
-                        "-- the scan truncates at every keyframe event)")
+                   help="slam/keyframe methods (depth-only): scan up to W "
+                        "frames per device dispatch (amortizes the "
+                        "per-dispatch overhead; identical trajectory to "
+                        "per-frame mode -- the scan truncates at every "
+                        "keyframe event)")
     p.add_argument("--optimize-every", type=int, default=0,
                    help="SLAM only: run pose-graph optimization in-stream "
                         "every N keyframes, feeding the correction back "
@@ -75,8 +76,9 @@ def main(argv=None) -> int:
     if args.slam_rgb and args.method != "slam":
         print("--slam-rgb requires --method slam", file=sys.stderr)
         return 1
-    if args.window > 0 and (args.method != "slam" or args.slam_rgb):
-        print("--window requires --method slam without --slam-rgb",
+    if args.window > 0 and (args.method not in ("slam", "keyframe")
+                            or args.slam_rgb):
+        print("--window requires --method slam or keyframe (depth-only)",
               file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb

@@ -91,6 +91,24 @@ class TestWindowedVo:
         assert any(r.is_new_keyframe and not r.success for r in ra)
         assert ref.last_span_failures == win.last_span_failures
 
+    def test_api_tracker_window(self):
+        from realsensetracker_tpu.api import Tracker, TrackerConfig
+
+        depths = _sequence(6)
+        cfg = TrackerConfig(intrinsics=INTR, method="keyframe",
+                            projective=CFG)
+        ref, win = Tracker(cfg), Tracker(cfg)
+        ra = _run_per_frame(ref, depths)
+        rb = win.process_window(depths, [float(i) for i in range(6)], window=4)
+        _assert_results_match(ra, rb)
+        try:
+            Tracker(TrackerConfig(intrinsics=INTR, method="projective")
+                    ).process_window(depths)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("non-keyframe process_window should raise")
+
     def test_window_larger_than_sequence(self):
         depths = _sequence(3, step=(0.01, 0.0, 0.0, 0.0, 0.0, 0.0))
         ref = KeyframeTracker(INTR, CFG)
