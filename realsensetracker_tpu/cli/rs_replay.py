@@ -76,9 +76,8 @@ def main(argv=None) -> int:
     if args.slam_rgb and args.method != "slam":
         print("--slam-rgb requires --method slam", file=sys.stderr)
         return 1
-    if args.window > 0 and (args.method not in ("slam", "keyframe")
-                            or args.slam_rgb):
-        print("--window requires --method slam or keyframe (depth-only)",
+    if args.window > 0 and args.method not in ("slam", "keyframe"):
+        print("--window requires --method slam or keyframe",
               file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb
@@ -194,16 +193,23 @@ def main(argv=None) -> int:
 
         def flush():
             t0 = time.perf_counter()
+            kw = {"window": args.window}
+            if wants_color:
+                kw["grays"] = [g for _, _, g in buf]
             res_list = tracker.process_window(
-                [d for _, d in buf], [t for t, _ in buf], window=args.window
+                [b[1] for b in buf], [b[0] for b in buf], **kw
             )
             ms = (time.perf_counter() - t0) * 1000.0 / max(len(buf), 1)
-            for (ts, depth), res in zip(buf, res_list):
-                yield ts, depth, res, ms
+            for b, res in zip(buf, res_list):
+                yield b[0], b[1], res, ms
             buf.clear()
 
-        for ts, depth in frames:
-            buf.append((ts, depth))
+        for item in frames:
+            if wants_color and item[2] is None:
+                print(f"t={item[0]:.3f}: no associated rgb frame, skipping",
+                      file=sys.stderr)
+                continue
+            buf.append(item)
             if len(buf) >= args.window:
                 yield from flush()
         if buf:

@@ -61,6 +61,71 @@ def _fused_rgbd_track_step(depth, gray, kf_levels, kf_grays, kf_pose, pose,
     return levels, grays, new_pose, stats
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
+                             pose, streak0, fails0, thresholds, max_fails,
+                             *, intr, cfg):
+    """A window of RGB-D tracked frames as one XLA program.
+
+    The colored counterpart of keyframe.py _fused_track_window: lax.scan
+    of the joint geometric+photometric track step, carrying the keyframe
+    target (plane-table levels + intensity pyramid) on device and
+    replicating the promotion/failure logic with where-selects. Returns
+    only the per-frame (W, 30) stats matrix -- same row layout as the
+    depth-only window scan."""
+    f32, i32 = jnp.float32, jnp.int32
+
+    def body(carry, frame):
+        depth, gray = frame
+        kf_lv, kf_gr, kf_p, p, streak, fails = carry
+        levels, grs, intrs = rgbd_mod.build_rgbd_target(depth, gray, intr, cfg)
+        levels, grs = tuple(levels), tuple(grs)
+        src_samples = rgbd_mod.sample_rgbd_source(depth, gray, intrs, cfg)
+        init = se3.compose(se3.inverse(kf_p), p)
+        out = rgbd_mod.rgbd_icp_sampled(
+            src_samples, kf_lv, kf_gr, intrs, init_transform=init, cfg=cfg
+        )
+        new_pose = se3.accumulate(kf_p, out.transform)
+        tw = se3.log(out.transform).astype(f32)
+        ok = jnp.all(jnp.isfinite(out.transform))
+        inlier = out.inlier_fraction.astype(f32)
+        success = ok & (inlier >= thresholds[0])
+        promote = success & (
+            (jnp.linalg.norm(tw[:3]) > thresholds[1])
+            | (jnp.linalg.norm(tw[3:]) > thresholds[2])
+            | (inlier < thresholds[3])
+        )
+        streak1 = jnp.where(success, i32(0), streak + i32(1))
+        fails1 = jnp.where(success, fails, fails + i32(1))
+        reseed = (~success) & (streak1 >= max_fails)
+        is_new_kf = promote | reseed
+        p1 = jnp.where(success, new_pose, p).astype(f32)
+        kf_p1 = jnp.where(is_new_kf, p1, kf_p).astype(f32)
+        sel = lambda a, b: jnp.where(is_new_kf, a, b)
+        kf_lv1 = jax.tree_util.tree_map(sel, levels, kf_lv)
+        kf_gr1 = jax.tree_util.tree_map(sel, grs, kf_gr)
+        streak2 = jnp.where(reseed, i32(0), streak1)
+        fails2 = jnp.where(is_new_kf, i32(0), fails1)
+        stats = jnp.concatenate([
+            jnp.stack([out.rmse.astype(f32), inlier, ok.astype(f32)]),
+            tw,
+            p1.reshape(-1),
+            jnp.stack([
+                success.astype(f32),
+                is_new_kf.astype(f32),
+                fails1.astype(f32),
+                streak2.astype(f32),
+                fails2.astype(f32),
+            ]),
+        ])
+        return (kf_lv1, kf_gr1, kf_p1, p1, streak2, fails2), stats
+
+    carry0 = (kf_levels, kf_grays, kf_pose, pose,
+              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32))
+    _, stats = jax.lax.scan(body, carry0, (depths, grays_in))
+    return stats
+
+
 @dataclass
 class RgbdKeyframeTracker:
     """Drop-in VO for the SLAM layer when color exists: same interface as
@@ -79,6 +144,9 @@ class RgbdKeyframeTracker:
     _fails_since_kf: int = 0
     last_span_failures: int = 0
     _last_target: object = field(default=None, repr=False)  # (levels, grays)
+    # Windowed mode keeps the last frame's (depth, gray) instead of its
+    # target; _last_target rebuilds lazily if relocalize_to needs it.
+    _last_frame: object = field(default=None, repr=False)
     _kf_target: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)
     _pose: object = field(default=None, repr=False)
@@ -158,11 +226,89 @@ class RgbdKeyframeTracker:
         self._index += 1
         return res
 
+    def process_window(self, depths, grays, timestamps=None
+                       ) -> list[KeyframeResult]:
+        """Process up to len(depths) RGB-D frames in ONE device dispatch.
+
+        Same contract as KeyframeTracker.process_window: consumes frames
+        up to and INCLUDING the first keyframe event (or the whole window)
+        and returns their results; a shorter return means the caller
+        should re-submit the unconsumed tail."""
+        if timestamps is None:
+            timestamps = [None] * len(depths)
+        if self._kf_target is None:
+            return [self.process(depths[0], grays[0], timestamps[0])]
+        kf_levels, kf_grays = self._kf_target
+        stats = _fused_rgbd_track_window(
+            jnp.asarray(np.stack([np.asarray(d) for d in depths]),
+                        jnp.float32),
+            jnp.asarray(np.stack([np.asarray(g) for g in grays]),
+                        jnp.float32),
+            kf_levels, kf_grays, self._kf_pose, self._pose,
+            self._fail_streak, self._fails_since_kf,
+            jnp.asarray([
+                self.min_inlier_fraction, self.max_translation,
+                self.max_rotation, self.min_overlap,
+            ], jnp.float32),
+            jnp.int32(self.max_consecutive_failures),
+            intr=self.intr, cfg=self.cfg,
+        )
+        s = np.asarray(stats)  # the window's ONE host transfer
+        results: list[KeyframeResult] = []
+        consumed = 0
+        event = False
+        for i in range(len(depths)):
+            ts = timestamps[i] if timestamps[i] is not None else float(self._index)
+            pose_np = s[i, 9:25].reshape(4, 4).astype(np.float32)
+            success = s[i, 25] > 0.5
+            is_new_kf = s[i, 26] > 0.5
+            self._pose_np = pose_np
+            self.trajectory.append(ts, pose_np)
+            results.append(KeyframeResult(
+                pose=pose_np,
+                success=bool(success),
+                is_new_keyframe=bool(is_new_kf),
+                rmse=float(s[i, 0]),
+                inlier_fraction=float(s[i, 1]),
+                frame_index=self._index,
+            ))
+            self._index += 1
+            consumed = i + 1
+            if is_new_kf:
+                event = True
+                break
+        last = consumed - 1
+        self._pose = jnp.asarray(self._pose_np)
+        self._last_frame = (depths[last], grays[last])
+        self._last_target = None  # rebuilt lazily from _last_frame if needed
+        if event:
+            levels, grs, _ = rgbd_mod.build_rgbd_target(
+                jnp.asarray(depths[last], jnp.float32),
+                jnp.asarray(grays[last], jnp.float32), self.intr, self.cfg,
+            )
+            self._kf_target = (tuple(levels), tuple(grs))
+            self._last_target = self._kf_target
+            self._kf_pose = self._pose
+            self.last_span_failures = int(s[last, 27])
+            self._fail_streak = 0
+            self._fails_since_kf = 0
+        else:
+            self._fail_streak = int(s[last, 28])
+            self._fails_since_kf = int(s[last, 29])
+        return results
+
     def relocalize_to(self, pose) -> None:
         """See KeyframeTracker.relocalize_to."""
         self._pose = jnp.asarray(pose, jnp.float32)
         self._pose_np = np.asarray(pose, np.float32)
         self._kf_pose = self._pose
+        if self._last_target is None and self._last_frame is not None:
+            d, g = self._last_frame
+            levels, grs, _ = rgbd_mod.build_rgbd_target(
+                jnp.asarray(d, jnp.float32), jnp.asarray(g, jnp.float32),
+                self.intr, self.cfg,
+            )
+            self._last_target = (tuple(levels), tuple(grs))
         self._kf_target = self._last_target
         self._fail_streak = 0
         self._fails_since_kf = 0

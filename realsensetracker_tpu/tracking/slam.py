@@ -210,22 +210,23 @@ class SlamTracker:
         self._frame_count += 1
         return self._post_frame(depth, res)
 
-    def process_window(self, depths, timestamps=None, window: int = 8):
-        """Process a batch of depth frames, scanning up to `window` frames
-        per device dispatch (KeyframeTracker.process_window).
+    def process_window(self, depths, timestamps=None, window: int = 8,
+                       grays=None):
+        """Process a batch of frames, scanning up to `window` frames per
+        device dispatch (KeyframeTracker/RgbdKeyframeTracker
+        process_window; SlamConfig.use_rgb selects RGB-D and requires
+        `grays`).
 
         Semantics match per-frame process(): the VO scan truncates at
         every keyframe event, so all host-side SLAM logic (loop closure,
         relocalization, online optimization) runs at exactly the same
         frames with the same state. While lost (un-relocalized tracking
         loss) processing falls back to per-frame so the relocalization
-        retry cadence is preserved. RGB-D odometry (use_rgb) has no
-        windowed path yet. Returns one result per frame.
+        retry cadence is preserved. Returns one result per frame.
         """
-        if self.config.use_rgb:
+        if self.config.use_rgb and grays is None:
             raise ValueError(
-                "process_window() is depth-only; use per-frame process() "
-                "with SlamConfig.use_rgb"
+                "SlamConfig.use_rgb=True: process_window() needs grays"
             )
         if timestamps is None:
             timestamps = [None] * len(depths)
@@ -233,12 +234,26 @@ class SlamTracker:
         i = 0
         while i < len(depths):
             if self.lost:
-                results.append(self.process(depths[i], timestamps[i]))
+                if self.config.use_rgb:
+                    results.append(
+                        self.process(depths[i], timestamps[i], gray=grays[i])
+                    )
+                else:
+                    results.append(self.process(depths[i], timestamps[i]))
                 i += 1
                 continue
-            consumed = self._vo.process_window(
-                depths[i : i + window], timestamps[i : i + window]
-            )
+            if self.config.use_rgb:
+                from realsensetracker_tpu.api.tracker import _as_gray
+
+                consumed = self._vo.process_window(
+                    depths[i : i + window],
+                    [_as_gray(g) for g in grays[i : i + window]],
+                    timestamps[i : i + window],
+                )
+            else:
+                consumed = self._vo.process_window(
+                    depths[i : i + window], timestamps[i : i + window]
+                )
             self._frame_count += len(consumed)
             res = consumed[-1]
             if res.is_new_keyframe:

@@ -168,11 +168,52 @@ class TestWindowedSlam:
         assert rs_replay.main(["--tum", root, "--method", "projective",
                                "--window", "4"]) == 1
 
-    def test_rgb_mode_rejected(self):
+    def test_rgb_window_matches_per_frame(self):
+        from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+
+        scene = synthetic.default_scene(seed=13)
+        step = jnp.asarray([0.025, 0.0, 0.02, 0.0, 0.02, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for _ in range(7):
+            poses.append(se3.compose(poses[-1], se3.exp(step)))
+        depths, grays = [], []
+        for T in poses:
+            d, rgb = synthetic.render_rgbd(INTR, T, scene)
+            depths.append(d)
+            grays.append(synthetic.intensity_from_rgb(rgb))
+
+        def make():
+            cfg = SlamConfig(
+                intrinsics=INTR, use_rgb=True,
+                rgbd=RgbdIcpConfig(iters=(4, 4), samples=768),
+                keyframe_cloud_capacity=1024,
+            )
+            cfg.align.fpfh_max_neighbors = 32
+            t = SlamTracker(cfg)
+            t._vo.max_translation = 0.05
+            t._vo.max_rotation = 0.05
+            return t
+
+        ref, win = make(), make()
+        ra = [ref.process(d, float(i), gray=g)
+              for i, (d, g) in enumerate(zip(depths, grays))]
+        rb = []
+        i = 0
+        while i < len(depths):
+            res = win.process_window(
+                depths[i:], [float(j) for j in range(i, len(depths))],
+                window=4, grays=grays[i:],
+            )
+            rb.extend(res)
+            i += len(res)
+        _assert_results_match(ra, rb)
+        assert win.keyframe_count == ref.keyframe_count
+
+    def test_rgb_mode_needs_grays(self):
         cfg = SlamConfig(intrinsics=INTR, use_rgb=True)
         t = SlamTracker(cfg)
         try:
             t.process_window([jnp.zeros((75, 100), jnp.float32)])
         except ValueError:
             return
-        raise AssertionError("use_rgb process_window should raise")
+        raise AssertionError("use_rgb process_window without grays should raise")
