@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
+    p.add_argument("--rpe", type=float, default=0.0, metavar="DELTA_S",
+                   help="Report RPE (drift over DELTA_S-second windows) vs "
+                        "groundtruth (TUM)")
     p.add_argument("--json", action="store_true", help="Machine-readable per-frame output")
     p.add_argument("--serve", type=int, default=-1, metavar="PORT",
                    help="Serve a live view of the tracked sequence over "
@@ -110,7 +113,7 @@ def main(argv=None) -> int:
         else:
             frames = stream_mod.stream_tum(seq, stop=args.max_frames or None,
                                            start=args.start_frame)
-        if args.ate and seq.groundtruth:
+        if (args.ate or args.rpe > 0) and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
         clip = recorded.read_clip(args.record)
@@ -289,10 +292,17 @@ def main(argv=None) -> int:
         tracker.trajectory.save_tum(args.trajectory_out)
         print(f"trajectory -> {args.trajectory_out}")
     if gt is not None:
-        from realsensetracker_tpu.tracking.trajectory import absolute_trajectory_error
+        from realsensetracker_tpu.tracking.trajectory import (
+            absolute_trajectory_error,
+            relative_pose_error,
+        )
 
-        ate = absolute_trajectory_error(tracker.trajectory, gt)
-        print("ATE:", json.dumps(ate))
+        if args.ate:
+            ate = absolute_trajectory_error(tracker.trajectory, gt)
+            print("ATE:", json.dumps(ate))
+        if args.rpe > 0:
+            rpe = relative_pose_error(tracker.trajectory, gt, delta=args.rpe)
+            print("RPE:", json.dumps(rpe))
     if server is not None:
         server.close()
     return 0

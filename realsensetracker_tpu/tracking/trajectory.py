@@ -64,6 +64,57 @@ class Trajectory:
         return traj
 
 
+def relative_pose_error(est: Trajectory, gt: Trajectory,
+                        delta: float = 1.0) -> dict:
+    """TUM-benchmark RPE: drift over a fixed time interval `delta` seconds.
+
+    For every estimated pose with a groundtruth association at t and
+    t + delta, the relative-pose error is
+    E = (Q_t^-1 Q_{t+d})^-1 (P_t^-1 P_{t+d}); reports the translational
+    RMSE/mean/max in meters and rotational RMSE/mean/max in degrees over
+    all such windows -- the standard local-accuracy companion to the
+    global ATE (which Horn alignment makes insensitive to drift rate).
+    """
+    if len(est) < 2 or len(gt) < 2:
+        return {"trans_rmse": float("inf"), "pairs": 0}
+    est_ts = np.asarray(est.timestamps)
+    gt_ts = np.asarray(gt.timestamps)
+
+    def associate(ts):
+        j = int(np.argmin(np.abs(gt_ts - ts)))
+        return j if abs(gt_ts[j] - ts) <= 0.02 else None
+
+    terr, rerr = [], []
+    for i, ts in enumerate(est_ts):
+        k = int(np.argmin(np.abs(est_ts - (ts + delta))))
+        # Only near-exact windows count (as in the TUM evaluate_rpe tool):
+        # shorter partial windows would dilute the measured drift rate.
+        if abs(est_ts[k] - (ts + delta)) > 0.1 * delta or k == i:
+            continue
+        j0, j1 = associate(ts), associate(est_ts[k])
+        if j0 is None or j1 is None:
+            continue
+        dP = np.linalg.inv(est.poses[i]) @ est.poses[k]
+        dQ = np.linalg.inv(gt.poses[j0]) @ gt.poses[j1]
+        E = np.linalg.inv(dQ) @ dP
+        terr.append(np.linalg.norm(E[:3, 3]))
+        c = np.clip((np.trace(E[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        rerr.append(np.degrees(np.arccos(c)))
+    if not terr:
+        return {"trans_rmse": float("inf"), "pairs": 0}
+    terr, rerr = np.asarray(terr), np.asarray(rerr)
+    return {
+        "trans_rmse": float(np.sqrt((terr**2).mean())),
+        "trans_mean": float(terr.mean()),
+        "trans_max": float(terr.max()),
+        "rot_rmse_deg": float(np.sqrt((rerr**2).mean())),
+        "rot_mean_deg": float(rerr.mean()),
+        "rot_max_deg": float(rerr.max()),
+        "delta_s": float(delta),
+        "pairs": int(len(terr)),
+    }
+
+
 def absolute_trajectory_error(est: Trajectory, gt: Trajectory) -> dict:
     """ATE-RMSE after Horn alignment of the two trajectories.
 

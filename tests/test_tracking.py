@@ -182,6 +182,43 @@ class TestTrajectoryIO:
         ate = absolute_trajectory_error(traj, traj)
         assert ate["rmse"] < 1e-9
 
+    def test_rpe_measures_drift_rate(self):
+        from realsensetracker_tpu.tracking.trajectory import relative_pose_error
+
+        gt = Trajectory()
+        est = Trajectory()
+        for i in range(11):
+            T = np.eye(4)
+            T[:3, 3] = [i * 0.1, 0, 0]  # 1 m/s at 10 Hz
+            E = np.eye(4)
+            E[:3, 3] = [i * 0.11, 0, 0]  # 10% scale drift
+            gt.append(i * 0.1, T)
+            est.append(i * 0.1, E)
+        rpe = relative_pose_error(est, gt, delta=1.0)
+        assert rpe["pairs"] >= 1
+        np.testing.assert_allclose(rpe["trans_rmse"], 0.1, atol=1e-6)
+        assert rpe["rot_rmse_deg"] < 1e-6
+        # Identical trajectories: zero drift.
+        zero = relative_pose_error(gt, gt, delta=1.0)
+        assert zero["trans_rmse"] < 1e-12
+
+    def test_rpe_rotational_component(self):
+        from realsensetracker_tpu.tracking.trajectory import relative_pose_error
+
+        gt = Trajectory()
+        est = Trajectory()
+        for i in range(6):
+            T = np.eye(4)
+            gt.append(float(i), T)
+            # est accumulates 2 degrees of yaw per second vs static gt.
+            R = np.asarray(
+                se3.exp(jnp.asarray([0, 0, 0, 0, 0, np.radians(2.0) * i],
+                                    jnp.float32))
+            )
+            est.append(float(i), np.asarray(R, np.float64))
+        rpe = relative_pose_error(est, gt, delta=1.0)
+        np.testing.assert_allclose(rpe["rot_rmse_deg"], 2.0, atol=1e-3)
+
     def test_ate_invariant_to_global_transform(self):
         rng = np.random.RandomState(1)
         gt = Trajectory()
