@@ -94,7 +94,8 @@ class Tracker:
         i = 0
         while i < len(depths):
             consumed = self._impl.process_window(
-                depths[i : i + window], timestamps[i : i + window]
+                depths[i : i + window], timestamps[i : i + window],
+                pad_to=window,
             )
             results.extend(consumed)
             i += len(consumed)

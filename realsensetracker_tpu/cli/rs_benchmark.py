@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=0,
                    help="scan the batch in chunks of this size inside one "
                    "dispatch (0 = no chunking); amortizes dispatch overhead")
+    p.add_argument("--window", type=int, default=8,
+                   help="slam-window pipeline: frames scanned per dispatch")
     return p
 
 
@@ -149,6 +151,45 @@ def main(argv=None) -> int:
             np.asarray(batch_run(src, dst, salts[i]))
         dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
+    elif args.pipeline in ("slam", "slam-window"):
+        # Streaming SLAM frames/sec over a synthetic trajectory: --batch
+        # frames at the given resolution, per-frame dispatch ("slam") or
+        # --window frames scanned per dispatch ("slam-window"). Every
+        # frame is distinct data (no relay memoization) and every
+        # process()/process_window() call materializes its stats to host,
+        # so the timing is honest by construction.
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        win = args.window if args.pipeline == "slam-window" else 0
+        depths, _ = synthetic.render_trajectory(intr, args.batch, seed=0)
+        frames = [jnp.asarray(depths[i]) for i in range(args.batch)]
+        tracker = SlamTracker(SlamConfig(intrinsics=intr))
+
+        def run(fr, base):
+            ts = [float(base + i) / 30.0 for i in range(len(fr))]
+            if win:
+                tracker.process_window(fr, ts, window=win)
+            else:
+                for f, t in zip(fr, ts):
+                    tracker.process(f, t)
+
+        skip = min(2 * max(win, 1), max(args.batch // 4, 1))
+        run(frames[:skip], 0)  # warmup: compiles + first keyframes
+        n_timed = args.batch - skip
+        t0 = time.perf_counter()
+        run(frames[skip:], skip)
+        dt = time.perf_counter() - t0
+        n_chips = max(1, len(jax.devices()))
+        print(json.dumps({
+            "pipeline": args.pipeline,
+            "frames": args.batch,
+            "window": win,
+            "resolution": f"{args.width}x{args.height}",
+            "frames_per_sec_per_chip": round(n_timed / dt / n_chips, 2),
+            "ms_per_frame": round(1000 * dt / max(n_timed, 1), 2),
+            "keyframes": tracker.keyframe_count,
+        }))
+        return 0
     else:
         raise SystemExit(f"unsupported pipeline for benchmarking: {args.pipeline}")
 

@@ -268,7 +268,8 @@ class KeyframeTracker:
         self._index += 1
         return res
 
-    def process_window(self, depths, timestamps=None) -> list[KeyframeResult]:
+    def process_window(self, depths, timestamps=None,
+                       pad_to: int | None = None) -> list[KeyframeResult]:
         """Process up to len(depths) frames in ONE device dispatch.
 
         Consumes frames up to and INCLUDING the first keyframe event
@@ -280,6 +281,12 @@ class KeyframeTracker:
         semantics are replicated exactly on device (_fused_track_window);
         a window costs one scan dispatch + one (W, 30) stats transfer,
         plus one pyramid rebuild when a window ends at a keyframe event.
+
+        pad_to: pad the scan to this fixed frame count (last frame
+        repeated; padded rows ignored) so every window -- including
+        post-event tails -- reuses ONE compiled program. Without it each
+        distinct window length is a separate 30-90 s relay compile
+        (CLAUDE.md gotcha 8).
         """
         if timestamps is None:
             timestamps = [None] * len(depths)
@@ -287,8 +294,13 @@ class KeyframeTracker:
             return [self.process(depths[0], timestamps[0])]
         from realsensetracker_tpu.ops.pyramid import build_pyramid
 
+        stack = np.stack([np.asarray(d) for d in depths])
+        if pad_to is not None and pad_to > len(depths):
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], pad_to - len(depths), axis=0)]
+            )
         stats = _fused_track_window(
-            jnp.asarray(np.stack([np.asarray(d) for d in depths])),
+            jnp.asarray(stack),
             self._kf_levels, self._kf_pose, self._pose,
             self._fail_streak, self._fails_since_kf,
             jnp.asarray([

@@ -226,24 +226,32 @@ class RgbdKeyframeTracker:
         self._index += 1
         return res
 
-    def process_window(self, depths, grays, timestamps=None
-                       ) -> list[KeyframeResult]:
+    def process_window(self, depths, grays, timestamps=None,
+                       pad_to: int | None = None) -> list[KeyframeResult]:
         """Process up to len(depths) RGB-D frames in ONE device dispatch.
 
         Same contract as KeyframeTracker.process_window: consumes frames
         up to and INCLUDING the first keyframe event (or the whole window)
         and returns their results; a shorter return means the caller
-        should re-submit the unconsumed tail."""
+        should re-submit the unconsumed tail. pad_to fixes the compiled
+        window shape (padded rows ignored)."""
         if timestamps is None:
             timestamps = [None] * len(depths)
         if self._kf_target is None:
             return [self.process(depths[0], grays[0], timestamps[0])]
         kf_levels, kf_grays = self._kf_target
+
+        def stacked(frames):
+            s = np.stack([np.asarray(f) for f in frames])
+            if pad_to is not None and pad_to > len(frames):
+                s = np.concatenate(
+                    [s, np.repeat(s[-1:], pad_to - len(frames), axis=0)]
+                )
+            return jnp.asarray(s, jnp.float32)
+
         stats = _fused_rgbd_track_window(
-            jnp.asarray(np.stack([np.asarray(d) for d in depths]),
-                        jnp.float32),
-            jnp.asarray(np.stack([np.asarray(g) for g in grays]),
-                        jnp.float32),
+            stacked(depths),
+            stacked(grays),
             kf_levels, kf_grays, self._kf_pose, self._pose,
             self._fail_streak, self._fails_since_kf,
             jnp.asarray([

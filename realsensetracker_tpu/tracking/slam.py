@@ -249,10 +249,12 @@ class SlamTracker:
                     depths[i : i + window],
                     [_as_gray(g) for g in grays[i : i + window]],
                     timestamps[i : i + window],
+                    pad_to=window,
                 )
             else:
                 consumed = self._vo.process_window(
-                    depths[i : i + window], timestamps[i : i + window]
+                    depths[i : i + window], timestamps[i : i + window],
+                    pad_to=window,
                 )
             self._frame_count += len(consumed)
             res = consumed[-1]
