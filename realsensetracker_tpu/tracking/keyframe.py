@@ -101,13 +101,20 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
     [26] is_new_keyframe  [27] span failures at the event (value BEFORE
     the keyframe reset)  [28] fail streak after  [29] fails since
     keyframe after.
+
+    The carry LATCHES at the first keyframe event (`done` freezes all
+    updates), so the returned (kf_levels, kf_pose, pose) are exactly the
+    state at the truncation point -- the host adopts them directly
+    (device-resident; the event frame's pyramid never needs a rebuild
+    dispatch). Rows after the first event are computed against the
+    frozen state and discarded by the host.
     """
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     f32, i32 = jnp.float32, jnp.int32
 
     def body(carry, depth):
-        kf_lv, kf_p, p, streak, fails = carry
+        kf_lv, kf_p, p, streak, fails, done = carry
         levels, intrs = build_pyramid(
             depth, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth
         )
@@ -130,13 +137,14 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
         fails1 = jnp.where(success, fails, fails + i32(1))
         reseed = (~success) & (streak1 >= max_fails)
         is_new_kf = promote | reseed
-        p1 = jnp.where(success, new_pose, p).astype(f32)
-        kf_p1 = jnp.where(is_new_kf, p1, kf_p).astype(f32)
+        event_now = is_new_kf & ~done
+        p1 = jnp.where(success & ~done, new_pose, p).astype(f32)
+        kf_p1 = jnp.where(event_now, p1, kf_p).astype(f32)
         kf_lv1 = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(is_new_kf, a, b), levels, kf_lv
+            lambda a, b: jnp.where(event_now, a, b), levels, kf_lv
         )
-        streak2 = jnp.where(reseed, i32(0), streak1)
-        fails2 = jnp.where(is_new_kf, i32(0), fails1)
+        streak2 = jnp.where(done, streak, jnp.where(reseed, i32(0), streak1))
+        fails2 = jnp.where(done, fails, jnp.where(is_new_kf, i32(0), fails1))
         stats = jnp.concatenate([
             jnp.stack([icp.rmse.astype(f32), inlier, ok.astype(f32)]),
             tw,
@@ -149,12 +157,13 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
                 fails2.astype(f32),
             ]),
         ])
-        return (kf_lv1, kf_p1, p1, streak2, fails2), stats
+        return (kf_lv1, kf_p1, p1, streak2, fails2, done | is_new_kf), stats
 
     carry0 = (kf_levels, kf_pose, pose,
-              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32))
-    _, stats = jax.lax.scan(body, carry0, depths)
-    return stats
+              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32),
+              jnp.asarray(False))
+    (kf_lv, kf_p, p, _, _, _), stats = jax.lax.scan(body, carry0, depths)
+    return kf_lv, kf_p, p, stats
 
 
 @dataclass
@@ -286,20 +295,20 @@ class KeyframeTracker:
         repeated; padded rows ignored) so every window -- including
         post-event tails -- reuses ONE compiled program. Without it each
         distinct window length is a separate 30-90 s relay compile
-        (CLAUDE.md gotcha 8).
+        (CLAUDE.md gotcha 8). Padding is safe with the event latch: a
+        real event always precedes the padded rows, and the carry is
+        only adopted when an event occurred among the real rows.
         """
         if timestamps is None:
             timestamps = [None] * len(depths)
         if self._kf_levels is None:  # bootstrap: first frame seeds the keyframe
             return [self.process(depths[0], timestamps[0])]
-        from realsensetracker_tpu.ops.pyramid import build_pyramid
-
         stack = np.stack([np.asarray(d) for d in depths])
         if pad_to is not None and pad_to > len(depths):
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], pad_to - len(depths), axis=0)]
             )
-        stats = _fused_track_window(
+        kf_lv_dev, kf_pose_dev, pose_dev, stats = _fused_track_window(
             jnp.asarray(stack),
             self._kf_levels, self._kf_pose, self._pose,
             self._fail_streak, self._fails_since_kf,
@@ -335,21 +344,20 @@ class KeyframeTracker:
                 event = True
                 break
         last = consumed - 1
-        self._pose = jnp.asarray(self._pose_np)
         self._last_depth = depths[last]
         self._last_levels = None  # rebuilt lazily from _last_depth if needed
         if event:
-            levels, _ = build_pyramid(
-                depths[last], self.intr, len(self.cfg.iters),
-                self.cfg.min_depth, self.cfg.max_depth,
-            )
-            self._kf_levels = tuple(levels)
-            self._last_levels = self._kf_levels
-            self._kf_pose = self._pose
+            # The scan latched at this event: the carry IS the state at
+            # the truncation point, device-resident (no pyramid rebuild).
+            self._pose = pose_dev
+            self._kf_levels = kf_lv_dev
+            self._last_levels = kf_lv_dev
+            self._kf_pose = kf_pose_dev
             self.last_span_failures = int(s[last, 27])
             self._fail_streak = 0
             self._fails_since_kf = 0
         else:
+            self._pose = jnp.asarray(self._pose_np)
             self._fail_streak = int(s[last, 28])
             self._fails_since_kf = int(s[last, 29])
         return results

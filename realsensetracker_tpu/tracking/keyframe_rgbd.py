@@ -72,12 +72,15 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
     target (plane-table levels + intensity pyramid) on device and
     replicating the promotion/failure logic with where-selects. Returns
     only the per-frame (W, 30) stats matrix -- same row layout as the
-    depth-only window scan."""
+    depth-only window scan. The carry latches at the first keyframe
+    event (see keyframe.py _fused_track_window): the returned
+    (kf_levels, kf_grays, kf_pose, pose) are the state at the truncation
+    point, adopted device-resident by the host."""
     f32, i32 = jnp.float32, jnp.int32
 
     def body(carry, frame):
         depth, gray = frame
-        kf_lv, kf_gr, kf_p, p, streak, fails = carry
+        kf_lv, kf_gr, kf_p, p, streak, fails, done = carry
         levels, grs, intrs = rgbd_mod.build_rgbd_target(depth, gray, intr, cfg)
         levels, grs = tuple(levels), tuple(grs)
         src_samples = rgbd_mod.sample_rgbd_source(depth, gray, intrs, cfg)
@@ -99,13 +102,14 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
         fails1 = jnp.where(success, fails, fails + i32(1))
         reseed = (~success) & (streak1 >= max_fails)
         is_new_kf = promote | reseed
-        p1 = jnp.where(success, new_pose, p).astype(f32)
-        kf_p1 = jnp.where(is_new_kf, p1, kf_p).astype(f32)
-        sel = lambda a, b: jnp.where(is_new_kf, a, b)
+        event_now = is_new_kf & ~done
+        p1 = jnp.where(success & ~done, new_pose, p).astype(f32)
+        kf_p1 = jnp.where(event_now, p1, kf_p).astype(f32)
+        sel = lambda a, b: jnp.where(event_now, a, b)
         kf_lv1 = jax.tree_util.tree_map(sel, levels, kf_lv)
         kf_gr1 = jax.tree_util.tree_map(sel, grs, kf_gr)
-        streak2 = jnp.where(reseed, i32(0), streak1)
-        fails2 = jnp.where(is_new_kf, i32(0), fails1)
+        streak2 = jnp.where(done, streak, jnp.where(reseed, i32(0), streak1))
+        fails2 = jnp.where(done, fails, jnp.where(is_new_kf, i32(0), fails1))
         stats = jnp.concatenate([
             jnp.stack([out.rmse.astype(f32), inlier, ok.astype(f32)]),
             tw,
@@ -118,12 +122,16 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
                 fails2.astype(f32),
             ]),
         ])
-        return (kf_lv1, kf_gr1, kf_p1, p1, streak2, fails2), stats
+        return (kf_lv1, kf_gr1, kf_p1, p1, streak2, fails2,
+                done | is_new_kf), stats
 
     carry0 = (kf_levels, kf_grays, kf_pose, pose,
-              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32))
-    _, stats = jax.lax.scan(body, carry0, (depths, grays_in))
-    return stats
+              jnp.asarray(streak0, i32), jnp.asarray(fails0, i32),
+              jnp.asarray(False))
+    (kf_lv, kf_gr, kf_p, p, _, _, _), stats = jax.lax.scan(
+        body, carry0, (depths, grays_in)
+    )
+    return kf_lv, kf_gr, kf_p, p, stats
 
 
 @dataclass
@@ -249,18 +257,19 @@ class RgbdKeyframeTracker:
                 )
             return jnp.asarray(s, jnp.float32)
 
-        stats = _fused_rgbd_track_window(
-            stacked(depths),
-            stacked(grays),
-            kf_levels, kf_grays, self._kf_pose, self._pose,
-            self._fail_streak, self._fails_since_kf,
-            jnp.asarray([
-                self.min_inlier_fraction, self.max_translation,
-                self.max_rotation, self.min_overlap,
-            ], jnp.float32),
-            jnp.int32(self.max_consecutive_failures),
-            intr=self.intr, cfg=self.cfg,
-        )
+        kf_lv_dev, kf_gr_dev, kf_pose_dev, pose_dev, stats = \
+            _fused_rgbd_track_window(
+                stacked(depths),
+                stacked(grays),
+                kf_levels, kf_grays, self._kf_pose, self._pose,
+                self._fail_streak, self._fails_since_kf,
+                jnp.asarray([
+                    self.min_inlier_fraction, self.max_translation,
+                    self.max_rotation, self.min_overlap,
+                ], jnp.float32),
+                jnp.int32(self.max_consecutive_failures),
+                intr=self.intr, cfg=self.cfg,
+            )
         s = np.asarray(stats)  # the window's ONE host transfer
         results: list[KeyframeResult] = []
         consumed = 0
@@ -286,21 +295,20 @@ class RgbdKeyframeTracker:
                 event = True
                 break
         last = consumed - 1
-        self._pose = jnp.asarray(self._pose_np)
         self._last_frame = (depths[last], grays[last])
         self._last_target = None  # rebuilt lazily from _last_frame if needed
         if event:
-            levels, grs, _ = rgbd_mod.build_rgbd_target(
-                jnp.asarray(depths[last], jnp.float32),
-                jnp.asarray(grays[last], jnp.float32), self.intr, self.cfg,
-            )
-            self._kf_target = (tuple(levels), tuple(grs))
+            # The scan latched at this event: adopt the device-resident
+            # carry directly (no target rebuild dispatch).
+            self._pose = pose_dev
+            self._kf_target = (kf_lv_dev, kf_gr_dev)
             self._last_target = self._kf_target
-            self._kf_pose = self._pose
+            self._kf_pose = kf_pose_dev
             self.last_span_failures = int(s[last, 27])
             self._fail_streak = 0
             self._fails_since_kf = 0
         else:
+            self._pose = jnp.asarray(self._pose_np)
             self._fail_streak = int(s[last, 28])
             self._fails_since_kf = int(s[last, 29])
         return results
