@@ -61,15 +61,7 @@ def init_streams(
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
-def step_streams(
-    state: StreamState,
-    depths: jnp.ndarray,  # (S, H, W) one new frame per stream
-    intr: camera.Intrinsics,
-    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
-    min_inlier_fraction: float = 0.2,
-) -> tuple[StreamState, StreamStepResult]:
-    """Advance every stream by one frame in a single compiled step."""
+def _step_impl(state, depths, intr, cfg, min_inlier_fraction):
     new_levels, intrs = _build_levels(depths, intr, cfg)
 
     def one(ref_lv, new_lv):
@@ -102,6 +94,44 @@ def step_streams(
         success=success,
         rmse=res.rmse,
         inlier_fraction=res.inlier_fraction,
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams(
+    state: StreamState,
+    depths: jnp.ndarray,  # (S, H, W) one new frame per stream
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[StreamState, StreamStepResult]:
+    """Advance every stream by one frame in a single compiled step."""
+    return _step_impl(state, depths, intr, cfg, min_inlier_fraction)
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams_window(
+    state: StreamState,
+    depths: jnp.ndarray,  # (S, W, H, Wd): W new frames per stream
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[StreamState, StreamStepResult]:
+    """Advance every stream by W frames in ONE compiled dispatch.
+
+    lax.scan of the multi-stream step over the window axis: S x W frames
+    per dispatch, amortizing the ~45 ms relay dispatch overhead over the
+    whole window (the same lever as rs_replay --window for single-stream
+    SLAM). Per-frame results come back batched as (S, W, ...); the final
+    state equals W sequential step_streams calls exactly (parity-tested).
+    Sharding over the mesh data axis passes through the scan unchanged.
+    """
+    def body(st, frame_batch):  # (S, H, Wd) frames, one per stream
+        return _step_impl(st, frame_batch, intr, cfg, min_inlier_fraction)
+
+    state2, seq = jax.lax.scan(body, state, jnp.moveaxis(depths, 1, 0))
+    return state2, StreamStepResult(
+        *(jnp.moveaxis(x, 0, 1) for x in seq)
     )
 
 

@@ -29,6 +29,27 @@ def _stream_data(s=4, frames=4):
 
 
 class TestMultiStream:
+    def test_windowed_step_matches_sequential(self):
+        depths, _ = _stream_data(s=3, frames=5)
+        ref = streams.init_streams(depths[0], INTR, CFG)
+        win = streams.init_streams(depths[0], INTR, CFG)
+        seq_res = []
+        for f in range(1, 5):
+            ref, r = streams.step_streams(ref, depths[f], INTR, CFG)
+            seq_res.append(r)
+        # (S, W, H, Wd) window of the same 4 frames, one dispatch.
+        window = jnp.moveaxis(depths[1:5], 0, 1)
+        win, wr = streams.step_streams_window(win, window, INTR, CFG)
+        np.testing.assert_allclose(
+            np.asarray(ref.poses), np.asarray(win.poses), atol=1e-5
+        )
+        for f in range(4):
+            assert bool(jnp.all(wr.success[:, f] == seq_res[f].success))
+            np.testing.assert_allclose(
+                np.asarray(wr.poses[:, f]), np.asarray(seq_res[f].poses),
+                atol=1e-5,
+            )
+
     def test_streams_track_independently(self):
         depths, poses = _stream_data(s=4, frames=4)
         state = streams.init_streams(depths[0], INTR, CFG)
@@ -70,6 +91,29 @@ class TestMultiStream:
         state, res = streams.step_streams(state, sharded_depths, INTR, CFG)
         assert res.poses.shape == (8, 4, 4)
         assert bool(jnp.all(res.success))
+
+    def test_sharded_windowed_streams_on_mesh(self):
+        from realsensetracker_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(8)
+        depths, _ = _stream_data(s=8, frames=3)
+        ref = streams.init_streams(depths[0], INTR, CFG)
+        for f in range(1, 3):
+            ref, _ = streams.step_streams(ref, depths[f], INTR, CFG)
+        state = streams.init_streams(depths[0], INTR, CFG)
+        state = streams.shard_streams(state, mesh)
+        window = jax.device_put(
+            jnp.moveaxis(depths[1:3], 0, 1),  # (S, W, H, Wd)
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data", None, None, None)
+            ),
+        )
+        state, res = streams.step_streams_window(state, window, INTR, CFG)
+        assert res.poses.shape == (8, 2, 4, 4)
+        assert bool(jnp.all(res.success))
+        np.testing.assert_allclose(
+            np.asarray(state.poses), np.asarray(ref.poses), atol=1e-5
+        )
 
 
 class TestCheckpoint:
