@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rs-streams", description=__doc__)
     p.add_argument("--streams", type=int, default=8)
     p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--window", type=int, default=0,
+                   help="scan W frames per dispatch (S x W frames advance "
+                        "in ONE compiled step; 0 = one dispatch per frame)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--print-poses", action="store_true")
@@ -51,9 +54,20 @@ def main(argv=None) -> int:
     depths = jnp.stack(all_depths, axis=1)  # (F, S, H, W)
 
     state = streams.init_streams(depths[0], intr)
-    # Warm up / compile one step.
-    state_w, _ = streams.step_streams(state, depths[1 % args.frames], intr)
-    jax.block_until_ready(state_w.poses)
+    win = max(0, args.window)
+    if win:
+        # (F, S, H, W) -> full windows of W frames: (n_win, S, W, H, Wd).
+        usable = ((args.frames - 1) // win) * win
+        windows = [
+            jnp.moveaxis(depths[1 + k : 1 + k + win], 0, 1)
+            for k in range(0, usable, win)
+        ]
+        state_w, _ = streams.step_streams_window(state, windows[0], intr)
+        jax.block_until_ready(state_w.poses)
+    else:
+        # Warm up / compile one step.
+        state_w, _ = streams.step_streams(state, depths[1 % args.frames], intr)
+        jax.block_until_ready(state_w.poses)
 
     # Per-frame host readbacks are expensive through remote-dispatch
     # runtimes: keep results on device during the timed loop and read the
@@ -61,10 +75,20 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     n_steps = 0
     results = []
-    for f in range(1, args.frames):
-        state, res = streams.step_streams(state, depths[f], intr)
-        results.append(res)
-        n_steps += 1
+    if win:
+        for wnd in windows:
+            state, res = streams.step_streams_window(state, wnd, intr)
+            # Unstack (S, W, ...) window results into per-frame records.
+            results.extend(
+                streams.StreamStepResult(*(x[:, j] for x in res))
+                for j in range(win)
+            )
+            n_steps += win
+    else:
+        for f in range(1, args.frames):
+            state, res = streams.step_streams(state, depths[f], intr)
+            results.append(res)
+            n_steps += 1
     jax.block_until_ready(state.poses)
     dt = time.perf_counter() - t0
     for f, res in enumerate(results, start=1):

@@ -205,6 +205,17 @@ class TestStreamsCli:
         out = capsys.readouterr().out
         assert "FPS/stream" in out
 
+    def test_streams_demo_windowed(self, capsys):
+        from realsensetracker_tpu.cli import rs_streams
+
+        rc = rs_streams.main(["--streams", "2", "--frames", "5",
+                              "--width", "64", "--height", "48",
+                              "--window", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "frame 4: 2/2 streams tracking" in out
+        assert "FPS/stream" in out
+
 
 def test_tracker_model_method():
     depths, _ = _frames(3)
