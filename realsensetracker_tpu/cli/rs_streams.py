@@ -31,7 +31,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import jax
     import jax.numpy as jnp
 
     from realsensetracker_tpu.data import synthetic
@@ -62,12 +61,16 @@ def main(argv=None) -> int:
             jnp.moveaxis(depths[1 + k : 1 + k + win], 0, 1)
             for k in range(0, usable, win)
         ]
-        state_w, _ = streams.step_streams_window(state, windows[0], intr)
-        jax.block_until_ready(state_w.poses)
+        # Warm up on a DISTINCT input (frame 0 vs itself): repeating the
+        # first timed window here would let the relay memoize it.
+        warm = jnp.repeat(depths[0][:, None], win, axis=1)
+        state_w, _ = streams.step_streams_window(state, warm, intr)
+        np.asarray(state_w.poses)  # warmup fence (compile + execute)
     else:
-        # Warm up / compile one step.
-        state_w, _ = streams.step_streams(state, depths[1 % args.frames], intr)
-        jax.block_until_ready(state_w.poses)
+        # Warm up / compile one step (frame 0 vs itself -- distinct from
+        # every timed step, so the relay memoizer cannot skip step 1).
+        state_w, _ = streams.step_streams(state, depths[0], intr)
+        np.asarray(state_w.poses)  # warmup fence (compile + execute)
 
     # Per-frame host readbacks are expensive through remote-dispatch
     # runtimes: keep results on device during the timed loop and read the
@@ -89,7 +92,10 @@ def main(argv=None) -> int:
             state, res = streams.step_streams(state, depths[f], intr)
             results.append(res)
             n_steps += 1
-    jax.block_until_ready(state.poses)
+    # Host materialization is the timing fence: block_until_ready is NOT
+    # reliable through the axon relay (BENCHMARKS.md "Measurement
+    # methodology").
+    np.asarray(state.poses)
     dt = time.perf_counter() - t0
     for f, res in enumerate(results, start=1):
         ok = int(np.asarray(res.success).sum())
