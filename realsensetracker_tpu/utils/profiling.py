@@ -3,10 +3,11 @@
 The reference sprinkles cho::util::UTimer stopwatches through the hot path
 (align_icp.cpp:81-93). Here: the same microsecond stopwatch for host code, a
 per-stage aggregator for pipeline reports, and a jax.profiler trace helper
-for real device profiling. Device timings must block_until_ready -- JAX
-dispatch is async and, through this container's remote relay, repeated
-identical executions can be memoized, so benchmark loops should vary input
-data (see bench.py).
+for real device profiling. Device timings must MATERIALIZE their outputs to
+host -- JAX dispatch is async, block_until_ready is not a reliable fence
+through this container's remote relay, and repeated identical executions
+can be memoized, so benchmark loops should vary input data (see bench.py
+and BENCHMARKS.md "Measurement methodology").
 """
 
 from __future__ import annotations
@@ -16,6 +17,7 @@ import time
 from collections import defaultdict
 
 import jax
+import numpy as np
 
 
 class UTimer:
@@ -39,11 +41,20 @@ class StageTimes:
         self._times = defaultdict(list)
 
     @contextlib.contextmanager
-    def stage(self, name: str, block_on=None):
+    def stage(self, name: str):
+        """Time a stage. Yields a one-slot holder: append the stage's device
+        outputs to it and they are MATERIALIZED to host before the clock
+        stops (the only reliable fence through the remote relay)::
+
+            with times.stage("gn") as out:
+                T, rmse = solve(...)
+                out.append((T, rmse))
+        """
+        outputs: list = []
         t0 = time.perf_counter()
-        yield
-        if block_on is not None:
-            jax.block_until_ready(block_on)
+        yield outputs
+        for x in outputs:
+            jax.tree.map(np.asarray, x)
         self._times[name].append(time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float) -> None:
