@@ -19,7 +19,9 @@ import jax.numpy as jnp
 @contextlib.contextmanager
 def debug_nans(enable: bool = True):
     """Enable jax_debug_nans within a scope (raises where a NaN is produced)."""
-    prev = jax.config.read("jax_debug_nans")
+    # NOTE: jax.config.read("jax_debug_nans") raises on flags that have a
+    # contextmanager; the attribute is the supported read path.
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield
