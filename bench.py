@@ -10,13 +10,46 @@ of its own -- see SURVEY.md section 6).
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _probe_backend(timeout_s: float = 90.0) -> bool:
+    """True if `import jax` can reach a backend.
+
+    When the axon relay/tunnel is down, `import jax` itself HANGS (the
+    container registers the remote backend at import). Probing in a
+    bounded subprocess lets this script fail fast with a diagnosable
+    error instead of hanging the benchmark driver for the full outage.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main() -> None:
+    if not _probe_backend():
+        time.sleep(60.0)  # transient relay hiccups recover quickly
+        if not _probe_backend():
+            print(
+                "bench.py: JAX backend unreachable (axon tunnel down?) -- "
+                "aborting instead of hanging. Re-run when "
+                "`timeout 45 python -c 'import jax; print(jax.devices())'` "
+                "succeeds.",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
+    import jax
+    import jax.numpy as jnp
+
     from realsensetracker_tpu.align import projective
     from realsensetracker_tpu.data import synthetic
     from realsensetracker_tpu.geometry import camera
