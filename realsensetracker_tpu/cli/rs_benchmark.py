@@ -36,11 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "dispatch (0 = no chunking); amortizes dispatch overhead")
     p.add_argument("--window", type=int, default=8,
                    help="slam-window pipeline: frames scanned per dispatch")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture a jax.profiler device trace of the timed "
+                        "region into DIR (open with xprof/TensorBoard)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +59,15 @@ def main(argv=None) -> int:
         width=args.width, height=args.height,
     )
     rng = np.random.RandomState(0)
+
+    def traced():
+        # Wraps ONLY the timed region (post-warmup) so the trace shows
+        # steady-state device work, not compilation.
+        if args.profile:
+            from realsensetracker_tpu.utils.profiling import device_trace
+
+            return device_trace(args.profile)
+        return contextlib.nullcontext()
 
     if args.pipeline == "projective-icp":
         from realsensetracker_tpu.parallel import batched
@@ -86,12 +100,13 @@ def main(argv=None) -> int:
             )
         np.asarray(step(src, dst, jnp.float32(-1e-4)))  # warmup, hard drain
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            # Materialize per call: block_until_ready is not a reliable
-            # fence through the relay (BENCHMARKS.md).
-            np.asarray(step(src, dst, salts[i]))
-        dt = time.perf_counter() - t0
+        with traced():
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                # Materialize per call: block_until_ready is not a reliable
+                # fence through the relay (BENCHMARKS.md).
+                np.asarray(step(src, dst, salts[i]))
+            dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     elif args.pipeline == "rgbd":
         from realsensetracker_tpu.align import rgbd as rgbd_mod
@@ -115,10 +130,11 @@ def main(argv=None) -> int:
         )
         np.asarray(step(src, dst, jnp.float32(-1e-4)))  # warmup, hard drain
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            np.asarray(step(src, dst, salts[i]))  # materialize per call
-        dt = time.perf_counter() - t0
+        with traced():
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                np.asarray(step(src, dst, salts[i]))  # materialize per call
+            dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     elif args.pipeline in ("gnc-icp", "gicp"):
         from realsensetracker_tpu.align import gicp as gicp_mod
@@ -145,11 +161,12 @@ def main(argv=None) -> int:
         dst = src + 0.01
         np.asarray(batch_run(src, dst, jnp.float32(-1e-4)))  # warmup, drain
         salts = [jnp.float32((i + 1) * 1e-5) for i in range(args.iters)]
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            # Materialize per call (see above).
-            np.asarray(batch_run(src, dst, salts[i]))
-        dt = time.perf_counter() - t0
+        with traced():
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                # Materialize per call (see above).
+                np.asarray(batch_run(src, dst, salts[i]))
+            dt = time.perf_counter() - t0
         per_pair = args.batch * args.iters / dt
     elif args.pipeline in ("slam", "slam-window"):
         # Streaming SLAM frames/sec over a synthetic trajectory: --batch
@@ -176,9 +193,10 @@ def main(argv=None) -> int:
         skip = min(2 * max(win, 1), max(args.batch // 4, 1))
         run(frames[:skip], 0)  # warmup: compiles + first keyframes
         n_timed = args.batch - skip
-        t0 = time.perf_counter()
-        run(frames[skip:], skip)
-        dt = time.perf_counter() - t0
+        with traced():
+            t0 = time.perf_counter()
+            run(frames[skip:], skip)
+            dt = time.perf_counter() - t0
         n_chips = max(1, len(jax.devices()))
         print(json.dumps({
             "pipeline": args.pipeline,

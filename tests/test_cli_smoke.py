@@ -67,6 +67,15 @@ class TestBenchmarkCli:
         assert rec["frames_per_sec_per_chip"] > 0
         assert rec["keyframes"] >= 1
 
+    def test_profile_writes_trace(self, capsys, tmp_path):
+        trace_dir = str(tmp_path / "trace")
+        rec = self._run(capsys, [
+            "--batch", "2", "--iters", "1", "--width", "80", "--height", "60",
+            "--samples", "256", "--level-iters", "2", "--profile", trace_dir,
+        ])
+        assert rec["pairs_per_sec_per_chip"] > 0
+        assert (tmp_path / "trace" / "plugins" / "profile").is_dir()
+
     def test_unknown_pipeline_rejected(self, capsys):
         from realsensetracker_tpu.cli import rs_benchmark
 
