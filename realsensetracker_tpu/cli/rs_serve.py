@@ -1,0 +1,82 @@
+"""rs-serve: run the tracking service (POST depth frames -> SE(3) poses).
+
+Production-deployment analog of the reference's always-live process
+(rs_replay_app.cpp:159-415 runs an in-process loop; a TPU deployment runs a
+service): a long-lived HTTP endpoint holding one tracker. See
+api/service.py for the protocol; the client side is
+`realsensetracker_tpu.api.service.post_frame`.
+
+Usage:
+  python -m realsensetracker_tpu.cli.rs_serve --method keyframe --port 8080
+  # then from any producer:
+  #   from realsensetracker_tpu.api.service import post_frame
+  #   post_frame("http://host:8080", depth_f32_hw, ts)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rs-serve", description=__doc__)
+    p.add_argument("--method", default="keyframe",
+                   choices=["projective", "keyframe", "rgbd", "model",
+                            "icp", "gicp", "slam"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0, help="0 = auto")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--fx", type=float, default=0.0,
+                   help="focal length (default 0.8 * width)")
+    p.add_argument("--fy", type=float, default=0.0)
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="exit after this many tracked frames (0 = serve "
+                        "forever); used by tests/smoke runs")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from realsensetracker_tpu.api.service import TrackingService
+    from realsensetracker_tpu.geometry import camera
+
+    intr = camera.Intrinsics(
+        fx=args.fx or args.width * 0.8,
+        fy=args.fy or args.fx or args.width * 0.8,
+        cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
+        width=args.width, height=args.height,
+    )
+
+    def make_tracker():
+        if args.method == "slam":
+            from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+            return SlamTracker(SlamConfig(intrinsics=intr))
+        from realsensetracker_tpu.api import Tracker, TrackerConfig
+
+        return Tracker(TrackerConfig(intrinsics=intr, method=args.method))
+
+    svc = TrackingService(
+        make_tracker, host=args.host, port=args.port,
+        max_frames=args.max_frames or None,
+    )
+    print(f"tracking service ({args.method}, {args.width}x{args.height}) "
+          f"on http://{args.host}:{svc.port}/  -- POST /track", flush=True)
+    try:
+        if args.max_frames:
+            svc.done.wait()
+        else:
+            while True:
+                time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.close()
+    print(f"served {svc.status()['frames']} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

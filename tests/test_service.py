@@ -1,0 +1,145 @@
+"""Tests for the HTTP tracking service (api/service.py, cli/rs_serve.py)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from realsensetracker_tpu.api import Tracker, TrackerConfig
+from realsensetracker_tpu.api.service import TrackingService, get_json, post_frame
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera
+
+W, H = 80, 60
+INTR = camera.Intrinsics(fx=64.0, fy=64.0, cx=(W - 1) / 2, cy=(H - 1) / 2,
+                         width=W, height=H)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    depths, poses = synthetic.render_trajectory(INTR, 4, seed=0,
+                                                step_scale=0.01)
+    return [np.asarray(depths[i]) for i in range(4)], poses
+
+
+@pytest.fixture()
+def service():
+    svc = TrackingService(
+        lambda: Tracker(TrackerConfig(intrinsics=INTR, method="keyframe"))
+    )
+    yield svc
+    svc.close()
+
+
+class TestTrackingService:
+    def test_track_sequence_and_trajectory(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        recs = [post_frame(url, depths[i], ts=i / 30.0) for i in range(4)]
+        assert [r["frame"] for r in recs] == [1, 2, 3, 4]
+        assert all(r["success"] for r in recs)
+        pose = np.asarray(recs[-1]["pose"])
+        assert pose.shape == (4, 4)
+        # Orthonormal rotation came back through JSON intact.
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+
+        st = get_json(url, "/status")
+        assert st["frames"] == 4 and st["tracker"] == "Tracker"
+        latest = get_json(url, "/pose")
+        np.testing.assert_allclose(np.asarray(latest["pose"]), pose,
+                                   atol=1e-6)
+        tum = get_json(url, "/trajectory")
+        assert len(tum.strip().splitlines()) == 4
+        assert len(tum.strip().splitlines()[0].split()) == 8
+
+    def test_service_pose_matches_local_tracker(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        for i in range(4):
+            rec = post_frame(url, depths[i], ts=i / 30.0)
+        local = Tracker(TrackerConfig(intrinsics=INTR, method="keyframe"))
+        for i in range(4):
+            res = local.process(depths[i], i / 30.0)
+        np.testing.assert_allclose(
+            np.asarray(rec["pose"]), np.asarray(res.pose), atol=1e-6
+        )
+
+    def test_reset(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        post_frame(url, depths[0])
+        import urllib.request
+
+        with urllib.request.urlopen(
+            urllib.request.Request(url + "/reset", data=b""), timeout=30
+        ) as r:
+            assert r.status == 200
+        assert get_json(url, "/status")["frames"] == 0
+
+    def test_bad_body_is_400_not_crash(self, service):
+        import urllib.error
+        import urllib.request
+
+        url = f"http://127.0.0.1:{service.port}/track"
+        req = urllib.request.Request(url, data=b"not an npy")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_concurrent_producers_serialize(self, frames):
+        depths, _ = frames
+        svc = TrackingService(
+            lambda: Tracker(TrackerConfig(intrinsics=INTR, method="projective"))
+        )
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            out = []
+            def worker(i):
+                out.append(post_frame(url, depths[i % 4], ts=float(i)))
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert sorted(r["frame"] for r in out) == [1, 2, 3, 4, 5, 6]
+            assert svc.status()["frames"] == 6
+        finally:
+            svc.close()
+
+
+class TestServeCli:
+    def test_serves_until_max_frames(self, frames, capsys):
+        depths, _ = frames
+        from realsensetracker_tpu.cli import rs_serve
+
+        rc_holder = {}
+
+        def run():
+            rc_holder["rc"] = rs_serve.main([
+                "--method", "keyframe", "--width", str(W), "--height", str(H),
+                "--fx", "64", "--max-frames", "2",
+            ])
+
+        t = threading.Thread(target=run)
+        t.start()
+        # Find the port from the startup line.
+        import re
+        import time
+
+        port = None
+        for _ in range(100):
+            out = capsys.readouterr().out
+            m = re.search(r"http://127\.0\.0\.1:(\d+)/", out)
+            if m:
+                port = int(m.group(1))
+                break
+            time.sleep(0.1)
+        assert port, "service did not start"
+        url = f"http://127.0.0.1:{port}"
+        post_frame(url, depths[0], ts=0.0)
+        post_frame(url, depths[1], ts=1 / 30.0)
+        t.join(timeout=60)
+        assert not t.is_alive() and rc_holder["rc"] == 0
+        assert "served 2 frames" in capsys.readouterr().out
