@@ -109,6 +109,54 @@ class TestTrackingService:
             svc.close()
 
 
+class TestServiceMethods:
+    def test_slam_tracker_via_service(self, frames):
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        depths, _ = frames
+        svc = TrackingService(
+            lambda: SlamTracker(SlamConfig(intrinsics=INTR))
+        )
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            for i in range(4):
+                rec = post_frame(url, depths[i], ts=i / 30.0)
+            assert rec["frame"] == 4 and rec["success"]
+            st = get_json(url, "/status")
+            assert st["tracker"] == "SlamTracker" and st["keyframes"] >= 1
+        finally:
+            svc.close()
+
+    def test_rgbd_npz_color_path(self):
+        depths, colors, _ = synthetic.render_trajectory_rgbd(INTR, 3, seed=0)
+        svc = TrackingService(
+            lambda: Tracker(TrackerConfig(intrinsics=INTR, method="rgbd"))
+        )
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            for i in range(3):
+                rec = post_frame(url, np.asarray(depths[i]), ts=i / 30.0,
+                                 color=np.asarray(colors[i]))
+            assert rec["frame"] == 3 and rec["success"]
+        finally:
+            svc.close()
+
+    def test_rgbd_without_color_is_500(self, frames):
+        import urllib.error
+
+        depths, _ = frames
+        svc = TrackingService(
+            lambda: Tracker(TrackerConfig(intrinsics=INTR, method="rgbd"))
+        )
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post_frame(url, depths[0])
+            assert ei.value.code == 500
+        finally:
+            svc.close()
+
+
 class TestServeCli:
     def test_serves_until_max_frames(self, frames, capsys):
         depths, _ = frames
