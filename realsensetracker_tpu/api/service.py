@@ -9,9 +9,14 @@ tracking.slam.SlamTracker) in a stdlib ThreadingHTTPServer:
                      depth [+ color] for RGB-D methods; optional ?ts=SECONDS
                      -> JSON {frame, success, pose, rmse, inlier_fraction, ms}
   GET  /pose         latest pose + frame counter
-  GET  /status       service + tracker stats
+  GET  /status       service + per-session tracker stats
   GET  /trajectory   full trajectory, TUM text format
   POST /reset        fresh tracker state (new trajectory)
+
+Every endpoint takes ?session=NAME (default "default"): each session is an
+independent tracker created on first use, so N producers track N
+independent streams against one device (the serving analog of BASELINE
+config 5's multi-stream tracking).
 
 One device dispatch at a time: a lock serializes /track requests (TPU
 programs are single-stream; concurrent dispatch through the relay
@@ -58,8 +63,8 @@ class TrackingService:
 
         self._make_tracker = make_tracker
         self._lock = threading.Lock()  # serializes device dispatches
-        self._tracker = make_tracker()
-        self._frames = 0
+        self._sessions: dict = {}  # name -> (tracker, frame_count)
+        self._frames = 0  # total across sessions
         self._started = time.time()
         self._max_frames = max_frames
         self.done = threading.Event()  # set once max_frames frames tracked
@@ -80,12 +85,17 @@ class TrackingService:
             def _send_json(self, obj, code: int = 200) -> None:
                 self._send(code, json.dumps(obj).encode())
 
+            def _session(self) -> str:
+                if "session=" in self.path:
+                    return self.path.split("session=")[1].split("&")[0] or "default"
+                return "default"
+
             def do_GET(self):
                 path = self.path.split("?")[0]
                 if path == "/pose":
                     with svc._lock:
-                        pose = _current_pose(svc._tracker)
-                        frames = svc._frames
+                        tracker, frames = svc._get_session(self._session())
+                        pose = _current_pose(tracker)
                     self._send_json({
                         "frame": frames,
                         "pose": [[float(v) for v in row] for row in pose],
@@ -94,7 +104,8 @@ class TrackingService:
                     self._send_json(svc.status())
                 elif path == "/trajectory":
                     with svc._lock:
-                        text = svc._tracker.trajectory.to_tum()
+                        tracker, _ = svc._get_session(self._session())
+                        text = tracker.trajectory.to_tum()
                     self._send(200, text.encode(), "text/plain")
                 else:
                     self._send(404, b"not found", "text/plain")
@@ -102,10 +113,10 @@ class TrackingService:
             def do_POST(self):
                 path = self.path.split("?")[0]
                 if path == "/reset":
+                    name = self._session()
                     with svc._lock:
-                        svc._tracker = svc._make_tracker()
-                        svc._frames = 0
-                    self._send_json({"reset": True})
+                        svc._sessions.pop(name, None)
+                    self._send_json({"reset": True, "session": name})
                     return
                 if path != "/track":
                     self._send(404, b"not found", "text/plain")
@@ -120,24 +131,29 @@ class TrackingService:
                     self._send_json({"error": str(e)}, code=400)
                     return
                 try:
+                    name = self._session()
                     with svc._lock:
+                        tracker, n = svc._get_session(name)
                         t0 = time.perf_counter()
                         kwargs = {}
                         if color is not None:
                             # api.Tracker takes color=, SlamTracker gray=.
                             key = ("gray" if "gray" in
-                                   svc._tracker.process.__code__.co_varnames
+                                   tracker.process.__code__.co_varnames
                                    else "color")
                             kwargs[key] = color
-                        res = svc._tracker.process(depth, ts, **kwargs)
+                        res = tracker.process(depth, ts, **kwargs)
                         ms = 1000 * (time.perf_counter() - t0)
+                        svc._sessions[name] = (tracker, n + 1)
                         svc._frames += 1
-                        frames = svc._frames
+                        frames = n + 1
+                        total = svc._frames
                     self._send_json(_result_record(res, frames, ms))
                 except Exception as e:
                     self._send_json({"error": str(e)}, code=500)
                     return
-                if svc._max_frames is not None and frames >= svc._max_frames:
+                # max_frames bounds the TOTAL across sessions.
+                if svc._max_frames is not None and total >= svc._max_frames:
                     svc.done.set()
 
         self._server = ThreadingHTTPServer((host, port), Handler)
@@ -148,17 +164,31 @@ class TrackingService:
         )
         self._thread.start()
 
+    def _get_session(self, name: str):
+        """Caller must hold self._lock. Creates the session on first use."""
+        if name not in self._sessions:
+            self._sessions[name] = (self._make_tracker(), 0)
+        return self._sessions[name]
+
     def status(self) -> dict:
         with self._lock:
-            rec = {
+            sessions = {}
+            for name, (tracker, n) in self._sessions.items():
+                rec = {"frames": n, "tracker": type(tracker).__name__}
+                kf = getattr(tracker, "keyframe_count", None)
+                if kf is not None:
+                    rec["keyframes"] = int(kf)
+                sessions[name] = rec
+            out = {
                 "frames": self._frames,
                 "uptime_s": round(time.time() - self._started, 1),
-                "tracker": type(self._tracker).__name__,
+                "sessions": sessions,
             }
-            kf = getattr(self._tracker, "keyframe_count", None)
-            if kf is not None:
-                rec["keyframes"] = int(kf)
-        return rec
+            if "default" in sessions:
+                out["tracker"] = sessions["default"]["tracker"]
+                if "keyframes" in sessions["default"]:
+                    out["keyframes"] = sessions["default"]["keyframes"]
+        return out
 
     def close(self) -> None:
         self._server.shutdown()
@@ -185,7 +215,8 @@ def _decode_frame(body: bytes):
 # -- stdlib client helpers ---------------------------------------------------
 
 def post_frame(base_url: str, depth, ts: float | None = None,
-               color=None, timeout: float = 120.0) -> dict:
+               color=None, session: str | None = None,
+               timeout: float = 120.0) -> dict:
     """Client: POST one frame to a TrackingService; returns the JSON record."""
     buf = io.BytesIO()
     if color is not None:
@@ -194,8 +225,13 @@ def post_frame(base_url: str, depth, ts: float | None = None,
     else:
         np.save(buf, np.asarray(depth, np.float32))
     url = base_url.rstrip("/") + "/track"
+    params = []
     if ts is not None:
-        url += f"?ts={ts}"
+        params.append(f"ts={ts}")
+    if session is not None:
+        params.append(f"session={session}")
+    if params:
+        url += "?" + "&".join(params)
     req = urllib.request.Request(
         url, data=buf.getvalue(),
         headers={"Content-Type": "application/octet-stream"},

@@ -75,7 +75,26 @@ class TestTrackingService:
             urllib.request.Request(url + "/reset", data=b""), timeout=30
         ) as r:
             assert r.status == 200
-        assert get_json(url, "/status")["frames"] == 0
+        # The default session is gone; the next frame starts a fresh one.
+        assert "default" not in get_json(url, "/status")["sessions"]
+        rec = post_frame(url, depths[1])
+        assert rec["frame"] == 1
+
+    def test_independent_sessions(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        a1 = post_frame(url, depths[0], ts=0.0, session="a")
+        b1 = post_frame(url, depths[2], ts=0.0, session="b")
+        a2 = post_frame(url, depths[1], ts=1 / 30.0, session="a")
+        assert (a1["frame"], b1["frame"], a2["frame"]) == (1, 1, 2)
+        st = get_json(url, "/status")
+        assert st["sessions"]["a"]["frames"] == 2
+        assert st["sessions"]["b"]["frames"] == 1
+        # Session trajectories are independent.
+        tum_a = get_json(url, "/trajectory?session=a")
+        tum_b = get_json(url, "/trajectory?session=b")
+        assert len(tum_a.strip().splitlines()) == 2
+        assert len(tum_b.strip().splitlines()) == 1
 
     def test_bad_body_is_400_not_crash(self, service):
         import urllib.error
