@@ -8,8 +8,18 @@ tracking.slam.SlamTracker) in a stdlib ThreadingHTTPServer:
   POST /track        body = .npy (H, W) float32 depth, or .npz with keys
                      depth [+ color] for RGB-D methods; optional ?ts=SECONDS
                      -> JSON {frame, success, pose, rmse, inlier_fraction, ms}
+  POST /track_window body = .npz with depths (B, H, W) [+ grays (B, H, W)]
+                     [+ ts (B,)]; optional ?window=W. Scans up to W frames
+                     per device dispatch (tracking/keyframe.py
+                     process_window) when the session tracker supports it,
+                     amortizing the per-dispatch relay overhead (~45 ms on
+                     the axon tunnel) across the window; falls back to a
+                     per-frame loop otherwise. Results are per-frame
+                     IDENTICAL to /track (parity-tested).
+                     -> JSON {frames: [record...], ms, windowed}
   GET  /pose         latest pose + frame counter
-  GET  /status       service + per-session tracker stats
+  GET  /status       service + per-session tracker stats (incl. latency)
+  GET  /metrics      Prometheus text format (frames, latency quantiles)
   GET  /trajectory   full trajectory, TUM text format
   POST /reset        fresh tracker state (new trajectory)
 
@@ -31,8 +41,38 @@ import json
 import threading
 import time
 import urllib.request
+from collections import deque
 
 import numpy as np
+
+
+class _Session:
+    """Per-session tracker + counters + latency window (last 512 frames)."""
+
+    __slots__ = ("tracker", "frames", "lat_ms")
+
+    def __init__(self, tracker):
+        self.tracker = tracker
+        self.frames = 0
+        self.lat_ms: deque = deque(maxlen=512)
+
+    def record(self, n_frames: int, total_ms: float) -> None:
+        self.frames += n_frames
+        per = total_ms / max(n_frames, 1)
+        self.lat_ms.extend([per] * n_frames)
+
+    def latency(self) -> dict:
+        if not self.lat_ms:
+            return {"count": 0}
+        xs = np.sort(np.asarray(self.lat_ms))
+        q = lambda p: float(xs[min(len(xs) - 1, int(p * len(xs)))])
+        return {
+            "count": len(xs),
+            "mean_ms": round(float(xs.mean()), 3),
+            "p50_ms": round(q(0.50), 3),
+            "p95_ms": round(q(0.95), 3),
+            "last_ms": round(float(self.lat_ms[-1]), 3),
+        }
 
 
 def _current_pose(tracker) -> np.ndarray:
@@ -63,7 +103,7 @@ class TrackingService:
 
         self._make_tracker = make_tracker
         self._lock = threading.Lock()  # serializes device dispatches
-        self._sessions: dict = {}  # name -> (tracker, frame_count)
+        self._sessions: dict[str, _Session] = {}
         self._frames = 0  # total across sessions
         self._started = time.time()
         self._max_frames = max_frames
@@ -94,18 +134,22 @@ class TrackingService:
                 path = self.path.split("?")[0]
                 if path == "/pose":
                     with svc._lock:
-                        tracker, frames = svc._get_session(self._session())
-                        pose = _current_pose(tracker)
+                        sess = svc._get_session(self._session())
+                        pose = _current_pose(sess.tracker)
+                        frames = sess.frames
                     self._send_json({
                         "frame": frames,
                         "pose": [[float(v) for v in row] for row in pose],
                     })
                 elif path == "/status":
                     self._send_json(svc.status())
+                elif path == "/metrics":
+                    self._send(200, svc.metrics().encode(),
+                               "text/plain; version=0.0.4")
                 elif path == "/trajectory":
                     with svc._lock:
-                        tracker, _ = svc._get_session(self._session())
-                        text = tracker.trajectory.to_tum()
+                        sess = svc._get_session(self._session())
+                        text = sess.tracker.trajectory.to_tum()
                     self._send(200, text.encode(), "text/plain")
                 else:
                     self._send(404, b"not found", "text/plain")
@@ -117,6 +161,9 @@ class TrackingService:
                     with svc._lock:
                         svc._sessions.pop(name, None)
                     self._send_json({"reset": True, "session": name})
+                    return
+                if path == "/track_window":
+                    self._track_window()
                     return
                 if path != "/track":
                     self._send(404, b"not found", "text/plain")
@@ -131,28 +178,67 @@ class TrackingService:
                     self._send_json({"error": str(e)}, code=400)
                     return
                 try:
-                    name = self._session()
                     with svc._lock:
-                        tracker, n = svc._get_session(name)
+                        sess = svc._get_session(self._session())
                         t0 = time.perf_counter()
                         kwargs = {}
                         if color is not None:
                             # api.Tracker takes color=, SlamTracker gray=.
                             key = ("gray" if "gray" in
-                                   tracker.process.__code__.co_varnames
+                                   sess.tracker.process.__code__.co_varnames
                                    else "color")
                             kwargs[key] = color
-                        res = tracker.process(depth, ts, **kwargs)
+                        res = sess.tracker.process(depth, ts, **kwargs)
                         ms = 1000 * (time.perf_counter() - t0)
-                        svc._sessions[name] = (tracker, n + 1)
+                        sess.record(1, ms)
                         svc._frames += 1
-                        frames = n + 1
+                        frames = sess.frames
                         total = svc._frames
                     self._send_json(_result_record(res, frames, ms))
                 except Exception as e:
                     self._send_json({"error": str(e)}, code=500)
                     return
                 # max_frames bounds the TOTAL across sessions.
+                if svc._max_frames is not None and total >= svc._max_frames:
+                    svc.done.set()
+
+            def _track_window(self):
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    depths, grays, ts = _decode_window(self.rfile.read(n))
+                    window = 8
+                    if "window=" in self.path:
+                        window = int(
+                            self.path.split("window=")[1].split("&")[0]
+                        )
+                except Exception as e:  # malformed request, not a crash
+                    self._send_json({"error": str(e)}, code=400)
+                    return
+                try:
+                    with svc._lock:
+                        sess = svc._get_session(self._session())
+                        t0 = time.perf_counter()
+                        results, windowed = _process_window(
+                            sess.tracker, depths, ts, grays, window
+                        )
+                        ms = 1000 * (time.perf_counter() - t0)
+                        base = sess.frames
+                        sess.record(len(results), ms)
+                        svc._frames += len(results)
+                        total = svc._frames
+                    per = ms / max(len(results), 1)
+                    recs = [
+                        _result_record(r, base + 1 + i, per)
+                        for i, r in enumerate(results)
+                    ]
+                    self._send_json({
+                        "frames": recs,
+                        "ms": round(ms, 3),
+                        "windowed": windowed,
+                    })
+                except Exception as e:
+                    self._send_json({"error": str(e)}, code=500)
+                    return
                 if svc._max_frames is not None and total >= svc._max_frames:
                     svc.done.set()
 
@@ -164,18 +250,22 @@ class TrackingService:
         )
         self._thread.start()
 
-    def _get_session(self, name: str):
+    def _get_session(self, name: str) -> _Session:
         """Caller must hold self._lock. Creates the session on first use."""
         if name not in self._sessions:
-            self._sessions[name] = (self._make_tracker(), 0)
+            self._sessions[name] = _Session(self._make_tracker())
         return self._sessions[name]
 
     def status(self) -> dict:
         with self._lock:
             sessions = {}
-            for name, (tracker, n) in self._sessions.items():
-                rec = {"frames": n, "tracker": type(tracker).__name__}
-                kf = getattr(tracker, "keyframe_count", None)
+            for name, sess in self._sessions.items():
+                rec = {
+                    "frames": sess.frames,
+                    "tracker": type(sess.tracker).__name__,
+                    "latency": sess.latency(),
+                }
+                kf = getattr(sess.tracker, "keyframe_count", None)
                 if kf is not None:
                     rec["keyframes"] = int(kf)
                 sessions[name] = rec
@@ -189,6 +279,30 @@ class TrackingService:
                 if "keyframes" in sessions["default"]:
                     out["keyframes"] = sessions["default"]["keyframes"]
         return out
+
+    def metrics(self) -> str:
+        """Prometheus text exposition of the service counters."""
+        lines = [
+            "# TYPE rst_frames_total counter",
+            f"rst_frames_total {self._frames}",
+            "# TYPE rst_uptime_seconds gauge",
+            f"rst_uptime_seconds {round(time.time() - self._started, 1)}",
+        ]
+        with self._lock:
+            items = [(n, s.frames, s.latency()) for n, s in
+                     self._sessions.items()]
+        lines.append("# TYPE rst_session_frames counter")
+        for name, frames, _ in items:
+            lines.append(f'rst_session_frames{{session="{name}"}} {frames}')
+        lines.append("# TYPE rst_track_ms summary")
+        for name, _, lat in items:
+            for key in ("p50_ms", "p95_ms", "mean_ms", "last_ms"):
+                if key in lat:
+                    lines.append(
+                        f'rst_track_ms{{session="{name}",'
+                        f'stat="{key[:-3]}"}} {lat[key]}'
+                    )
+        return "\n".join(lines) + "\n"
 
     def close(self) -> None:
         self._server.shutdown()
@@ -212,6 +326,56 @@ def _decode_frame(body: bytes):
     return np.asarray(arr, np.float32), None
 
 
+def _decode_window(body: bytes):
+    """/track_window body -> (depths (B, H, W), grays | None, ts | None)."""
+    if body[:2] != b"PK":
+        raise ValueError("/track_window needs an .npz body with 'depths'")
+    with np.load(io.BytesIO(body)) as z:
+        if "depths" not in z:
+            raise ValueError(".npz body needs a 'depths' (B, H, W) array")
+        depths = np.asarray(z["depths"], np.float32)
+        grays = np.asarray(z["grays"], np.float32) if "grays" in z else None
+        ts = np.asarray(z["ts"], np.float64) if "ts" in z else None
+    if depths.ndim != 3 or len(depths) == 0:
+        raise ValueError(f"depths must be non-empty (B, H, W), got {depths.shape}")
+    if grays is not None and len(grays) != len(depths):
+        raise ValueError("grays/depths length mismatch")
+    if ts is not None and len(ts) != len(depths):
+        raise ValueError("ts/depths length mismatch")
+    return depths, grays, ts
+
+
+def _process_window(tracker, depths, ts, grays, window: int):
+    """Run a frame batch through the tracker's scanned-window path when one
+    exists (api.Tracker method='keyframe', tracking.slam.SlamTracker), else
+    a per-frame loop. Both are per-frame identical (tests/test_windowed.py);
+    the window path costs ~1 device dispatch per `window` frames instead of
+    one per frame. Returns (results, used_window_path)."""
+    ts_list = list(ts) if ts is not None else [None] * len(depths)
+    pw = getattr(tracker, "process_window", None)
+    cfg = getattr(tracker, "config", None)
+    # api.Tracker only scans method='keyframe'; SlamConfig has no .method.
+    method = getattr(cfg, "method", "keyframe")
+    if pw is not None and method == "keyframe":
+        takes_grays = "grays" in pw.__code__.co_varnames
+        if grays is None and not getattr(cfg, "use_rgb", False):
+            return pw(list(depths), ts_list, window=window), True
+        if grays is not None and takes_grays:
+            return (
+                pw(list(depths), ts_list, window=window, grays=list(grays)),
+                True,
+            )
+    out = []
+    for i, d in enumerate(depths):
+        kwargs = {}
+        if grays is not None:
+            key = ("gray" if "gray" in tracker.process.__code__.co_varnames
+                   else "color")
+            kwargs[key] = grays[i]
+        out.append(tracker.process(d, ts_list[i], **kwargs))
+    return out, False
+
+
 # -- stdlib client helpers ---------------------------------------------------
 
 def post_frame(base_url: str, depth, ts: float | None = None,
@@ -230,6 +394,35 @@ def post_frame(base_url: str, depth, ts: float | None = None,
         params.append(f"ts={ts}")
     if session is not None:
         params.append(f"session={session}")
+    if params:
+        url += "?" + "&".join(params)
+    req = urllib.request.Request(
+        url, data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def post_window(base_url: str, depths, ts=None, grays=None,
+                session: str | None = None, window: int | None = None,
+                timeout: float = 600.0) -> dict:
+    """Client: POST a frame batch to /track_window; returns the JSON record
+    ({frames: [...], ms, windowed}). One HTTP round trip — and one device
+    dispatch per `window` frames — instead of one of each per frame."""
+    arrays = {"depths": np.asarray(depths, np.float32)}
+    if grays is not None:
+        arrays["grays"] = np.asarray(grays, np.float32)
+    if ts is not None:
+        arrays["ts"] = np.asarray(ts, np.float64)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    url = base_url.rstrip("/") + "/track_window"
+    params = []
+    if session is not None:
+        params.append(f"session={session}")
+    if window is not None:
+        params.append(f"window={window}")
     if params:
         url += "?" + "&".join(params)
     req = urllib.request.Request(

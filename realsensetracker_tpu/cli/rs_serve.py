@@ -4,7 +4,9 @@ Production-deployment analog of the reference's always-live process
 (rs_replay_app.cpp:159-415 runs an in-process loop; a TPU deployment runs a
 service): a long-lived HTTP endpoint holding one tracker. See
 api/service.py for the protocol; the client side is
-`realsensetracker_tpu.api.service.post_frame`.
+`realsensetracker_tpu.api.service.post_frame` (one frame per request) or
+`post_window` (a frame batch to /track_window, scanned W frames per device
+dispatch). `GET /metrics` exposes Prometheus counters/latency quantiles.
 
 Usage:
   python -m realsensetracker_tpu.cli.rs_serve --method keyframe --port 8080

@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from realsensetracker_tpu.api import Tracker, TrackerConfig
-from realsensetracker_tpu.api.service import TrackingService, get_json, post_frame
+from realsensetracker_tpu.api.service import (
+    TrackingService,
+    get_json,
+    post_frame,
+    post_window,
+)
 from realsensetracker_tpu.data import synthetic
 from realsensetracker_tpu.geometry import camera
 
@@ -174,6 +179,112 @@ class TestServiceMethods:
             assert ei.value.code == 500
         finally:
             svc.close()
+
+
+def _traj_poses(tum_text: str) -> np.ndarray:
+    rows = [list(map(float, ln.split())) for ln in tum_text.strip().splitlines()]
+    return np.asarray(rows)
+
+
+class TestTrackWindow:
+    def test_window_matches_per_frame(self):
+        depths, _ = synthetic.render_trajectory(INTR, 10, seed=1,
+                                                step_scale=0.01)
+        depths = [np.asarray(d) for d in depths]
+        mk = lambda: Tracker(TrackerConfig(intrinsics=INTR, method="keyframe"))
+        svc_a, svc_b = TrackingService(mk), TrackingService(mk)
+        try:
+            ua = f"http://127.0.0.1:{svc_a.port}"
+            ub = f"http://127.0.0.1:{svc_b.port}"
+            recs_a = [post_frame(ua, d, ts=i / 30.0)
+                      for i, d in enumerate(depths)]
+            out = post_window(ub, np.stack(depths),
+                              ts=np.arange(10) / 30.0, window=4)
+            assert out["windowed"] is True
+            recs_b = out["frames"]
+            assert [r["frame"] for r in recs_b] == list(range(1, 11))
+            assert all(r["success"] for r in recs_b)
+            np.testing.assert_allclose(
+                np.asarray(recs_a[-1]["pose"]),
+                np.asarray(recs_b[-1]["pose"]), atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                _traj_poses(get_json(ua, "/trajectory")),
+                _traj_poses(get_json(ub, "/trajectory")), atol=1e-5,
+            )
+        finally:
+            svc_a.close()
+            svc_b.close()
+
+    def test_window_batches_continue_session(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        out1 = post_window(url, np.stack(depths[:2]), window=2)
+        out2 = post_window(url, np.stack(depths[2:]), window=2)
+        got = [r["frame"] for r in out1["frames"] + out2["frames"]]
+        assert got == [1, 2, 3, 4]
+        assert get_json(url, "/status")["frames"] == 4
+
+    def test_non_keyframe_method_falls_back_per_frame(self, frames):
+        depths, _ = frames
+        svc = TrackingService(
+            lambda: Tracker(TrackerConfig(intrinsics=INTR,
+                                          method="projective"))
+        )
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            out = post_window(url, np.stack(depths))
+            assert out["windowed"] is False
+            assert [r["frame"] for r in out["frames"]] == [1, 2, 3, 4]
+            assert all(r["success"] for r in out["frames"])
+        finally:
+            svc.close()
+
+    def test_slam_tracker_window_via_service(self, frames):
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        depths, _ = frames
+        svc = TrackingService(lambda: SlamTracker(SlamConfig(intrinsics=INTR)))
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            out = post_window(url, np.stack(depths),
+                              ts=np.arange(4) / 30.0, window=4)
+            assert out["windowed"] is True
+            assert [r["frame"] for r in out["frames"]] == [1, 2, 3, 4]
+            assert get_json(url, "/status")["keyframes"] >= 1
+        finally:
+            svc.close()
+
+    def test_bad_window_body_is_400(self, service):
+        import urllib.error
+        import urllib.request
+
+        url = f"http://127.0.0.1:{service.port}/track_window"
+        buf = np.asarray([1.0], np.float32)
+        import io as _io
+
+        b = _io.BytesIO()
+        np.save(b, buf)  # .npy, not .npz -> 400
+        req = urllib.request.Request(url, data=b.getvalue())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+class TestMetrics:
+    def test_metrics_and_latency(self, service, frames):
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        for i in range(3):
+            post_frame(url, depths[i], ts=i / 30.0)
+        st = get_json(url, "/status")
+        lat = st["sessions"]["default"]["latency"]
+        assert lat["count"] == 3
+        assert lat["p50_ms"] > 0 and lat["p95_ms"] >= lat["p50_ms"]
+        text = get_json(url, "/metrics")
+        assert "rst_frames_total 3" in text
+        assert 'rst_session_frames{session="default"} 3' in text
+        assert 'rst_track_ms{session="default",stat="p50"}' in text
 
 
 class TestServeCli:
