@@ -75,6 +75,17 @@ class _Session:
         }
 
 
+def _plabel(name: str) -> str:
+    """Escape a Prometheus label value (exposition format: \\ then \")."""
+    return name.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def _color_kwarg(tracker) -> str:
+    """api.Tracker.process takes color=, SlamTracker.process takes gray=."""
+    return ("gray" if "gray" in tracker.process.__code__.co_varnames
+            else "color")
+
+
 def _current_pose(tracker) -> np.ndarray:
     pose = getattr(tracker, "pose", None)
     if pose is None:
@@ -183,11 +194,7 @@ class TrackingService:
                         t0 = time.perf_counter()
                         kwargs = {}
                         if color is not None:
-                            # api.Tracker takes color=, SlamTracker gray=.
-                            key = ("gray" if "gray" in
-                                   sess.tracker.process.__code__.co_varnames
-                                   else "color")
-                            kwargs[key] = color
+                            kwargs[_color_kwarg(sess.tracker)] = color
                         res = sess.tracker.process(depth, ts, **kwargs)
                         ms = 1000 * (time.perf_counter() - t0)
                         sess.record(1, ms)
@@ -211,18 +218,22 @@ class TrackingService:
                         window = int(
                             self.path.split("window=")[1].split("&")[0]
                         )
+                    if window < 1:
+                        raise ValueError(f"window must be >= 1, got {window}")
                 except Exception as e:  # malformed request, not a crash
                     self._send_json({"error": str(e)}, code=400)
                     return
+                sess = None
+                base = 0
                 try:
                     with svc._lock:
                         sess = svc._get_session(self._session())
+                        base = sess.frames
                         t0 = time.perf_counter()
                         results, windowed = _process_window(
                             sess.tracker, depths, ts, grays, window
                         )
                         ms = 1000 * (time.perf_counter() - t0)
-                        base = sess.frames
                         sess.record(len(results), ms)
                         svc._frames += len(results)
                         total = svc._frames
@@ -237,6 +248,16 @@ class TrackingService:
                         "windowed": windowed,
                     })
                 except Exception as e:
+                    # The tracker may have consumed a prefix of the batch
+                    # before failing (its trajectory already advanced);
+                    # resync the session counter so subsequent frame numbers
+                    # stay aligned with /trajectory rows.
+                    if sess is not None:
+                        with svc._lock:
+                            done = len(sess.tracker.trajectory) - base
+                            if done > 0:
+                                sess.frames = base + done
+                                svc._frames += done
                     self._send_json({"error": str(e)}, code=500)
                     return
                 if svc._max_frames is not None and total >= svc._max_frames:
@@ -293,13 +314,15 @@ class TrackingService:
                      self._sessions.items()]
         lines.append("# TYPE rst_session_frames counter")
         for name, frames, _ in items:
-            lines.append(f'rst_session_frames{{session="{name}"}} {frames}')
-        lines.append("# TYPE rst_track_ms summary")
+            lines.append(
+                f'rst_session_frames{{session="{_plabel(name)}"}} {frames}'
+            )
+        lines.append("# TYPE rst_track_ms gauge")
         for name, _, lat in items:
             for key in ("p50_ms", "p95_ms", "mean_ms", "last_ms"):
                 if key in lat:
                     lines.append(
-                        f'rst_track_ms{{session="{name}",'
+                        f'rst_track_ms{{session="{_plabel(name)}",'
                         f'stat="{key[:-3]}"}} {lat[key]}'
                     )
         return "\n".join(lines) + "\n"
@@ -327,14 +350,18 @@ def _decode_frame(body: bytes):
 
 
 def _decode_window(body: bytes):
-    """/track_window body -> (depths (B, H, W), grays | None, ts | None)."""
+    """/track_window body -> (depths (B, H, W), grays | None, ts | None).
+
+    grays keep their dtype: uint8 frames must reach the trackers' _as_gray
+    unscaled so its /255 branch fires (api/tracker.py), identically to
+    /track's color path."""
     if body[:2] != b"PK":
         raise ValueError("/track_window needs an .npz body with 'depths'")
     with np.load(io.BytesIO(body)) as z:
         if "depths" not in z:
             raise ValueError(".npz body needs a 'depths' (B, H, W) array")
         depths = np.asarray(z["depths"], np.float32)
-        grays = np.asarray(z["grays"], np.float32) if "grays" in z else None
+        grays = np.asarray(z["grays"]) if "grays" in z else None
         ts = np.asarray(z["ts"], np.float64) if "ts" in z else None
     if depths.ndim != 3 or len(depths) == 0:
         raise ValueError(f"depths must be non-empty (B, H, W), got {depths.shape}")
@@ -369,9 +396,7 @@ def _process_window(tracker, depths, ts, grays, window: int):
     for i, d in enumerate(depths):
         kwargs = {}
         if grays is not None:
-            key = ("gray" if "gray" in tracker.process.__code__.co_varnames
-                   else "color")
-            kwargs[key] = grays[i]
+            kwargs[_color_kwarg(tracker)] = grays[i]
         out.append(tracker.process(d, ts_list[i], **kwargs))
     return out, False
 
@@ -412,7 +437,7 @@ def post_window(base_url: str, depths, ts=None, grays=None,
     dispatch per `window` frames — instead of one of each per frame."""
     arrays = {"depths": np.asarray(depths, np.float32)}
     if grays is not None:
-        arrays["grays"] = np.asarray(grays, np.float32)
+        arrays["grays"] = np.asarray(grays)  # dtype-preserving (uint8 stays)
     if ts is not None:
         arrays["ts"] = np.asarray(ts, np.float64)
     buf = io.BytesIO()

@@ -255,6 +255,77 @@ class TestTrackWindow:
         finally:
             svc.close()
 
+    def test_window_decode_preserves_gray_dtype(self):
+        """uint8 grays must reach the trackers unscaled so _as_gray's /255
+        branch fires -- a float32 pre-cast would silently feed 0-255 values
+        into the photometric term (parity break vs /track)."""
+        import io as _io
+
+        from realsensetracker_tpu.api import service as svc_mod
+
+        g8 = (np.random.RandomState(0).rand(3, H, W) * 255).astype(np.uint8)
+        d = np.ones((3, H, W), np.float32)
+        buf = _io.BytesIO()
+        np.savez(buf, depths=d, grays=g8)
+        depths, grays, ts = svc_mod._decode_window(buf.getvalue())
+        assert grays.dtype == np.uint8
+        np.testing.assert_array_equal(grays, g8)
+        assert depths.dtype == np.float32 and ts is None
+
+    def test_window_zero_is_400(self, service, frames):
+        import urllib.error
+
+        depths, _ = frames
+        url = f"http://127.0.0.1:{service.port}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_window(url, np.stack(depths[:2]), window=0)
+        assert ei.value.code == 400
+
+    def test_midbatch_failure_resyncs_frame_counter(self):
+        """A tracker failure mid-batch 500s, but frames consumed before it
+        stay counted (frame numbers must keep matching /trajectory rows)."""
+        import urllib.error
+
+        class _Traj(list):
+            def to_tum(self):
+                return "\n".join("0 0 0 0 0 0 0 1" for _ in self)
+
+        class _Result:
+            pose = np.eye(4)
+            success = True
+
+        class _FlakyTracker:
+            """Appends to its trajectory per frame; raises ONCE on frame 3."""
+
+            def __init__(self):
+                self.trajectory = _Traj()
+                self.pose = np.eye(4)
+                self._blew_up = False
+
+            def process(self, depth, ts=None):
+                if len(self.trajectory) == 2 and not self._blew_up:
+                    self._blew_up = True
+                    raise RuntimeError("mid-batch failure")
+                self.trajectory.append(1)
+                return _Result()
+
+        svc = TrackingService(_FlakyTracker)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            d = np.zeros((4, 8, 8), np.float32)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post_window(url, d)  # no process_window -> per-frame loop
+            assert ei.value.code == 500
+            st = get_json(url, "/status")
+            tum = get_json(url, "/trajectory")
+            # 2 frames were consumed before the failure; counter matches.
+            assert st["sessions"]["default"]["frames"] == 2
+            assert len(tum.strip().splitlines()) == 2
+            nxt = post_frame(url, d[0])
+            assert nxt["frame"] == 3
+        finally:
+            svc.close()
+
     def test_bad_window_body_is_400(self, service):
         import urllib.error
         import urllib.request
@@ -285,6 +356,12 @@ class TestMetrics:
         assert "rst_frames_total 3" in text
         assert 'rst_session_frames{session="default"} 3' in text
         assert 'rst_track_ms{session="default",stat="p50"}' in text
+
+    def test_prometheus_label_escaping(self):
+        from realsensetracker_tpu.api import service as svc_mod
+
+        assert svc_mod._plabel('a"b\\c') == 'a\\"b\\\\c'
+        assert svc_mod._plabel("plain") == "plain"
 
 
 class TestServeCli:
