@@ -41,12 +41,14 @@ def global_descriptor(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _insert_row(desc_s, pts_s, mask_s, feats_s, k, pts, mask, feats):
     """Insert one keyframe into all four store matrices (descriptor
     computed in-program) as ONE device dispatch. Through the axon relay
     each eager `.at[].set` plus the eager descriptor pooling previously
-    cost its own ~45 ms round trip per insertion."""
+    cost its own ~45 ms round trip per insertion. The stores are DONATED:
+    the caller always rebinds them, and without donation XLA copies the
+    full (K, N, *) buffers (hundreds of MB at capacity) on every insert."""
     return (
         desc_s.at[k].set(global_descriptor(feats, mask)),
         pts_s.at[k].set(pts.astype(jnp.float32)),
@@ -210,7 +212,8 @@ class KeyframeDatabase:
                      refine_iters: int = 64, pad_to: int | None = None):
         """Verify ALL candidates of one query in ONE device dispatch.
 
-        Returns [(T_ab (4,4) np, ok bool), ...] aligned with candidate_ids.
+        Returns [(T_ab (4,4) np, ok bool), ...] aligned with candidate_ids
+        (truncated to the first pad_to candidates when more are passed).
         Cost is independent of len(candidate_ids) up to the vmapped batch
         (the per-candidate compute is data-parallel on-device).
 
@@ -221,6 +224,12 @@ class KeyframeDatabase:
         """
         if not candidate_ids:
             return []
+        if pad_to is not None and len(candidate_ids) > pad_to:
+            # Honor the fixed program shape: verify only the first pad_to
+            # candidates (callers rank them by similarity). Silently
+            # exceeding pad_to would compile a fresh program per distinct
+            # count (30-90 s each through a relay).
+            candidate_ids = candidate_ids[:pad_to]
         rows = [self._ids.index(c) for c in candidate_ids]
         if pad_to is not None and len(rows) < pad_to:
             rows = rows + [rows[0]] * (pad_to - len(rows))

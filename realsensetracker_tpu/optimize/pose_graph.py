@@ -47,12 +47,14 @@ def from_trajectory(poses, loop_edges=(), odometry=None, odometry_weights=None):
     """
     poses = jnp.asarray(poses, jnp.float32)
     n = poses.shape[0]
+    if n < 2:
+        raise ValueError(f"a pose graph needs >= 2 poses, got {n}")
     ei = list(range(n - 1))
     ej = list(range(1, n))
     if odometry is None:
-        meas = [
-            se3.compose(se3.inverse(poses[i]), poses[i + 1]) for i in range(n - 1)
-        ]
+        # One batched dispatch, not n-1 eager ones (~45 ms each through a
+        # relay-fronted chip, CLAUDE.md gotcha 11).
+        meas = list(se3.compose(se3.inverse(poses[:-1]), poses[1:]))
     else:
         meas = [jnp.asarray(T, jnp.float32) for T in odometry]
         if len(meas) != n - 1:

@@ -139,10 +139,9 @@ def shard_streams(state: StreamState, mesh, data_axis: str = "data") -> StreamSt
     """Shard per-stream state over the mesh's data axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(data_axis))
-
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1)))))
+        return jax.device_put(
+            x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+        )
 
-    del sharding
     return jax.tree.map(put, state)

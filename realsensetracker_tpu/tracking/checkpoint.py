@@ -95,20 +95,21 @@ def load_tracker(path: str, tracker) -> None:
     )
     levels = _restore_levels(data)
     tracker._prev_levels = tuple(levels) if levels is not None else None
-    if tracker._prev_levels is not None:
-        # Rebuild the intrinsics pyramid from the tracker's base intrinsics
-        # (same iterated halving as ops.pyramid.build_pyramid).
-        intrs = []
-        cur = tracker.intr
-        for _ in range(len(tracker._prev_levels)):
-            intrs.append(cur)
-            cur = cur.scaled(0.5)
-        tracker._intrs = tuple(intrs)
     if "map_points" in data:
         tracker._map = MapAccumulator(
             points=jnp.asarray(data["map_points"]),
             keys=jnp.asarray(data["map_keys"]),
             mask=jnp.asarray(data["map_mask"]),
+        )
+    elif getattr(tracker, "map_capacity", 0) and tracker._prev_levels is not None:
+        # The tracker wants a world model but the snapshot has none (saved
+        # from a map-disabled tracker). process() skips its map-init branch
+        # once _prev_levels is restored, so the first successful frame
+        # would hit _map=None inside tracing -- fail loudly instead.
+        raise ValueError(
+            "checkpoint has no world model but the tracker was built with "
+            f"map_capacity={tracker.map_capacity}; restore into a tracker "
+            "with map_capacity=0 or re-record the snapshot with its map"
         )
 
 

@@ -184,6 +184,12 @@ class TestPoseGraph:
         err_after = np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3])
         assert err_after < 0.5 * err_before, (err_before, err_after)
 
+    def test_single_pose_trajectory_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match=">= 2 poses"):
+            pg.from_trajectory(jnp.eye(4)[None])
+
     def test_explicit_odometry_measurements(self):
         """from_trajectory(odometry=...) must use the given measurements,
         not re-extract them from the (possibly optimized) poses."""
@@ -329,3 +335,10 @@ class TestLoopClosureDetection:
         T0, ok0 = batch[0]
         assert ok0
         assert np.abs(T0 - np.eye(4)).max() < 1e-2
+
+        # pad_to caps the verified set (fixed program shape): extra
+        # candidates are dropped, never compiled as a new batch size.
+        capped = db.verify_batch(500, c0, f0, [0, 3, 17, 21, 42],
+                                 noise_bound=0.1, pad_to=3)
+        assert len(capped) == 3
+        assert capped[0][1] == batch[0][1]

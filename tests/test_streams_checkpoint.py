@@ -140,6 +140,24 @@ class TestCheckpoint:
             np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-6
         )
 
+    def test_map_config_mismatch_raises(self, tmp_path):
+        """Restoring a map-less snapshot into a map-enabled tracker must
+        fail loudly: process() skips its map-init branch once _prev_levels
+        is restored, so silently continuing would crash on _map=None at the
+        first successful frame."""
+        import pytest
+
+        depths, _ = _stream_data(s=1, frames=2)
+        seq = depths[:, 0]
+        t1 = FrameToFrameTracker(INTR, CFG)  # map disabled
+        t1.process(seq[0], 0.0)
+        t1.process(seq[1], 1.0)
+        path = os.path.join(tmp_path, "nomap.npz")
+        checkpoint.save_tracker(path, t1)
+        t2 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        with pytest.raises(ValueError, match="world model"):
+            checkpoint.load_tracker(path, t2)
+
     def test_version_check(self, tmp_path):
         path = os.path.join(tmp_path, "bad.npz")
         np.savez(path, format_version=np.int64(999), frame_index=np.int64(0),

@@ -4,10 +4,8 @@ keyframe events -- while batching up to W frames per device dispatch
 (tracking/keyframe.py _fused_track_window; the scan truncates the window
 at every keyframe event so host-side SLAM logic runs unchanged)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.data import synthetic
@@ -17,16 +15,6 @@ from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
 INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=49.5, cy=37.0, width=100, height=75)
 CFG = projective.ProjectiveIcpConfig(iters=(4, 4, 5), samples=1024)
-
-
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compiler_state():
-    # The window-scan programs are the largest compiles in the suite; one
-    # full-suite run segfaulted XLA's CPU compiler here with hundreds of
-    # executables live (transient, passes standalone). Dropping the cache
-    # first costs only this module's recompiles and shrinks compiler
-    # arena pressure.
-    jax.clear_caches()
 
 
 def _sequence(n, step=(0.03, 0.0, 0.02, 0.0, 0.025, 0.0), seed=21):
