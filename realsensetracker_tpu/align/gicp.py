@@ -40,10 +40,17 @@ def compute_covariances(cloud: Cloud, k: int = 32, use_gicp: bool = False) -> jn
     centroid, and either divides by (k-1) or applies the GICP
     singular-value remap (1, 1, 1e-2).
     """
-    idx, _ = correspond.knn_self(cloud, k)
-    nbrs = cloud.points[idx]  # (N, k, 3)
-    ctr = jnp.mean(nbrs, axis=-2, keepdims=True)
-    delta = nbrs - ctr
+    idx, d2 = correspond.knn_self(cloud, k)
+    # Fewer than k valid candidates: knn_self pads with _BIG-distance
+    # entries whose indices land on masked (zero) rows. Weight those out --
+    # the C++ tree always returns k REAL points, and phantom origins would
+    # otherwise drag every sparse-cloud covariance toward the origin.
+    real = d2 < 1e29
+    wn = real.astype(cloud.points.dtype)[..., None]  # (N, k, 1)
+    cnt = jnp.maximum(jnp.sum(real, axis=-1), 1).astype(cloud.points.dtype)
+    nbrs = cloud.points[idx] * wn  # (N, k, 3)
+    ctr = jnp.sum(nbrs, axis=-2, keepdims=True) / cnt[:, None, None]
+    delta = (cloud.points[idx] - ctr) * wn
     cov = jnp.einsum("nki,nkj->nij", delta, delta, precision=jax.lax.Precision.HIGHEST)
     if use_gicp:
         # Covariance is symmetric PSD: singular vectors = eigenvectors,
@@ -51,15 +58,17 @@ def compute_covariances(cloud: Cloud, k: int = 32, use_gicp: bool = False) -> jn
         _, vecs = jnp.linalg.eigh(cov)
         u = vecs[..., ::-1]  # descending order columns
         vals = jnp.asarray([1.0, 1.0, 1e-2], cov.dtype)
-        return jnp.einsum("nik,k,njk->nij", u, vals, u)
-    return cov / (k - 1)
+        return jnp.einsum("nik,k,njk->nij", u, vals, u,
+                          precision=jax.lax.Precision.HIGHEST)
+    return cov / jnp.maximum(cnt - 1.0, 1.0)[:, None, None]
 
 
 def _whitening(M: jnp.ndarray) -> jnp.ndarray:
     """Symmetric inverse square root of PSD 3x3 matrices (gicp_cost.hpp:57-68)."""
     vals, vecs = jnp.linalg.eigh(M)
     inv_sqrt = jax.lax.rsqrt(jnp.maximum(vals, 1e-12))
-    return jnp.einsum("...ik,...k,...jk->...ij", vecs, inv_sqrt, vecs)
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, inv_sqrt, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.custom_jvp
@@ -85,7 +94,8 @@ def _whitening_diff_jvp(primals, tangents):
     vals, vecs = jnp.linalg.eigh(M)
     lam = jnp.maximum(vals, 1e-12)
     f = jax.lax.rsqrt(lam)
-    W = jnp.einsum("...ik,...k,...jk->...ij", vecs, f, vecs)
+    W = jnp.einsum("...ik,...k,...jk->...ij", vecs, f, vecs,
+                   precision=jax.lax.Precision.HIGHEST)
     # Divided-difference table G_ij = (f_i - f_j) / (l_i - l_j), guarded to
     # f'(l) = -1/2 l^{-3/2} when the gap vanishes.
     li = lam[..., :, None]
@@ -96,8 +106,10 @@ def _whitening_diff_jvp(primals, tangents):
     small = jnp.abs(gap) < 1e-9 * jnp.maximum(li, lj)
     deriv = -0.5 * jax.lax.rsqrt(li) / li  # -1/2 l^{-3/2}
     G = jnp.where(small, deriv, (fi - fj) / jnp.where(small, 1.0, gap))
-    A = jnp.einsum("...ki,...kl,...lj->...ij", vecs, dM, vecs)
-    dW = jnp.einsum("...ik,...kl,...jl->...ij", vecs, A * G, vecs)
+    A = jnp.einsum("...ki,...kl,...lj->...ij", vecs, dM, vecs,
+                   precision=jax.lax.Precision.HIGHEST)
+    dW = jnp.einsum("...ik,...kl,...jl->...ij", vecs, A * G, vecs,
+                    precision=jax.lax.Precision.HIGHEST)
     return W, dW
 
 
@@ -155,8 +167,7 @@ def solve_alignment(
         r = jnp.einsum("nij,nj->ni", W, e, precision=jax.lax.Precision.HIGHEST)
         return r, (p, W)
 
-    def body(_, carry):
-        T, _cost = carry
+    def body(_, T):
         r, (p, W) = residuals_at(T)
         s = jnp.sum(r * r, axis=-1)
         w = _huber_weight(s, huber_delta) * m
@@ -183,14 +194,20 @@ def solve_alignment(
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         T_new = se3.compose(se3.exp(delta), T)
 
+        return T_new
+
+    def cost_at(T):
+        r, _ = residuals_at(T)
+        s = jnp.sum(r * r, axis=-1)
         b = huber_delta * huber_delta
         rho = jnp.where(s <= b, s, 2.0 * jnp.sqrt(b * jnp.maximum(s, 0.0)) - b)
-        cost = 0.5 * jnp.sum(rho * m)
-        return T_new, cost
+        return 0.5 * jnp.sum(rho * m)
 
-    return jax.lax.fori_loop(
-        0, inner_iters, body, (seed, jnp.float32(0.0))
-    )
+    T_fin = jax.lax.fori_loop(0, inner_iters, body, seed)
+    # Cost is evaluated AT the returned transform (true Ceres final_cost
+    # convention) -- the in-loop value would lag one GN step behind the
+    # pose it is reported with.
+    return T_fin, cost_at(T_fin)
 
 
 @partial(jax.jit, static_argnames=("max_outer", "inner_iters", "cov_k", "use_gicp_cov", "chunk", "whitening"))
@@ -229,11 +246,14 @@ def align_gicp(
             huber_delta=huber_delta,
             whitening=whitening,
         )
-        # NaN guard (align_gicp.cpp:146-151): keep previous estimate.
-        ok = jnp.all(jnp.isfinite(T_new))
-        return jnp.where(ok, T_new, T), cost
+        # NaN guard (align_gicp.cpp:146-151): keep the previous estimate AND
+        # its cost -- a rejected step must not report the divergent value.
+        ok = jnp.all(jnp.isfinite(T_new)) & jnp.isfinite(cost)
+        return jnp.where(ok, T_new, T), jnp.where(ok, cost, _cost)
 
+    # Cost seeds at inf (the reference aborts with infinity when the very
+    # first solve degenerates, align_gicp.cpp:146-151).
     T, cost = jax.lax.fori_loop(
-        0, max_outer, outer, (se3.identity(), jnp.float32(0.0))
+        0, max_outer, outer, (se3.identity(), jnp.float32(jnp.inf))
     )
     return GicpResult(transform=T, cost=cost, num_valid=jnp.sum(src.mask))

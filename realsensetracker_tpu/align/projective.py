@@ -99,24 +99,32 @@ def sample_level_normal_space(level: PyramidLevel, count: int, bins: int = 6):
     sign = jnp.take_along_axis(n, axis[:, None], axis=-1)[:, 0] < 0
     bin_id = jnp.where(ok, axis + 3 * sign.astype(jnp.int32), bins)  # invalid -> bins
     order = jnp.argsort(bin_id, stable=True)  # segments per bin, pixel order kept
-    counts = jnp.sum(jax.nn.one_hot(bin_id, bins + 1, dtype=jnp.int32), axis=0)
+    counts = jnp.bincount(bin_id, length=bins + 1).astype(jnp.int32)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
 
     per_bin = count // bins
+    rem = count - bins * per_bin
     picks = []
     pick_ok = []
-    lane = jnp.arange(per_bin)
     for b in range(bins):
-        # Clamp the slice so it stays in range even for empty bins.
-        start = jnp.minimum(starts[b], npix - per_bin)
-        picks.append(jax.lax.dynamic_slice_in_dim(order, start, per_bin))
-        # Slots beyond this bin's population would spill into the next
-        # segment and bias the balance: mask them out instead.
-        pick_ok.append(lane < counts[b])
-    rem = count - bins * per_bin
-    if rem:
-        picks.append(order[:rem])
-        pick_ok.append(jnp.ones(rem, bool))
+        # The remainder goes to the first `rem` bins (one extra sample
+        # each), so the total stays exactly `count` with no duplicated
+        # picks (a shared order[:rem] remainder would double-weight bin
+        # 0's head samples in the GN system).
+        t_b = per_bin + (1 if b < rem else 0)
+        if t_b == 0:
+            continue
+        # Clamp the slice so it stays in range even for segments at the
+        # very end; `off` records how far the clamp shifted it left so the
+        # validity mask still selects exactly this bin's entries (an
+        # unshifted `lane < counts[b]` would keep earlier-segment points
+        # and drop the rare bin's own -- precisely the constraint
+        # directions this mode exists to preserve).
+        start = jnp.minimum(starts[b], npix - t_b)
+        off = starts[b] - start
+        lane = jnp.arange(t_b)
+        picks.append(jax.lax.dynamic_slice_in_dim(order, start, t_b))
+        pick_ok.append((lane >= off) & (lane < off + jnp.minimum(counts[b], t_b)))
     idx = jnp.concatenate(picks)
     seg_ok = jnp.concatenate(pick_ok)
     pts = level.vertex_map.reshape(npix, 3)[idx]

@@ -42,6 +42,24 @@ class Intrinsics(NamedTuple):
             height=int(round(self.height * factor)),
         )
 
+    def halved(self) -> "Intrinsics":
+        """Intrinsics of the next pyramid level.
+
+        Dimensions FLOOR (width // 2), matching ops.pyramid.downsample_depth,
+        which drops a trailing odd row/column before 2x2 pooling. scaled(0.5)
+        rounds (487 -> 244), which would let in_bounds accept projections
+        onto a row the level arrays do not have (the gather then silently
+        clamps to the edge row). Identical to scaled(0.5) for even dims.
+        """
+        return Intrinsics(
+            fx=self.fx * 0.5,
+            fy=self.fy * 0.5,
+            cx=(self.cx + 0.5) * 0.5 - 0.5,
+            cy=(self.cy + 0.5) * 0.5 - 0.5,
+            width=self.width // 2,
+            height=self.height // 2,
+        )
+
 
 # TUM RGB-D "freiburg1" defaults (fr1/desk), the dataset named by BASELINE.md.
 TUM_FR1 = Intrinsics(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=640, height=480)

@@ -136,7 +136,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """
     theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_HI)
     small = theta2 < 1e-4
     t2s = jnp.where(small, 1.0, theta2)  # safe denominator
     ts = jnp.sqrt(t2s)
@@ -173,7 +173,7 @@ def exp(twist: jnp.ndarray) -> jnp.ndarray:
     w = twist[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_HI)
     small = theta2 < 1e-4
     t2s = jnp.where(small, 1.0, theta2)  # NaN-gradient guard
     ts = jnp.sqrt(t2s)
@@ -184,7 +184,7 @@ def exp(twist: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.broadcast_to(jnp.eye(3, dtype=twist.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
     R = exp_so3(w)
-    t = jnp.squeeze(V @ v[..., :, None], -1)
+    t = jnp.squeeze(jnp.matmul(V, v[..., :, None], precision=_HI), -1)
     return from_rt(R, t)
 
 
@@ -195,7 +195,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     w = log_so3(R)
     theta2 = jnp.sum(w * w, axis=-1)
     W = hat(w)
-    W2 = W @ W
+    W2 = jnp.matmul(W, W, precision=_HI)
     small = theta2 < 1e-4
     t2s = jnp.where(small, 1.0, theta2)  # NaN-gradient guard
     ts = jnp.sqrt(t2s)
@@ -207,7 +207,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
-    v = jnp.squeeze(Vinv @ t[..., :, None], -1)
+    v = jnp.squeeze(jnp.matmul(Vinv, t[..., :, None], precision=_HI), -1)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -272,8 +272,15 @@ def matrix_from_quaternion(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def orthogonalize(R: jnp.ndarray) -> jnp.ndarray:
-    """Project a near-rotation onto SO(3) via SVD with determinant fix."""
+    """Project a near-rotation onto SO(3) via SVD with determinant fix.
+
+    Det-fix convention note: THIS flips a column of U before composing
+    (the Kabsch-correct nearest rotation), while orthonormalize() and
+    align/kabsch.py flip a column of the composed R -- the reference's own
+    quirk (align_icp.cpp:61-63), kept there for behavioral parity. The two
+    styles differ only for reflections (det < 0, which renormalization of
+    a near-rotation never hits); do not "harmonize" them."""
     u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=_HI))
     u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
-    return u @ vt
+    return jnp.matmul(u, vt, precision=_HI)

@@ -30,75 +30,12 @@ from realsensetracker_tpu.geometry import camera
 
 def _level_kernel(d_prev, d_cur, d_next, out_ref, *, tile_h, h, w, fx, fy, cx, cy):
     i = pl.program_id(0)
-    # Pin scalar constants to f32 (under jax_enable_x64, Python floats would
-    # otherwise promote the whole band to f64).
-    fx, fy, cx, cy = (jnp.float32(v) for v in (fx, fy, cx, cy))
-
     # (tile_h + 2, w) working band: previous block's last row, this block,
     # next block's first row.
     band = jnp.concatenate([d_prev[-1:, :], d_cur[:, :], d_next[:1, :]], axis=0)
-    valid = band > 0.0
-
-    # tpu.iota only produces integers; cast to f32 afterwards.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, w), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, w), 1).astype(jnp.float32)
-    vv = rows + (i * tile_h - 1).astype(jnp.float32)
-    x = band * (cols - cx) * (1.0 / fx)
-    y = band * (vv - cy) * (1.0 / fy)
-    z = band
-
-    # Horizontal neighbors: lane rolls (wrap masked out via interior below).
-    def lroll(a, s):
-        # pltpu.roll wants non-negative shifts; roll by s mod W.
-        return pltpu.roll(a, shift=s % w, axis=1)
-
-    du_x = lroll(x, -1) - lroll(x, 1)
-    du_y = lroll(y, -1) - lroll(y, 1)
-    du_z = lroll(z, -1) - lroll(z, 1)
-    # Vertical neighbors: shifted row slices of the band.
-    c = slice(1, tile_h + 1)
-    up = slice(0, tile_h)
-    dn = slice(2, tile_h + 2)
-    dv_x = x[dn, :] - x[up, :]
-    dv_y = y[dn, :] - y[up, :]
-    dv_z = z[dn, :] - z[up, :]
-    duc_x, duc_y, duc_z = du_x[c, :], du_y[c, :], du_z[c, :]
-
-    nx = duc_y * dv_z - duc_z * dv_y
-    ny = duc_z * dv_x - duc_x * dv_z
-    nz = duc_x * dv_y - duc_y * dv_x
-    # Work with the squared norm only: the normalization below uses rsqrt,
-    # so the sqrt would be a pure extra transcendental per pixel.
-    n2 = nx * nx + ny * ny + nz * nz
-
-    v_c = valid[c, :]
-    # Mosaic can't roll i1 vectors: roll the depth and re-compare instead.
-    ok = (
-        v_c
-        & (lroll(z, -1)[c, :] > 0.0)
-        & (lroll(z, 1)[c, :] > 0.0)
-        & valid[dn, :]
-        & valid[up, :]
-        & (n2 > 1e-24)
+    out_ref[:] = _level_math(
+        band, i, tile_h=tile_h, h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy
     )
-    # Interior mask: first/last image row and column are invalid (also
-    # neutralizes wrapped lane rolls and clamped halo blocks).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + i * tile_h
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
-    ok = ok & (row_ids > 0) & (row_ids < h - 1) & (col_ids > 0) & (col_ids < w - 1)
-
-    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
-    nx, ny, nz = nx * inv, ny * inv, nz * inv
-    # Orient toward the camera: flip when n . p > 0 (ops/normals.py).
-    xc, yc, zc = x[c, :], y[c, :], z[c, :]
-    flip = jnp.where(
-        nx * xc + ny * yc + nz * zc > 0, jnp.float32(-1.0), jnp.float32(1.0)
-    )
-    okf = ok.astype(jnp.float32)
-    nx, ny, nz = nx * flip * okf, ny * flip * okf, nz * flip * okf
-    d_plane = nx * xc + ny * yc + nz * zc  # n . q; 0 where invalid (n = 0)
-
-    out_ref[:] = jnp.stack([nx, ny, nz, d_plane], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "tile_h", "interpret"))
@@ -118,16 +55,15 @@ def build_level_packed(
     """
     depth = depth.astype(jnp.float32)
     h, w = depth.shape
-    # Mosaic requires the second-to-last block dim to be a multiple of 8 or
-    # equal to the array dim: pick the LARGEST multiple-of-8 divisor of H
-    # up to tile_h, else process the whole image as one block (small
-    # pyramid levels).
-    if h % tile_h != 0:
-        tile_h = next(
-            (t for t in range(min(tile_h, h), 7, -1) if h % t == 0 and t % 8 == 0),
-            h,
+    tile_h, padded_h = _tile_plan(h, tile_h)
+    if padded_h != h:
+        # Zero rows are invalid depth: the kernel's validity/interior masks
+        # (which use the TRUE h) zero their plane-table rows, so padding is
+        # inert and sliced off below.
+        depth = jnp.concatenate(
+            [depth, jnp.zeros((padded_h - h, w), depth.dtype)], axis=0
         )
-    grid = h // tile_h
+    grid = padded_h // tile_h
     kernel = functools.partial(
         _level_kernel,
         tile_h=tile_h,
@@ -150,9 +86,9 @@ def build_level_packed(
         out_specs=pl.BlockSpec(
             (4, tile_h, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, padded_h, w), jnp.float32),
         interpret=interpret,
-    )(depth, depth, depth)
+    )(depth, depth, depth)[:, :h, :]
 
 
 # ---------------------------------------------------------------------------
@@ -192,8 +128,21 @@ def _level_kernel_rows(d_cur, bounds, out_ref, *, tile_h, h, w,
 
 
 def _level_body(band, i, out_ref, *, tile_h, h, w, fx, fy, cx, cy):
-    """Shared kernel body: (tile_h + 2, W) depth band -> (1, 4, tile_h, W)
-    plane-table block (the math of _level_kernel, factored out)."""
+    """Batched-block wrapper: write the shared math into a (1, 4, tile, W)
+    output block."""
+    out_ref[0] = _level_math(
+        band, i, tile_h=tile_h, h=h, w=w, fx=fx, fy=fy, cx=cx, cy=cy
+    )
+
+
+def _level_math(band, i, *, tile_h, h, w, fx, fy, cx, cy):
+    """THE kernel math, shared by every variant: (tile_h + 2, W) depth band
+    -> (4, tile_h, W) plane-table block. Keeping one body means a fix to
+    the normal/validity math can never apply to one variant and silently
+    miss another (all variants are parity-tested against the XLA
+    composition in tests/test_kernels.py)."""
+    # Pin scalar constants to f32 (under jax_enable_x64, Python floats would
+    # otherwise promote the whole band to f64).
     fx, fy, cx, cy = (jnp.float32(v) for v in (fx, fy, cx, cy))
     valid = band > 0.0
 
@@ -244,12 +193,44 @@ def _level_body(band, i, out_ref, *, tile_h, h, w, fx, fy, cx, cy):
     )
     okf = ok.astype(jnp.float32)
     nx, ny, nz = nx * flip * okf, ny * flip * okf, nz * flip * okf
-    d_plane = nx * xc + ny * yc + nz * zc
+    d_plane = nx * xc + ny * yc + nz * zc  # n . q; 0 where invalid (n = 0)
 
-    out_ref[0] = jnp.stack([nx, ny, nz, d_plane], axis=0)
+    return jnp.stack([nx, ny, nz, d_plane], axis=0)
+
+
+def _tile_plan(h: int, tile_h: int) -> tuple[int, int]:
+    """(tile, padded_h) for the production kernel.
+
+    Mosaic requires the second-to-last block dim to be a multiple of 8 or
+    equal to the array dim. Prefer the largest multiple-of-8 divisor of H
+    up to tile_h (no padding); small images run as one whole-image block.
+    Heights with NO such divisor (482 = 2*241, 500 = 4*125, ...) used to
+    fall back to a whole-image block too, which overflows the 16 MB VMEM
+    scoped allocation around h ~ 480 -- instead pad H up to the closest
+    multiple of some multiple-of-8 tile (inert rows, sliced off by the
+    caller)."""
+    if h % tile_h == 0:
+        return tile_h, h
+    t = next(
+        (t for t in range(min(tile_h, h), 7, -1) if h % t == 0 and t % 8 == 0),
+        None,
+    )
+    if t is not None:
+        return t, h
+    if h <= max(tile_h, 240):
+        return h, h  # whole-image block, known VMEM-safe at this size
+    best_t, best_pad = 8, (-h) % 8
+    for t in range(16, min(tile_h, 240) + 1, 8):
+        pad = (-h) % t
+        if pad <= best_pad:
+            best_t, best_pad = t, pad
+    return best_t, h + best_pad
 
 
 def _resolve_tile(h: int, tile_h: int) -> int:
+    """Probe variants only (build_level_packed_batched/_rows): exact-divisor
+    tile or whole-image fallback -- they do not pad, so arbitrary odd
+    heights must go through build_level_packed instead."""
     if h % tile_h != 0:
         tile_h = next(
             (t for t in range(min(tile_h, h), 7, -1) if h % t == 0 and t % 8 == 0),

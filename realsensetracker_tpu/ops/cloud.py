@@ -72,6 +72,28 @@ def extents(cloud: Cloud) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.min(pts_min, axis=-2), jnp.max(pts_max, axis=-2)
 
 
+def subsample_to_capacity(cloud: Cloud, capacity: int) -> Cloud:
+    """Reduce a front-compacted cloud to `capacity` rows, spatially UNIFORM.
+
+    Voxel-downsample survivors are compacted in sorted packed-key (x-major)
+    order, so a head slice points[:capacity] would crop the high-x region
+    of any cloud whose survivor count exceeds capacity. Instead take
+    `capacity` evenly spaced survivors (exact pass-through when they fit).
+    Requires valid rows compacted to the front (downsample_voxel's
+    contract).
+    """
+    S = jnp.sum(cloud.mask).astype(jnp.int32)
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    stride_idx = jnp.floor(
+        k.astype(jnp.float32) * (S.astype(jnp.float32) / capacity)
+    ).astype(jnp.int32)
+    idx = jnp.where(S > capacity, jnp.minimum(stride_idx, S - 1), k)
+    return Cloud(
+        points=cloud.points[idx],
+        mask=k < jnp.minimum(S, capacity),
+    )
+
+
 def pad_to_capacity(points, capacity: int, mask=None):
     """Pad host-side variable-length points up to a fixed capacity.
 

@@ -28,11 +28,20 @@ _BIG = 1e30
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Squared distances (..., N, M) between a (..., N, D) and b (..., M, D).
 
-    The cross term is a matmul (MXU); accumulate in f32 minimum.
+    The cross term is a matmul (MXU). precision=HIGHEST is load-bearing for
+    the EXACT-1-NN contract: the TPU default rounds operands to bf16
+    (~4e-3 relative, CLAUDE.md gotcha 4), which can flip argmin to a
+    neighbor tens of centimeters off at meter-scale coordinates --
+    preferred_element_type alone only fixes the accumulator, not the
+    operand rounding.
     """
     a2 = jnp.sum(a * a, axis=-1)
     b2 = jnp.sum(b * b, axis=-1)
-    cross = jnp.matmul(a, jnp.swapaxes(b, -1, -2), preferred_element_type=jnp.float32)
+    cross = jnp.matmul(
+        a, jnp.swapaxes(b, -1, -2),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -72,7 +72,8 @@ def _histogram(feats, weights):
     raw = jnp.floor(NUM_BINS * (feats * scale + 0.5)).astype(jnp.int32)
     bins = jnp.clip(raw, 0, NUM_BINS - 1)  # fpfh.cpp:95
     onehot = jax.nn.one_hot(bins, NUM_BINS, dtype=feats.dtype)  # (..., K, 3, 11)
-    hist = jnp.einsum("...kfb,...k->...fb", onehot, weights)
+    hist = jnp.einsum("...kfb,...k->...fb", onehot, weights,
+                      precision=jax.lax.Precision.HIGHEST)
     return hist.reshape(hist.shape[:-2] + (FPFH_SIZE,))
 
 
@@ -135,7 +136,8 @@ def compute_fpfh_from_normals_checked(
     is_self = idx == jnp.arange(cloud.capacity)[:, None]
     contrib_ok = nbr_ok & ~is_self & (dist > 0)
     w = jnp.where(contrib_ok, 1.0 / jnp.maximum(dist, 1e-30), 0.0)  # fpfh.cpp:164-165
-    feat = jnp.einsum("nk,nkf->nf", w, spfh[idx])
+    feat = jnp.einsum("nk,nkf->nf", w, spfh[idx],
+                      precision=jax.lax.Precision.HIGHEST)
     seg = feat.reshape(-1, 3, NUM_BINS)
     seg_sum = jnp.sum(seg, axis=-1, keepdims=True)
     seg = jnp.where(seg_sum > 0, seg / jnp.maximum(seg_sum, 1e-30), seg)  # :169-174

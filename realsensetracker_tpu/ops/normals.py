@@ -33,11 +33,18 @@ def knn_pca_normals(cloud: Cloud, k: int = 16) -> jnp.ndarray:
     covariance is the *unnormalized* scatter matrix, and the normal is the
     smallest-eigenvalue eigenvector.
     """
-    idx, _ = correspond.knn(cloud.points, cloud, k)
-    nbrs = cloud.points[idx]  # (N, k, 3)
-    ctr = jnp.mean(nbrs, axis=-2, keepdims=True)
-    delta = nbrs - ctr
-    cov = jnp.einsum("nki,nkj->nij", delta, delta)
+    idx, d2 = correspond.knn(cloud.points, cloud, k)
+    # Weight out _BIG-distance padding (fewer than k valid candidates):
+    # phantom zero-rows would otherwise rotate sparse-cloud normals toward
+    # the origin. The C++ tree always has >= k real points.
+    real = d2 < 1e29
+    wn = real.astype(cloud.points.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(real, axis=-1), 1).astype(cloud.points.dtype)
+    nbrs = cloud.points[idx] * wn  # (N, k, 3)
+    ctr = jnp.sum(nbrs, axis=-2, keepdims=True) / cnt[:, None, None]
+    delta = (cloud.points[idx] - ctr) * wn
+    cov = jnp.einsum("nki,nkj->nij", delta, delta,
+                     precision=jax.lax.Precision.HIGHEST)
     # eigh returns ascending eigenvalues; column 0 = smallest, as Eigen's
     # SelfAdjointEigenSolver eigenvectors().col(0).
     _, vecs = jnp.linalg.eigh(cov)

@@ -48,6 +48,20 @@ def downsample_depth(depth: jnp.ndarray, valid: jnp.ndarray) -> tuple[jnp.ndarra
     return out, out_valid
 
 
+def level_intrinsics(
+    intr: camera.Intrinsics, num_levels: int
+) -> tuple[camera.Intrinsics, ...]:
+    """Per-level intrinsics, fine to coarse -- THE single source of truth
+    (build_pyramid and the sharded fast path both use it; a hand-rebuilt
+    copy can silently diverge on odd dimensions)."""
+    out = []
+    cur = intr
+    for _ in range(num_levels):
+        out.append(cur)
+        cur = cur.halved()
+    return tuple(out)
+
+
 def _use_pallas_kernel(use_kernel: str | bool) -> bool:
     if use_kernel == "auto":
         import jax
@@ -116,5 +130,5 @@ def build_pyramid(
         )
         intrs.append(cur_intr)
         d, valid = downsample_depth(d, valid)
-        cur_intr = cur_intr.scaled(0.5)
+        cur_intr = cur_intr.halved()  # floor dims, matching downsample_depth
     return levels, intrs

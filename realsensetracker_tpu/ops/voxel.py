@@ -60,7 +60,18 @@ def voxel_select_indices(cloud: Cloud, voxel_size: float, mode: str = "floor"):
     per-point attributes through the downsample.
     """
     n = cloud.capacity
-    keys = pack_keys(voxel_coords(cloud.points, voxel_size, mode), cloud.mask)
+    coords = voxel_coords(cloud.points, voxel_size, mode)
+    # Recenter per cloud before packing: these keys only need uniqueness
+    # WITHIN this call, so subtracting the masked minimum makes the packed
+    # 10-bit range bind on cloud SPAN (> 1023 voxels per axis) instead of
+    # distance from the origin -- a scene 6 m out at 1 cm voxels would
+    # otherwise clamp wholesale into boundary voxels and be discarded.
+    # (tracking/accumulator.py keys persist across calls and must NOT be
+    # recentered; its world extent bound is documented there.)
+    big = jnp.int32(1 << 30)
+    cmin = jnp.min(jnp.where(cloud.mask[:, None], coords, big), axis=0)
+    cmin = jnp.minimum(cmin, big - 1)  # all-invalid cloud: any shift works
+    keys = pack_keys(coords - cmin - _KEY_OFFSET, cloud.mask)
     order = jnp.argsort(keys, stable=True)  # ties keep original index order
     sorted_keys = keys[order]
     is_head = jnp.concatenate(

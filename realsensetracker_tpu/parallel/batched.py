@@ -8,7 +8,7 @@ zero hot-loop collectives.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -74,10 +74,20 @@ def register_batch_sharded(
 
     Inputs are sharded over the batch dimension; XLA partitions the whole
     pipeline (pyramids + GN iterations) with no communication between pairs.
+    The jitted program is cached per (mesh, intr, cfg, axis) -- a fresh
+    closure in jax.jit per call would recompile every invocation.
     """
     batch_sharding = NamedSharding(mesh, P(data_axis))
+    fn = _sharded_register_program(mesh, intr, cfg, data_axis)
+    src = jax.device_put(src_depths, batch_sharding)
+    dst = jax.device_put(dst_depths, batch_sharding)
+    return fn(src, dst)
 
-    fn = jax.jit(
+
+@lru_cache(maxsize=16)
+def _sharded_register_program(mesh, intr, cfg, data_axis):
+    batch_sharding = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
         lambda s, d: register_batch(s, d, intr, cfg),
         in_shardings=(batch_sharding, batch_sharding),
         out_shardings=projective.ProjectiveIcpResult(
@@ -87,6 +97,3 @@ def register_batch_sharded(
             num_matched=batch_sharding,
         ),
     )
-    src = jax.device_put(src_depths, batch_sharding)
-    dst = jax.device_put(dst_depths, batch_sharding)
-    return fn(src, dst)

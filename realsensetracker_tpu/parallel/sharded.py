@@ -26,9 +26,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from functools import lru_cache
+
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.geometry import camera, se3
-from realsensetracker_tpu.ops.pyramid import PyramidLevel, build_pyramid, downsample_depth
+from realsensetracker_tpu.ops.pyramid import (
+    PyramidLevel,
+    build_pyramid,
+    downsample_depth,
+    level_intrinsics,
+)
 
 
 def _level_sample_counts(cfg: projective.ProjectiveIcpConfig, intr, num_levels):
@@ -67,14 +74,37 @@ def register_batch_point_sharded(
     GN reduction sharded over `point_axis` (psum of H, b per iteration).
 
     Returns (transforms (B, 4, 4), rmse (B,)).
+
+    The jitted preproc/GN programs are cached per (mesh, intr, cfg, axes):
+    wrapping a fresh closure in jax.jit per call would retrace and
+    recompile the full ICP program every invocation (30-90 s per relay
+    compile, CLAUDE.md gotcha 8) instead of one compile + cheap dispatches.
     """
+    preproc_jit, run_jit = _point_sharded_programs(
+        mesh, intr, cfg, data_axis, point_axis
+    )
+    packed, pts_levels, ok_levels = preproc_jit(src_depths, dst_depths)
+    return run_jit(packed, pts_levels, ok_levels)
+
+
+@lru_cache(maxsize=16)
+def _point_sharded_programs(
+    mesh: Mesh,
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig,
+    data_axis: str,
+    point_axis: str,
+):
     point_size = mesh.shape[point_axis]
     num_levels = len(cfg.iters)
     counts = _level_sample_counts(cfg, intr, num_levels)
+    # Per-level intrinsics: the same tuple feeds sampling AND the GN loop
+    # (ops.pyramid.level_intrinsics is the single source of truth).
+    intrs = level_intrinsics(intr, num_levels)
 
     # ---- Preprocessing: plain sharded-batch XLA, Pallas kernel eligible ----
     def preproc_pair(src_depth, dst_depth):
-        dst_levels, intrs = build_pyramid(
+        dst_levels, _ = build_pyramid(
             dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth
         )
         packed = tuple(lvl.packed for lvl in dst_levels)
@@ -90,21 +120,13 @@ def register_batch_point_sharded(
             pts_levels.append(pts)
             ok_levels.append(ok)
             d, valid = downsample_depth(d, valid)
-        return packed, tuple(pts_levels), tuple(ok_levels), tuple(intrs)
-
-    # Per-level intrinsics are static (halved per level).
-    intrs = []
-    cur = intr
-    for _ in range(num_levels):
-        intrs.append(cur)
-        cur = cur.scaled(0.5)
-    intrs = tuple(intrs)
+        return packed, tuple(pts_levels), tuple(ok_levels)
 
     batch_sharding = jax.sharding.NamedSharding(mesh, P(data_axis))
-    packed, pts_levels, ok_levels = jax.jit(
-        lambda s, d: jax.vmap(lambda a, b: preproc_pair(a, b)[:3])(s, d),
+    preproc_jit = jax.jit(
+        jax.vmap(preproc_pair),
         in_shardings=(batch_sharding, batch_sharding),
-    )(src_depths, dst_depths)
+    )
 
     # ---- GN loop: the only shard_map region (per-iteration psum of H, b) ---
     def gn_loop(packed_local, pts_local, ok_local):
@@ -163,4 +185,4 @@ def register_batch_point_sharded(
         ),
         out_specs=(P(data_axis), P(data_axis)),
     )
-    return jax.jit(run)(packed, pts_levels, ok_levels)
+    return preproc_jit, jax.jit(run)

@@ -53,7 +53,14 @@ def add_cloud(
     acc: MapAccumulator, transform: jnp.ndarray, cloud: Cloud, voxel_size: float = 0.05
 ) -> MapAccumulator:
     """Insert a (camera-frame) cloud transformed to world; existing voxel
-    entries win over new points (ref AddCloud first-insert semantics)."""
+    entries win over new points (ref AddCloud first-insert semantics).
+
+    World extent bound: keys persist across calls, so they CANNOT be
+    recentered like downsample_voxel's are -- the packed 10-bit/axis key
+    covers +-511 voxels around the world origin (+-25.6 m at the default
+    0.05 m voxel). Geometry beyond that clamps into boundary voxels and
+    stops accumulating; use the unbounded host map
+    (native.voxel_map.NativeVoxelMap) for larger worlds."""
     C = acc.capacity
     # Pin to the framework compute dtype (callers may pass f64 under x64).
     p_w = se3.transform_points(

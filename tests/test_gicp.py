@@ -52,6 +52,31 @@ class TestCovariances:
         )
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    def test_sparse_cloud_ignores_phantom_neighbors(self):
+        """Fewer valid points than cov_k: the padded _BIG-distance
+        neighbors land on masked zero rows and used to drag every
+        covariance toward the origin; they must carry zero weight."""
+        rng = np.random.RandomState(3)
+        pts5 = (rng.rand(5, 3) * 0.2 + 1.0).astype(np.float32)
+        cap = 64
+        padded = np.zeros((cap, 3), np.float32)
+        padded[:5] = pts5
+        mask = np.zeros(cap, bool)
+        mask[:5] = True
+        got = np.asarray(
+            gicp_mod.compute_covariances(
+                cloud_mod.Cloud(jnp.asarray(padded), jnp.asarray(mask)),
+                k=8, use_gicp=False,
+            )
+        )[:5]
+        # Oracle over the 4 REAL neighbors of each of the 5 points
+        # (self excluded), scatter / (count - 1).
+        for i in range(5):
+            nb = np.array([pts5[j] for j in range(5) if j != i])
+            ctr = nb.mean(0)
+            cov = sum(np.outer(p - ctr, p - ctr) for p in nb) / (4 - 1)
+            np.testing.assert_allclose(got[i], cov, atol=1e-5)
+
     def test_gicp_covariance_parity(self):
         pts = np.asarray(_random_cloud(jax.random.PRNGKey(1), 40))
         ref = _covariances_np(pts, k=8, use_gicp=True)
@@ -96,6 +121,27 @@ class TestGicpAlignment:
         )
         err = np.abs(np.asarray(se3.log(se3.compose(se3.inverse(T_true), res.transform))))
         assert err.max() < 1e-3
+
+    def test_cost_evaluated_at_returned_transform(self):
+        """GicpResult.cost follows the Ceres final_cost convention: it is
+        the cost AT the returned transform, not one GN step behind it."""
+        src = np.asarray(_random_cloud(jax.random.PRNGKey(7), 48))
+        T_true = se3.exp(jnp.array([0.03, -0.02, 0.02, 0.02, 0.01, -0.02],
+                                   jnp.float32))
+        dst = np.asarray(se3.transform_points(T_true, jnp.asarray(src)))
+        covs = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-2, (48, 1, 1))
+        mask = jnp.ones(48, bool)
+        T, c = gicp_mod.solve_alignment(
+            jnp.asarray(src), jnp.asarray(dst), covs, covs, mask,
+            seed=se3.identity(), inner_iters=4,
+        )
+        # inner_iters=0 evaluates the cost at the seed without stepping.
+        T0, c0 = gicp_mod.solve_alignment(
+            jnp.asarray(src), jnp.asarray(dst), covs, covs, mask,
+            seed=T, inner_iters=0,
+        )
+        np.testing.assert_array_equal(np.asarray(T0), np.asarray(T))
+        np.testing.assert_allclose(float(c), float(c0), rtol=1e-6)
 
     def test_huber_rejects_outliers(self):
         key = jax.random.PRNGKey(5)

@@ -54,6 +54,26 @@ class TestLevelKernel:
         )
         np.testing.assert_allclose(got, np.asarray(levels[0].packed), atol=2e-5)
 
+    def test_odd_height_pads_instead_of_whole_image(self):
+        """Heights with no multiple-of-8 divisor and > one-block size (482 =
+        2 * 241) used to fall back to a whole-image block that overflows
+        VMEM on hardware; the pad plan must keep parity with the XLA path."""
+        h = 482
+        tile, padded = level_kernel._tile_plan(h, 240)
+        assert padded > h and padded % tile == 0 and tile % 8 == 0
+        assert tile <= 240
+
+        intr = camera.Intrinsics(fx=60.0, fy=60.0, cx=31.5, cy=(h - 1) / 2,
+                                 width=64, height=h)
+        d = synthetic.render_depth(intr, jnp.eye(4),
+                                   synthetic.default_scene(seed=5))
+        levels, _ = pyramid.build_pyramid(d, intr, num_levels=1)
+        got = np.asarray(
+            level_kernel.build_level_packed(d, intr, tile_h=240, interpret=True)
+        )
+        assert got.shape == (4, h, 64)
+        np.testing.assert_allclose(got, np.asarray(levels[0].packed), atol=2e-5)
+
 
 class TestBatchedLevelKernels:
     """Batched-grid variants (VERDICT r2 #3): grid=(B, bands) and the

@@ -163,6 +163,40 @@ class TestNormalSpaceSampling:
         t_err, r_err = _pose_err(res.transform, T_true)
         assert t_err < 1e-2 and r_err < 1e-2
 
+    def _level_from_normals(self, normals):
+        h, w, _ = normals.shape
+        vmap = jnp.arange(h * w * 3, dtype=jnp.float32).reshape(h, w, 3)
+        valid = jnp.ones((h, w), bool)
+        return pyramid.PyramidLevel(
+            vertex_map=vmap, normal_map=jnp.asarray(normals, jnp.float32),
+            valid=valid, vertex_valid=valid, packed=None,
+        )
+
+    def test_rare_tail_bin_is_kept(self):
+        """A fully-valid frame whose rarest orientation bin sits at the END
+        of the argsort order: the clamped slice used to keep earlier-bin
+        points and DROP the rare bin's own entry -- exactly the one
+        constraint direction normal-space sampling exists to preserve."""
+        n = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (8, 8, 1))
+        n[7, 7] = [0.0, 0.0, -1.0]  # one -z pixel: bin 5, last segment
+        level = self._level_from_normals(n)
+        _, nrm, ok = projective.sample_level_normal_space(level, 12)
+        kept = np.asarray(nrm)[np.asarray(ok)]
+        assert (kept[:, 2] < -0.9).sum() == 1, "rare -z sample was dropped"
+
+    def test_no_duplicate_picks_from_remainder(self):
+        """count % bins != 0: the remainder must come from extra per-bin
+        slots, not a shared order[:rem] slice that double-weights bin 0's
+        head samples in the GN system."""
+        n = np.zeros((8, 8, 3), np.float32)
+        n[:4] = [1.0, 0.0, 0.0]   # 32 pixels of +x (bin 0)
+        n[4:] = [0.0, 0.0, -1.0]  # 32 pixels of -z (bin 5)
+        level = self._level_from_normals(n)
+        pts, _, ok = projective.sample_level_normal_space(level, 8)  # rem=2
+        kept = np.asarray(pts)[np.asarray(ok)]
+        assert len(kept) == len(np.unique(kept[:, 0]))  # vertex ids unique
+        assert len(kept) >= 3  # both bins represented plus remainder slots
+
 
 class TestSampledSourceFastPath:
     def test_sample_depth_points_matches_sample_level(self):

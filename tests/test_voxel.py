@@ -25,6 +25,21 @@ class TestDownsampleVoxel:
         got = set(np.asarray(idx)[np.asarray(mask)].tolist())
         assert got == ref_idx
 
+    def test_far_from_origin_cloud_not_collapsed(self):
+        """Per-cloud key recentering: a scene 8 m from the origin at 1 cm
+        voxels used to clamp wholesale into the +-511-voxel packed range
+        (everything shared a boundary key and was discarded). Selection
+        must still match the unbounded hash-map oracle."""
+        pts = np.asarray(
+            _random_points(jax.random.PRNGKey(5), 400, scale=0.5)
+        ) + np.asarray([8.0, -8.0, 8.0], np.float32)
+        ref_idx = set(ref.downsample_voxel_np(pts, 0.01))
+        assert len(ref_idx) > 300  # far cloud, fine voxels: many survivors
+        c = cloud_mod.from_points(jnp.asarray(pts))
+        idx, mask = voxel.voxel_select_indices(c, 0.01)
+        got = set(np.asarray(idx)[np.asarray(mask)].tolist())
+        assert got == ref_idx
+
     def test_first_point_wins(self):
         pts = jnp.array(
             [[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [0.5, 0.5, 0.5]], jnp.float32
