@@ -64,7 +64,9 @@ extern "C" {
 
 // Bumped whenever an exported signature changes; the Python loader
 // force-rebuilds when a stale .so reports an older ABI.
-int rstpu_abi_version() { return 3; }
+// v4: png16 batch decode validates per-file dims against the caller's
+// buffer (a larger file used to overflow its fixed-stride slot).
+int rstpu_abi_version() { return 4; }
 
 // Reads header fields. Returns 0 on success, negative error code otherwise.
 int rsc_read_header(const char* path,

@@ -105,7 +105,10 @@ int png16_read_header(const char* path, int32_t* dims) {
 
 // Decodes a grayscale PNG into a caller-allocated uint16 buffer
 // (width*height). 8-bit inputs are widened. Returns 0 on success.
-int png16_decode(const char* path, uint16_t* out) {
+// expect_w/expect_h > 0 demand the file match those dims (-9 otherwise):
+// the caller sized the buffer, and a larger file would overflow it.
+static int DecodeImpl(const char* path, uint16_t* out, int expect_w,
+                      int expect_h) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -141,6 +144,7 @@ int png16_decode(const char* path, uint16_t* out) {
     pos += 12 + len;
   }
   if (width <= 0 || height <= 0 || idat.empty()) return -6;
+  if (expect_w > 0 && (width != expect_w || height != expect_h)) return -9;
 
   const int bpp = bit_depth / 8;
   const int stride = width * bpp;
@@ -161,6 +165,10 @@ int png16_decode(const char* path, uint16_t* out) {
     for (size_t i = 0; i < n; ++i) out[i] = raw[i];
   }
   return 0;
+}
+
+int png16_decode(const char* path, uint16_t* out) {
+  return DecodeImpl(path, out, 0, 0);
 }
 
 // Thread-pooled batch decode: `count` newline-joined paths into one
@@ -206,7 +214,10 @@ int png16_decode_batch(const char* joined_paths, int32_t count,
           tmp.resize(frame);
           dst = tmp.data();
         }
-        const int rc = png16_decode(paths[i].c_str(), dst);
+        // Size-checked: a file whose IHDR exceeds the caller-assumed
+        // (height, width) would write past its fixed-stride slot (heap
+        // overflow); mixed-resolution batches fail with -9 instead.
+        const int rc = DecodeImpl(paths[i].c_str(), dst, width, height);
         if (rc != 0) {
           errs[i] = rc;
           continue;

@@ -47,10 +47,14 @@ class Tracker:
         elif method == "model":
             from realsensetracker_tpu.tracking.frame_to_model import FrameToModelTracker
 
+            kw = {}
+            if self.config.map_capacity:
+                kw["model_capacity"] = self.config.map_capacity
             self._impl = FrameToModelTracker(
                 self.config.intrinsics,
                 voxel_size=self.config.map_voxel_size,
                 icp_max_iter=self.config.align.icp_max_iter,
+                **kw,
             )
         elif method == "rgbd":
             from realsensetracker_tpu.tracking.rgbd import RgbdTracker
@@ -147,14 +151,16 @@ def _fused_cloud_step(depth, prev, pose, *, intr, voxel_size, capacity,
     from realsensetracker_tpu.align import gicp as gicp_mod
     from realsensetracker_tpu.align import icp as icp_mod
 
-    levels, _ = build_pyramid(depth, intr, 1)
-    h, w = levels[0].valid.shape
+    # Cloud backends never read normals/plane tables: skip their
+    # construction (CLAUDE.md: source pyramids skip normals).
+    levels, _ = build_pyramid(depth, intr, 1, with_normals=False)
+    h, w = levels[0].vertex_valid.shape
     c = cloud_mod.Cloud(
         points=levels[0].vertex_map.reshape(h * w, 3),
         mask=levels[0].vertex_valid.reshape(h * w),
     )
     c = voxel_mod.downsample_voxel(c, voxel_size)
-    curr = cloud_mod.Cloud(points=c.points[:capacity], mask=c.mask[:capacity])
+    curr = cloud_mod.subsample_to_capacity(c, capacity)
 
     if method == "icp":
         out = icp_mod.align_icp(curr, prev, icp_max_iter)
@@ -166,8 +172,18 @@ def _fused_cloud_step(depth, prev, pose, *, intr, voxel_size, capacity,
             cov_k=cov_k, use_gicp_cov=use_gicp_cov, huber_delta=huber_delta,
         )
         rel, cost = out.transform, out.cost
-        ok = jnp.all(jnp.isfinite(rel))
-    new_pose = se3.compose(pose, rel)
+        # align_gicp's internal NaN guard retains a FINITE identity with
+        # cost=inf on degenerate solves -- gate on the cost and on having
+        # enough valid points, or an empty frame would be accepted and
+        # become the new reference (permanently corrupting tracking).
+        ok = (
+            jnp.all(jnp.isfinite(rel))
+            & jnp.isfinite(cost)
+            & (out.num_valid >= 3)
+        )
+    # accumulate (compose + SE(3) reprojection): raw compose feedback lets
+    # f32 rotation denormalization grow without bound over long streams.
+    new_pose = se3.accumulate(pose, rel)
     new_pose = jnp.where(ok, new_pose, pose)
     f32 = jnp.float32
     stats = jnp.concatenate([
@@ -175,6 +191,21 @@ def _fused_cloud_step(depth, prev, pose, *, intr, voxel_size, capacity,
         new_pose.reshape(-1).astype(f32),
     ])
     return curr, new_pose, rel, stats
+
+
+@partial(jax.jit, static_argnames=("intr", "voxel_size", "capacity"))
+def _fused_depth_to_cloud(depth, *, intr, voxel_size, capacity):
+    """Depth -> capacity-bounded voxel-downsampled cloud as ONE dispatch
+    (the eager op-by-op version cost ~45 ms per op through the relay on
+    the bootstrap frame). No normals: cloud backends never read them."""
+    levels, _ = build_pyramid(depth, intr, 1, with_normals=False)
+    h, w = levels[0].vertex_valid.shape
+    c = cloud_mod.Cloud(
+        points=levels[0].vertex_map.reshape(h * w, 3),
+        mask=levels[0].vertex_valid.reshape(h * w),
+    )
+    c = voxel_mod.downsample_voxel(c, voxel_size)
+    return cloud_mod.subsample_to_capacity(c, capacity)
 
 
 class _CloudTracker:
@@ -196,14 +227,12 @@ class _CloudTracker:
 
     def _depth_to_cloud(self, depth):
         cfg = self.config
-        levels, _ = build_pyramid(jnp.asarray(depth), cfg.intrinsics, 1)
-        h, w = levels[0].valid.shape
-        pts = levels[0].vertex_map.reshape(h * w, 3)
-        ok = levels[0].vertex_valid.reshape(h * w)
-        c = cloud_mod.Cloud(points=pts, mask=ok)
-        c = voxel_mod.downsample_voxel(c, cfg.align.voxel_size)
-        cap = cfg.align.cloud_capacity
-        return cloud_mod.Cloud(points=c.points[:cap], mask=c.mask[:cap])
+        return _fused_depth_to_cloud(
+            jnp.asarray(depth, jnp.float32),
+            intr=cfg.intrinsics,
+            voxel_size=float(cfg.align.voxel_size),
+            capacity=int(cfg.align.cloud_capacity),
+        )
 
     def process(self, depth, timestamp: float | None = None):
         from realsensetracker_tpu.tracking.frame_to_frame import FrameResult

@@ -126,7 +126,9 @@ def parse_pb_cloud(data: bytes) -> tuple[np.ndarray, np.ndarray | None]:
         if arr.size == candidates[0].size and arr is not candidates[0]:
             c = arr.reshape(-1, 3).astype(np.float32)
             # Colors are bounded; reject obviously-geometric payloads.
-            if c.min() >= -1e-3 and c.max() <= 256.0:
+            # 255 is the bound the /255 rescale below implies -- accepting
+            # (255, 256] would emit colors above 1.0.
+            if c.min() >= -1e-3 and c.max() <= 255.0:
                 colors = c if c.max() <= 1.0 + 1e-6 else c / 255.0
                 break
     return points, colors

@@ -57,8 +57,9 @@ class Clip:
 
     def gray(self, i: int) -> np.ndarray:
         """Frame i's BT.601 luma in [0,1] float32 (requires color)."""
-        c = self.colors[i].astype(np.float32) / 255.0
-        return c @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        from realsensetracker_tpu.data.tum import rgb_to_gray
+
+        return rgb_to_gray(self.colors[i])
 
 
 def write_clip(path: str, depths, timestamps, intr: camera.Intrinsics,
@@ -97,12 +98,33 @@ def _as_u8_colors(colors) -> np.ndarray:
 
 
 def read_clip(path: str) -> Clip:
-    try:
-        from realsensetracker_tpu.native import clip_io
+    """Read a clip: native codec when its library is available, else the
+    Python fallback. Only the native toolchain's ABSENCE selects the
+    fallback -- a real read error (truncated file, bad magic) propagates
+    from whichever path ran, instead of being masked by a second full read
+    that dies with an unrelated error."""
+    if _native_clip_io() is not None:
+        return _native_clip_io().read_clip(path)
+    return read_clip_py(path)
 
-        return clip_io.read_clip(path)
-    except Exception:
-        return read_clip_py(path)
+
+_NATIVE_CLIP_IO = ()  # unset sentinel (None means "checked, unavailable")
+
+
+def _native_clip_io():
+    """The native codec module, or None if its library cannot load.
+    Checked ONCE: retrying a failed cmake build on every read_clip call
+    costs a full build attempt per read."""
+    global _NATIVE_CLIP_IO
+    if _NATIVE_CLIP_IO == ():
+        try:
+            from realsensetracker_tpu.native import clip_io, load
+
+            load()
+            _NATIVE_CLIP_IO = clip_io
+        except Exception:
+            _NATIVE_CLIP_IO = None
+    return _NATIVE_CLIP_IO
 
 
 def read_clip_py(path: str) -> Clip:

@@ -18,7 +18,20 @@ import jax
 
 
 class FrameStream:
-    """Iterate (timestamp, device_array) with lookahead prefetching."""
+    """Iterate (timestamp, device_array) with lookahead prefetching.
+
+    Error and lifecycle semantics (each one was a silent failure mode):
+
+    * a producer-thread exception (corrupt frame, failed device transfer)
+      is re-raised in the CONSUMER at the point of iteration -- a clean
+      end-of-stream after frame k of n would otherwise let a replay
+      "complete" (and score ATE) on a silently truncated sequence;
+    * iterating again after exhaustion raises RuntimeError instead of
+      blocking forever on an empty queue whose producer already exited;
+    * close() (also a context-manager exit) unblocks and stops the
+      producer, so a consumer that stops early does not leak a thread
+      pinning prefetched device buffers in a long-lived process.
+    """
 
     def __init__(
         self,
@@ -32,14 +45,29 @@ class FrameStream:
         self._transfer = transfer or (lambda x: jax.device_put(x))
         self._min_interval = min_interval_s
         self._done = object()
+        self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._started = False
         self._exhausted = False
+
+    def _put(self, item) -> bool:
+        """put() that gives up when the stream is closed (a full queue with
+        a departed consumer would otherwise block the producer forever)."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _producer(self) -> None:
         last = 0.0
         try:
             for item in self._source:
+                if self._stop.is_set():
+                    return
                 ts, frame = item
                 if self._min_interval > 0:
                     now = time.monotonic()
@@ -48,21 +76,38 @@ class FrameStream:
                         time.sleep(wait)
                     last = time.monotonic()
                 staged = self._transfer(frame)
-                self._queue.put((ts, staged))
+                if not self._put((ts, staged)):
+                    return
+        except BaseException as e:  # surfaced to the consumer, not swallowed
+            self._error = e
         finally:
-            self._queue.put(self._done)
+            self._put(self._done)
 
     def _start(self) -> None:
         if not self._started:
             self._thread.start()
             self._started = True
 
+    def _finish(self):
+        """Common end-of-stream handling: propagate producer errors."""
+        self._exhausted = True
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                "frame stream producer failed mid-sequence"
+            ) from err
+
     def __iter__(self) -> Iterator:
+        if self._exhausted:
+            raise RuntimeError(
+                "FrameStream is single-pass and already exhausted; "
+                "create a new stream to re-read the source"
+            )
         self._start()
         while True:
             item = self._queue.get()
             if item is self._done:
-                self._exhausted = True
+                self._finish()
                 return
             yield item
 
@@ -80,9 +125,27 @@ class FrameStream:
         except queue.Empty:
             return None
         if item is self._done:
-            self._exhausted = True
+            self._finish()
             return None
         return item
+
+    def close(self) -> None:
+        """Stop the producer and release its staged frames."""
+        self._stop.set()
+        while True:  # drain so a blocked put() can observe _stop
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        if self._started:
+            self._thread.join(timeout=5.0)
+        self._exhausted = True
+
+    def __enter__(self) -> "FrameStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def stream_clip(clip, prefetch: int = 2) -> FrameStream:

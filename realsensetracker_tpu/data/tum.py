@@ -146,14 +146,22 @@ class TumSequence:
             for off, i in enumerate(idx):
                 yield self.timestamp(i), block[off]
 
-    def frames_rgbd(self, start: int = 0, stop: int | None = None):
+    def frames_rgbd(self, start: int = 0, stop: int | None = None,
+                    batch_decode: int = 8):
         """Yield (timestamp, depth, gray | None): gray is the associated RGB
-        frame's [0,1] float32 luma (the photometric term's input)."""
+        frame's [0,1] float32 luma (the photometric term's input). Depth
+        decodes `batch_decode` frames ahead through the native thread pool,
+        same as frames() (RGB stays per-frame: PIL owns that format)."""
         stop = len(self) if stop is None else min(stop, len(self))
-        for i in range(start, stop):
-            rgb = self.rgb_for_depth(i)
-            gray = None if rgb is None else rgb_to_gray(rgb)
-            yield self.timestamp(i), self.depth(i), gray
+        for b in range(start, stop, max(batch_decode, 1)):
+            idx = range(b, min(b + max(batch_decode, 1), stop))
+            block = (self.load_depth_batch(idx) if batch_decode > 1
+                     else None)
+            for off, i in enumerate(idx):
+                rgb = self.rgb_for_depth(i)
+                gray = None if rgb is None else rgb_to_gray(rgb)
+                depth = block[off] if block is not None else self.depth(i)
+                yield self.timestamp(i), depth, gray
 
     def groundtruth_trajectory(self):
         from realsensetracker_tpu.tracking.trajectory import Trajectory
@@ -240,12 +248,16 @@ def synthesize_tum_sequence(root: str, num_frames: int = 10, seed: int = 0,
     index_lines, rgb_lines, gt_lines = [], [], []
     for i in range(num_frames):
         ts = i / 30.0
-        d16 = np.clip(np.asarray(depths[i]) * DEPTH_SCALE, 0, 65535).astype(np.uint16)
+        # Round, don't truncate: truncation biases every synthesized depth
+        # by -0.1 mm on average (write_clip rounds too).
+        d16 = np.clip(np.round(np.asarray(depths[i]) * DEPTH_SCALE),
+                      0, 65535).astype(np.uint16)
         rel = f"depth/{ts:.6f}.png"
         Image.fromarray(d16).save(os.path.join(root, rel))
         index_lines.append(f"{ts:.6f} {rel}")
         if colors is not None:
-            c8 = np.clip(np.asarray(colors[i]) * 255.0, 0, 255).astype(np.uint8)
+            c8 = np.clip(np.round(np.asarray(colors[i]) * 255.0),
+                         0, 255).astype(np.uint8)
             rel_rgb = f"rgb/{ts:.6f}.png"
             Image.fromarray(c8).save(os.path.join(root, rel_rgb))
             rgb_lines.append(f"{ts:.6f} {rel_rgb}")

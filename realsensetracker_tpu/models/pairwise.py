@@ -42,6 +42,14 @@ def align_pair(
 
     src_d = voxel_mod.downsample_voxel(src, cfg.voxel_size)
     dst_d = voxel_mod.downsample_voxel(dst, cfg.voxel_size)
+    # Honor cfg.cloud_capacity ("fixed capacity after voxel downsample"):
+    # without this bound the FPFH kNN / ICP NN passes run O(N^2) over the
+    # full input capacity no matter what the config says.
+    cap = cfg.cloud_capacity
+    if cap and src_d.capacity > cap:
+        src_d = cloud_mod.subsample_to_capacity(src_d, cap)
+    if cap and dst_d.capacity > cap:
+        dst_d = cloud_mod.subsample_to_capacity(dst_d, cap)
 
     xfm = se3.identity()
     n_matches = jnp.int32(0)

@@ -55,7 +55,12 @@ def write_clip(path: str, depths, timestamps, intr, colors=None) -> None:
     if colors is None:
         colors_ptr = ctypes.c_void_p(0)
     else:
-        colors = np.ascontiguousarray(colors, np.uint8)
+        # Same color contract as the Python writer (recorded._as_u8_colors):
+        # float [0, 1] scales by 255. A plain uint8 cast would truncate
+        # float colors to 0/1 and silently flatten the photometric plane.
+        from realsensetracker_tpu.data.recorded import _as_u8_colors
+
+        colors = _as_u8_colors(colors)
         assert colors.shape == (f_count, h, w, 3), colors.shape
         colors_ptr = colors.ctypes.data_as(ctypes.c_void_p)
     rc = lib.rsc_write_clip(

@@ -29,14 +29,28 @@ def global_frame_batch(
 
 
 def process_stream_slice(num_streams: int) -> slice:
-    """Which stream indices this process owns (contiguous block split)."""
+    """Which stream indices this process owns (contiguous block split).
+
+    num_streams must divide evenly across processes:
+    make_array_from_process_local_data (global_frame_batch) requires every
+    process to contribute an equal local batch -- a ceil split would give
+    some processes fewer (or zero) streams and wedge/fail global assembly.
+    """
     pid = jax.process_index()
     n = jax.process_count()
-    per = (num_streams + n - 1) // n
-    return slice(pid * per, min((pid + 1) * per, num_streams))
+    if num_streams % n != 0:
+        raise ValueError(
+            f"num_streams={num_streams} must be a multiple of "
+            f"process_count={n} (equal per-process shards required by "
+            "global_frame_batch); pad the stream list to a multiple"
+        )
+    per = num_streams // n
+    return slice(pid * per, (pid + 1) * per)
 
 
 _barrier_calls = 0
+_barrier_sum = None  # memoized jitted reduction (per-call jax.jit wrappers
+# would re-trace -- and, through a relay, re-compile -- on every barrier)
 
 
 def all_processes_ready() -> None:
@@ -49,7 +63,7 @@ def all_processes_ready() -> None:
     verifies the contribution count. Single-process this degenerates to a
     local reduction over the local devices (cheap, still executed).
     """
-    global _barrier_calls
+    global _barrier_calls, _barrier_sum
     _barrier_calls += 1
     devices = np.array(jax.devices())  # all devices, all processes
     mesh = Mesh(devices, ("all",))
@@ -60,10 +74,11 @@ def all_processes_ready() -> None:
     # makes every barrier a distinct execution.
     local = np.full((len(jax.local_devices()),), float(_barrier_calls), np.float32)
     global_vals = jax.make_array_from_process_local_data(sharding, local)
-    total = jax.jit(
-        jnp.sum, out_shardings=NamedSharding(mesh, P())
-    )(global_vals)
-    total = float(jax.device_get(total))
+    if _barrier_sum is None:
+        _barrier_sum = jax.jit(
+            jnp.sum, out_shardings=NamedSharding(mesh, P())
+        )
+    total = float(jax.device_get(_barrier_sum(global_vals)))
     if total != len(devices) * _barrier_calls:
         raise RuntimeError(
             f"barrier mismatch: {total} != {len(devices)} devices x call {_barrier_calls}"

@@ -38,9 +38,9 @@ def _frame_cloud(depth, intr, voxel_size, frame_capacity) -> cloud_mod.Cloud:
     h, w = depth.shape
     c = cloud_mod.Cloud(verts.reshape(h * w, 3), valid.reshape(h * w))
     c = voxel_mod.downsample_voxel(c, voxel_size)
-    return cloud_mod.Cloud(
-        points=c.points[:frame_capacity], mask=c.mask[:frame_capacity]
-    )
+    # Spatially uniform capacity reduction (a head slice would crop the
+    # high-x region whenever occupied voxels exceed frame_capacity).
+    return cloud_mod.subsample_to_capacity(c, frame_capacity)
 
 
 @partial(jax.jit, static_argnames=(
@@ -72,7 +72,10 @@ def _fused_model_step(depth, model, pose, *, intr, voxel_size,
         jnp.stack([out.mean_cost.astype(f32), ok.astype(f32)]),
         new_pose.reshape(-1).astype(f32),
     ])
-    return new_model, new_pose, out.transform, stats
+    # FrameResult.relative is documented as prev_from_curr (the inter-frame
+    # motion); align_icp's output here is the ABSOLUTE world_from_camera.
+    relative = se3.compose(se3.inverse(pose), new_pose)
+    return new_model, new_pose, relative, stats
 
 
 @dataclass

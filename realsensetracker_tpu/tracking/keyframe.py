@@ -89,8 +89,8 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
     floor-bound at ~59 ms/frame; scanning W frames amortizes that floor
     to 45/W + compute. Only the per-frame stats come back (one (W, 30)
     transfer) -- the host truncates the window at the first keyframe
-    event and rebuilds that frame's pyramid in one dispatch, so the
-    pyramids never cross the relay.
+    event and adopts the LATCHED device-resident carry as the new state,
+    so the pyramids never cross the relay (see the latch note below).
 
     thresholds: (4,) f32 [min_inlier_fraction, max_translation,
     max_rotation, min_overlap]; max_fails: int32 scalar.
@@ -195,6 +195,11 @@ class KeyframeTracker:
     # (the scan never ships pyramids to the host); _last_levels rebuilds
     # lazily from it if relocalize_to needs the frame as a keyframe.
     _last_depth: object = field(default=None, repr=False)
+    # Device-cached window-scan constants (values never change for a
+    # tracker's lifetime; re-uploading them per window would add host
+    # transfers to the one scan dispatch the design amortizes toward).
+    _thresholds_dev: object = field(default=None, repr=False)
+    _max_fails_dev: object = field(default=None, repr=False)
     _kf_levels: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)  # world_from_keyframe
     _pose: object = field(default=None, repr=False)  # device copy
@@ -209,7 +214,8 @@ class KeyframeTracker:
     def process(self, depth, timestamp: float | None = None) -> KeyframeResult:
         from realsensetracker_tpu.ops.pyramid import build_pyramid
 
-        depth = jnp.asarray(depth)
+        depth = jnp.asarray(depth, jnp.float32)  # pin: a f64/uint16 input
+        # would otherwise compile a second program (CLAUDE.md gotcha 5/8)
         if timestamp is None:
             timestamp = float(self._index)
 
@@ -303,20 +309,22 @@ class KeyframeTracker:
             timestamps = [None] * len(depths)
         if self._kf_levels is None:  # bootstrap: first frame seeds the keyframe
             return [self.process(depths[0], timestamps[0])]
-        stack = np.stack([np.asarray(d) for d in depths])
+        stack = np.stack([np.asarray(d, np.float32) for d in depths])
         if pad_to is not None and pad_to > len(depths):
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], pad_to - len(depths), axis=0)]
             )
-        kf_lv_dev, kf_pose_dev, pose_dev, stats = _fused_track_window(
-            jnp.asarray(stack),
-            self._kf_levels, self._kf_pose, self._pose,
-            self._fail_streak, self._fails_since_kf,
-            jnp.asarray([
+        if self._thresholds_dev is None:
+            self._thresholds_dev = jnp.asarray([
                 self.min_inlier_fraction, self.max_translation,
                 self.max_rotation, self.min_overlap,
-            ], jnp.float32),
-            jnp.int32(self.max_consecutive_failures),
+            ], jnp.float32)
+            self._max_fails_dev = jnp.int32(self.max_consecutive_failures)
+        kf_lv_dev, kf_pose_dev, pose_dev, stats = _fused_track_window(
+            jnp.asarray(stack, jnp.float32),
+            self._kf_levels, self._kf_pose, self._pose,
+            self._fail_streak, self._fails_since_kf,
+            self._thresholds_dev, self._max_fails_dev,
             intr=self.intr, cfg=self.cfg,
         )
         s = np.asarray(stats)  # the window's ONE host transfer

@@ -155,6 +155,9 @@ class RgbdKeyframeTracker:
     # Windowed mode keeps the last frame's (depth, gray) instead of its
     # target; _last_target rebuilds lazily if relocalize_to needs it.
     _last_frame: object = field(default=None, repr=False)
+    # Device-cached window-scan constants (see tracking/keyframe.py).
+    _thresholds_dev: object = field(default=None, repr=False)
+    _max_fails_dev: object = field(default=None, repr=False)
     _kf_target: object = field(default=None, repr=False)
     _kf_pose: object = field(default=None, repr=False)
     _pose: object = field(default=None, repr=False)
@@ -257,17 +260,19 @@ class RgbdKeyframeTracker:
                 )
             return jnp.asarray(s, jnp.float32)
 
+        if self._thresholds_dev is None:
+            self._thresholds_dev = jnp.asarray([
+                self.min_inlier_fraction, self.max_translation,
+                self.max_rotation, self.min_overlap,
+            ], jnp.float32)
+            self._max_fails_dev = jnp.int32(self.max_consecutive_failures)
         kf_lv_dev, kf_gr_dev, kf_pose_dev, pose_dev, stats = \
             _fused_rgbd_track_window(
                 stacked(depths),
                 stacked(grays),
                 kf_levels, kf_grays, self._kf_pose, self._pose,
                 self._fail_streak, self._fails_since_kf,
-                jnp.asarray([
-                    self.min_inlier_fraction, self.max_translation,
-                    self.max_rotation, self.min_overlap,
-                ], jnp.float32),
-                jnp.int32(self.max_consecutive_failures),
+                self._thresholds_dev, self._max_fails_dev,
                 intr=self.intr, cfg=self.cfg,
             )
         s = np.asarray(stats)  # the window's ONE host transfer

@@ -19,7 +19,7 @@ import numpy as np
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.api.config import AlignConfig
-from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.geometry import camera
 from realsensetracker_tpu.loop_closure.detector import (
     KeyframeDatabase,
     global_descriptor,
@@ -54,7 +54,11 @@ def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
     c = voxel_mod.downsample_voxel(
         cloud_mod.Cloud(points=pts, mask=ok), voxel_size
     )
-    kf_cloud = cloud_mod.Cloud(points=c.points[:capacity], mask=c.mask[:capacity])
+    # Capacity reduction must be spatially UNIFORM, not a head slice: the
+    # FPFH descriptor / overlap verifier would otherwise see viewpoint-
+    # dependent croppings of the same place whenever the occupied-voxel
+    # count exceeds capacity (ops.cloud.subsample_to_capacity).
+    kf_cloud = cloud_mod.subsample_to_capacity(c, capacity)
     feats = fpfh_mod.compute_fpfh(
         kf_cloud, jnp.zeros(3, jnp.float32), normal_k, feature_radius,
         max_neighbors,
@@ -142,6 +146,38 @@ class SlamConfig:
     # unchanged.
     use_rgb: bool = False
     rgbd: "object" = None  # align.rgbd.RgbdIcpConfig; None -> defaults
+
+
+def _se3_log_np(T: np.ndarray) -> np.ndarray:
+    """Host-side SE(3) log in NumPy -- [tx ty tz rx ry rz], translation
+    first, matching geometry.se3.log's twist layout.
+
+    The loop-closure odometry gate needs one twist norm per verified hit;
+    calling the un-jitted device se3.log there cost ~20 eager dispatches
+    (~45 ms each through the axon relay) per hit. Near theta = pi the
+    rotation axis is ill-conditioned -- return an inf twist, which the gate
+    (a drift bound well under pi) rejects anyway."""
+    R = np.asarray(T[:3, :3], np.float64)
+    t = np.asarray(T[:3, 3], np.float64)
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = float(np.arccos(c))
+    if theta < 1e-7:
+        w_hat = 0.5 * (R - R.T)
+        w = np.array([w_hat[2, 1], w_hat[0, 2], w_hat[1, 0]])
+        return np.concatenate([t, w])
+    s = np.sin(theta)
+    if abs(s) < 1e-6:
+        return np.full(6, np.inf)
+    w_hat = (R - R.T) * (theta / (2.0 * s))
+    w = np.array([w_hat[2, 1], w_hat[0, 2], w_hat[1, 0]])
+    V_inv = (
+        np.eye(3)
+        - 0.5 * w_hat
+        + (1.0 / theta**2)
+        * (1.0 - theta * s / (2.0 * (1.0 - np.cos(theta))))
+        * (w_hat @ w_hat)
+    )
+    return np.concatenate([V_inv @ t, w])
 
 
 @dataclass
@@ -414,6 +450,7 @@ class SlamTracker:
             min_overlap=cfg.loop_min_overlap,
             pad_to=3,  # one compiled program regardless of candidate count
         )
+        added_pairs = set()
         for (cand_idx, _sim), (T_ab, ok) in zip(hits, verdicts):
             if ok:
                 # verify() registers this kf (src) onto the candidate (dst),
@@ -423,15 +460,12 @@ class SlamTracker:
                 T_meas = np.asarray(T_ab)
                 # Odometry gate: a true loop transform agrees with the
                 # current estimate up to accumulated drift; confidently
-                # wrong global registrations do not.
+                # wrong global registrations do not. Host-side log: one
+                # device se3.log here costs ~20 eager relay dispatches.
                 pred = np.linalg.inv(self._keyframes[cand_idx].pose) @ np.asarray(
                     res.pose
                 )
-                delta = np.asarray(
-                    se3.log(
-                        jnp.asarray(np.linalg.inv(T_meas) @ pred, jnp.float32)
-                    )
-                )
+                delta = _se3_log_np(np.linalg.inv(T_meas) @ pred)
                 allowed = cfg.loop_odometry_gate + (
                     cfg.loop_drift_per_keyframe * abs(kf_idx - cand_idx)
                 )
@@ -440,13 +474,19 @@ class SlamTracker:
                 self._loop_edges.append(
                     (cand_idx, kf_idx, T_meas, cfg.loop_weight)
                 )
+                added_pairs.add((int(cand_idx), kf_idx))
                 self.num_loop_closures += 1
-        if reloc_edge is not None:
+        if reloc_edge is not None and (
+            (int(reloc_edge[0]), kf_idx) not in added_pairs
+        ):
             # Verified relocalization measurement cand_from_this: the SAME
             # quantity a loop edge measures, produced by the same verifier.
             # Recording it here (instead of trusting the jump chain edge)
             # is what lets optimization re-anchor the post-recovery
-            # segment; see SlamConfig.reloc_odom_weight.
+            # segment; see SlamConfig.reloc_odom_weight. Skipped when the
+            # place-recognition pass above already added the identical
+            # (cand, this) edge -- a duplicate would silently double
+            # loop_weight exactly on post-recovery edges.
             cand_idx, T_reloc = reloc_edge
             self._loop_edges.append(
                 (int(cand_idx), kf_idx, np.asarray(T_reloc, np.float32),

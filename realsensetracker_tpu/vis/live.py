@@ -90,8 +90,12 @@ _CMAP = np.asarray(
 
 
 def depth_to_rgb(depth: np.ndarray, max_depth: float = 5.0) -> np.ndarray:
-    """Depth (H, W) meters -> (H, W, 3) uint8; invalid (<= 0) is black."""
+    """Depth (H, W) meters -> (H, W, 3) uint8; invalid (<= 0, NaN/inf) is
+    black. Non-finite pixels must be zeroed BEFORE the colormap index
+    math: floor(NaN).astype(int32) is INT32_MIN, which would crash the
+    _CMAP gather (and with it the whole viewer loop)."""
     d = np.asarray(depth, np.float32)
+    d = np.where(np.isfinite(d), d, 0.0)
     t = np.clip(d / max_depth, 0.0, 1.0) * (len(_CMAP) - 1)
     lo = np.floor(t).astype(np.int32)
     hi = np.minimum(lo + 1, len(_CMAP) - 1)

@@ -89,6 +89,11 @@ def fpfh_pca_colors(fpfh: np.ndarray) -> np.ndarray:
     center = f.mean(0)
     centered = (f - center).T  # (33, N)
     u, s, _ = np.linalg.svd(centered, full_matrices=False)
+    # Fewer than 3 feature rows -> SVD yields < 3 components; pad so the
+    # output is always a valid (N, 3) RGB array (gray for missing axes).
+    if u.shape[1] < 3:
+        u = np.pad(u, ((0, 0), (0, 3 - u.shape[1])))
+        s = np.pad(s, (0, 3 - s.shape[0]))
     scale = np.sqrt(max(n - 1.0, 1.0)) / np.maximum(s[:3], 1e-12)
     proj = (u[:, :3] * scale).T  # (3, 33)
     coords = (proj @ centered).T  # (N, 3)

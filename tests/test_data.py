@@ -83,6 +83,49 @@ class TestStream:
         frames = list(stream.stream_clip(clip))
         assert len(frames) == 3
 
+    def test_producer_error_propagates(self):
+        """A corrupt frame mid-sequence must NOT look like a clean end of
+        stream (a replay would otherwise 'complete' -- and score ATE -- on
+        a silently truncated sequence)."""
+        import pytest
+
+        def src():
+            yield 0.0, np.zeros((4, 4), np.float32)
+            yield 1.0, np.zeros((4, 4), np.float32)
+            raise IOError("corrupt frame 2")
+
+        fs = stream.FrameStream(src(), prefetch=2)
+        got = []
+        with pytest.raises(RuntimeError, match="producer failed"):
+            for ts, d in fs:
+                got.append(ts)
+        assert got == [0.0, 1.0]
+
+    def test_reiteration_raises_instead_of_hanging(self):
+        import pytest
+
+        src = [(float(i), np.zeros((2, 2), np.float32)) for i in range(3)]
+        fs = stream.FrameStream(iter(src))
+        assert len(list(fs)) == 3
+        with pytest.raises(RuntimeError, match="single-pass"):
+            list(fs)
+
+    def test_close_unblocks_producer(self):
+        import threading
+        import time
+
+        src = ((float(i), np.zeros((2, 2), np.float32)) for i in range(100))
+        with stream.FrameStream(src, prefetch=1) as fs:
+            it = iter(fs)
+            next(it)  # start the producer; queue fills and put() blocks
+            time.sleep(0.1)
+        # close() ran: the producer thread must have exited.
+        deadline = time.time() + 5.0
+        while fs._thread.is_alive() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not fs._thread.is_alive()
+        assert threading.active_count() < 50  # no thread leak build-up
+
 
 class TestRandomSources:
     def test_random_cloud_source(self):

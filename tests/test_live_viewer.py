@@ -33,6 +33,15 @@ class TestPngEncoder:
         assert (rgb[0, 0] == 0).all()  # invalid -> black
         assert (rgb[0, 1] != rgb[1, 1]).any()  # near != far
 
+    def test_depth_colormap_nonfinite_is_black(self):
+        # floor(NaN).astype(int32) is INT32_MIN: without the finite mask
+        # the colormap gather raised IndexError and killed the viewer loop.
+        d = np.array([[np.nan, 1.0], [np.inf, -np.inf]], np.float32)
+        rgb = live.depth_to_rgb(d, max_depth=5.0)
+        assert (rgb[0, 0] == 0).all()
+        assert (rgb[1, 0] == 0).all() and (rgb[1, 1] == 0).all()
+        assert (rgb[0, 1] != 0).any()  # valid pixel still colored
+
 
 class _FakeStream:
     """Scripted poll() sequence: None entries are stale polls."""

@@ -58,6 +58,27 @@ class TestClipCodec:
         with pytest.raises(ValueError):
             clip_io.read_clip(p)
 
+    def test_native_writer_scales_float_colors(self, tmp_path):
+        """Float [0,1] colors must scale by 255 exactly like the Python
+        writer (a plain uint8 cast truncated them to 0/1, flattening the
+        photometric plane)."""
+        from realsensetracker_tpu.data import recorded
+        from realsensetracker_tpu.geometry import camera
+        from realsensetracker_tpu.native import clip_io
+
+        intr = camera.Intrinsics(10.0, 10.0, 7.5, 7.5, 16, 16)
+        depths = np.ones((2, 16, 16), np.float32)
+        stamps = np.array([0.0, 0.5])
+        colors = np.full((2, 16, 16, 3), 0.5, np.float32)
+        p_nat = os.path.join(tmp_path, "nat.rsc")
+        p_py = os.path.join(tmp_path, "py.rsc")
+        clip_io.write_clip(p_nat, depths, stamps, intr, colors=colors)
+        recorded.write_clip(p_py, depths, stamps, intr, colors=colors)
+        c_nat = recorded.read_clip_py(p_nat).colors
+        c_py = recorded.read_clip_py(p_py).colors
+        np.testing.assert_array_equal(c_nat, c_py)
+        assert c_nat.max() > 100  # scaled, not truncated to 0/1
+
 
 class TestPng16:
     @pytest.mark.parametrize("dtype,scale", [(np.uint16, 65535), (np.uint8, 255)])
@@ -106,6 +127,23 @@ class TestPng16:
         open(bad, "wb").write(b"nonsense")
         with pytest.raises(ValueError, match="bad.png"):
             png_io.read_png16_batch([good, bad], 8, 8)
+
+    def test_batch_decode_rejects_mixed_resolutions(self, tmp_path):
+        """A file LARGER than the caller-assumed dims used to write past
+        its fixed-stride slot (heap overflow); the sized decode must fail
+        with a per-file error instead."""
+        from PIL import Image
+
+        from realsensetracker_tpu.native import png_io
+
+        small = (np.ones((8, 8)) * 7).astype(np.uint16)
+        big = (np.ones((16, 16)) * 9).astype(np.uint16)
+        ps = os.path.join(tmp_path, "small.png")
+        pb = os.path.join(tmp_path, "big.png")
+        Image.fromarray(small).save(ps)
+        Image.fromarray(big).save(pb)
+        with pytest.raises(ValueError, match="big.png"):
+            png_io.read_png16_batch([ps, pb], 8, 8)
 
     def test_tum_batch_loader_matches_per_frame(self, tmp_path):
         from realsensetracker_tpu.data import tum

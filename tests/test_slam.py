@@ -222,3 +222,81 @@ class TestSlam:
             tracker.process(depths[i], float(i))
         m = tracker.build_map(voxel_size=0.1, capacity=1 << 14)
         assert int(m.count()) > 100
+
+
+class TestKeyframePrep:
+    def test_capacity_overflow_subsamples_uniformly(self):
+        """When occupied voxels exceed keyframe_cloud_capacity, the
+        reduction must take evenly spaced survivors: survivors are
+        compacted in sorted packed-key (x-major) order, so the old head
+        slice kept only the lowest-x region of the scene."""
+        from realsensetracker_tpu.tracking import slam as slam_mod
+
+        depth = synthetic.render_depth(INTR, se3.identity(),
+                                       synthetic.default_scene(seed=3))
+        kw = dict(intr=INTR, voxel_size=0.02, normal_k=8,
+                  feature_radius=0.5, max_neighbors=16)
+        # Reference extent from an overflow-free run.
+        full_cloud, _, _ = slam_mod._fused_keyframe_prep(
+            depth, capacity=8192, **kw)
+        full_pts = np.asarray(full_cloud.points)[np.asarray(full_cloud.mask)]
+        n_survivors = len(full_pts)
+        cap = 256
+        assert n_survivors > 2 * cap, "scene too small to exercise overflow"
+
+        small_cloud, feats, _ = slam_mod._fused_keyframe_prep(
+            depth, capacity=cap, **kw)
+        m = np.asarray(small_cloud.mask)
+        pts = np.asarray(small_cloud.points)[m]
+        assert m.sum() == cap
+        # Uniform selection spans (almost) the full x extent; a head slice
+        # keeps only the low-x prefix of the key-sorted survivors.
+        lo, hi = full_pts[:, 0].min(), full_pts[:, 0].max()
+        span = hi - lo
+        assert pts[:, 0].min() < lo + 0.15 * span
+        assert pts[:, 0].max() > hi - 0.15 * span
+        head_hi = full_pts[:cap, 0].max()  # what the old slice would keep
+        assert head_hi < hi - 0.15 * span, "scene does not separate the behaviors"
+        assert np.isfinite(np.asarray(feats)[m]).all()
+
+    def test_capacity_underflow_keeps_all_survivors(self):
+        from realsensetracker_tpu.tracking import slam as slam_mod
+
+        depth = synthetic.render_depth(INTR, se3.identity(),
+                                       synthetic.default_scene(seed=3))
+        kw = dict(intr=INTR, voxel_size=0.05, normal_k=8,
+                  feature_radius=0.5, max_neighbors=16)
+        big, _, _ = slam_mod._fused_keyframe_prep(depth, capacity=8192, **kw)
+        n = int(np.asarray(big.mask).sum())
+        assert 0 < n < 8192
+        pts = np.asarray(big.points)[np.asarray(big.mask)]
+        assert np.unique(pts, axis=0).shape[0] == n  # no duplicated rows
+
+
+class TestHostSe3Log:
+    def test_matches_device_log(self):
+        from realsensetracker_tpu.tracking.slam import _se3_log_np
+
+        rng = np.random.RandomState(0)
+        for _ in range(10):
+            tw = rng.randn(6).astype(np.float32) * 0.6
+            T = np.asarray(se3.exp(jnp.asarray(tw)))
+            np.testing.assert_allclose(
+                _se3_log_np(T), np.asarray(se3.log(jnp.asarray(T))),
+                atol=1e-5,
+            )
+
+    def test_small_and_near_pi_angles(self):
+        from realsensetracker_tpu.tracking.slam import _se3_log_np
+
+        # Tiny rotation: the small-angle branch must return the translation
+        # unchanged (twist layout is [t, w], translation first).
+        tiny = np.asarray(se3.exp(jnp.asarray(
+            [0.1, -0.2, 0.3, 1e-9, 0, 0], jnp.float32)))
+        got = _se3_log_np(tiny)
+        np.testing.assert_allclose(got[:3], [0.1, -0.2, 0.3], atol=1e-5)
+        # Near-pi rotations are gate-rejected via an inf twist, never NaN.
+        near_pi = np.asarray(se3.exp(jnp.asarray(
+            [0, 0, 0, np.pi - 1e-8, 0, 0], jnp.float32)))
+        out = _se3_log_np(near_pi)
+        assert not np.isnan(out).any()
