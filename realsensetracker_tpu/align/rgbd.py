@@ -96,9 +96,9 @@ def sample_depth_gray_points(
     return pts, i_src, ok
 
 
-def _huber_w(r, delta):
-    a = jnp.abs(r)
-    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-30))
+from realsensetracker_tpu.align.photometric import huber_weight as _huber_w  # noqa: E402
+# (single shared Huber IRLS weight -- a drifted copy here would silently
+# change the geometric/photometric balance between the two aligners)
 
 
 def _photo_system(T, src_pts, src_inten, src_ok, dst_gray, intr, cfg):
@@ -187,6 +187,13 @@ def rgbd_icp_sampled(
 
         T, stats = jax.lax.fori_loop(0, level_iters, body, (T, stats))
 
+    # Final statistics AT the returned transform on the finest level: the
+    # in-loop stats are measured at the pre-update pose and would lag the
+    # returned transform by one GN step (the success gate in
+    # tracking/rgbd.py reads inlier_fraction, so the lag is load-bearing).
+    _, stats = _step(
+        T, src_samples[0], dst_levels[0], dst_grays[0], intrs[0], cfg, icp_cfg
+    )
     rmse, photo_rmse, frac, matched = stats
     return RgbdResult(
         transform=T, rmse=rmse, photo_rmse=photo_rmse,

@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="projective",
                    choices=["projective", "rgbd", "keyframe", "model", "icp",
                             "gicp", "slam"])
-    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="process at most this many frames (counted from "
+                        "--start-frame); 0 = all")
     p.add_argument("--start-frame", type=int, default=0,
                    help="Skip this many frames first (with --resume-state: "
                         "continue exactly where the snapshot left off)")
@@ -40,8 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "RGB-D odometry (requires a color stream); loop "
                         "closure stays geometric")
     p.add_argument("--window", type=int, default=0, metavar="W",
-                   help="slam/keyframe methods (depth-only): scan up to W "
-                        "frames per device dispatch (amortizes the "
+                   help="slam/keyframe methods (incl. --slam-rgb): scan up "
+                        "to W frames per device dispatch (amortizes the "
                         "per-dispatch overhead; identical trajectory to "
                         "per-frame mode -- the scan truncates at every "
                         "keyframe event)")
@@ -69,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--live-latest", default="", metavar="PNG",
                    help="Atomically refresh this PNG with the latest frame")
     return p
+
+
+def _stop(args) -> int | None:
+    """End index from --start-frame + --max-frames (a COUNT, not an
+    absolute index: --start-frame 100 --max-frames 50 means frames
+    100..149, not an empty range)."""
+    return (args.start_frame + args.max_frames) if args.max_frames else None
 
 
 def main(argv=None) -> int:
@@ -108,17 +117,17 @@ def main(argv=None) -> int:
             frames = (
                 (ts, d, g)
                 for ts, d, g in seq.frames_rgbd(start=args.start_frame,
-                                                stop=args.max_frames or None)
+                                                stop=_stop(args))
             )
         else:
-            frames = stream_mod.stream_tum(seq, stop=args.max_frames or None,
+            frames = stream_mod.stream_tum(seq, stop=_stop(args),
                                            start=args.start_frame)
         if (args.ate or args.rpe > 0) and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
         clip = recorded.read_clip(args.record)
         intr = clip.intrinsics
-        stop = args.max_frames or len(clip)
+        stop = min(_stop(args) or len(clip), len(clip))
         start = args.start_frame
         if wants_color:
             if not clip.has_color:

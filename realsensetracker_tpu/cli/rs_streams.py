@@ -56,11 +56,15 @@ def main(argv=None) -> int:
     win = max(0, args.window)
     if win:
         # (F, S, H, W) -> full windows of W frames: (n_win, S, W, H, Wd).
+        # The trailing (frames-1) % W steps fall back to per-frame stepping
+        # below -- silently dropping them would misreport the run (and a
+        # short tail window would cost its own 30-90 s relay compile).
         usable = ((args.frames - 1) // win) * win
         windows = [
             jnp.moveaxis(depths[1 + k : 1 + k + win], 0, 1)
             for k in range(0, usable, win)
         ]
+        tail = list(range(1 + usable, args.frames))
         # Warm up on a DISTINCT input (frame 0 vs itself): repeating the
         # first timed window here would let the relay memoize it.
         warm = jnp.repeat(depths[0][:, None], win, axis=1)
@@ -87,6 +91,10 @@ def main(argv=None) -> int:
                 for j in range(win)
             )
             n_steps += win
+        for f in tail:  # per-frame for the partial last window
+            state, res = streams.step_streams(state, depths[f], intr)
+            results.append(res)
+            n_steps += 1
     else:
         for f in range(1, args.frames):
             state, res = streams.step_streams(state, depths[f], intr)

@@ -205,10 +205,7 @@ def _random_walk_poses(num_frames: int, seed: int, step_scale: float) -> jnp.nda
     key = jax.random.PRNGKey(seed)
     twists = step_scale * jax.random.normal(key, (num_frames - 1, 6), dtype=jnp.float32)
     twists = twists.at[:, 3:].multiply(0.5)  # damp rotations vs translations
-    poses = [se3.identity()]
-    for i in range(num_frames - 1):
-        poses.append(se3.compose(poses[-1], se3.exp(twists[i])))
-    return jnp.stack(poses)
+    return poses_from_twists(twists)
 
 
 def poses_from_twists(twists: jnp.ndarray) -> jnp.ndarray:

@@ -35,9 +35,17 @@ def check_finite(x, name: str = "value"):
     Returns x unchanged (insertable into pipelines without effect).
     """
     bad = jnp.logical_not(jnp.all(jnp.isfinite(x)))
-    jax.debug.print(
-        "[check_finite] {name}: non-finite={bad}", name=name, bad=bad, ordered=False
-    )
+
+    def _report(_):
+        jax.debug.print(
+            "[check_finite] {name}: non-finite VALUES PRESENT", name=name,
+            ordered=False,
+        )
+        return 0
+
+    # Print ONLY on violation (an unconditional host callback would flood
+    # logs and tax every frame of a hot pipeline it is inserted into).
+    jax.lax.cond(bad, _report, lambda _: 0, 0)
     return x
 
 

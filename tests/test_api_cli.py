@@ -153,6 +153,22 @@ class TestCli:
         assert rc == 0
         assert len(open(traj).readlines()) == 3
 
+    def test_replay_start_frame_plus_max_frames(self, tmp_path, capsys):
+        """--max-frames is a COUNT from --start-frame, not an absolute end
+        index (--start-frame 2 --max-frames 2 used to give range(2, 2) ->
+        'processed 0 frames' with exit code 0)."""
+        from realsensetracker_tpu.cli import rs_replay
+
+        clip_path = os.path.join(tmp_path, "c.rsc")
+        recorded.record_synthetic_clip(clip_path, num_frames=5, width=64,
+                                       height=48)
+        traj = os.path.join(tmp_path, "traj.txt")
+        rc = rs_replay.main(["--record", clip_path, "--start-frame", "2",
+                             "--max-frames", "2", "--trajectory-out", traj,
+                             "--method", "projective"])
+        assert rc == 0
+        assert len(open(traj).readlines()) == 2
+
     def test_align_clip(self, tmp_path, capsys):
         from realsensetracker_tpu.cli import rs_align
 
@@ -215,6 +231,19 @@ class TestStreamsCli:
         out = capsys.readouterr().out
         assert "frame 4: 2/2 streams tracking" in out
         assert "FPS/stream" in out
+
+    def test_streams_windowed_tail_not_dropped(self, capsys):
+        """(frames-1) % window != 0: the trailing steps run per-frame
+        instead of being silently dropped from the run/summary."""
+        from realsensetracker_tpu.cli import rs_streams
+
+        rc = rs_streams.main(["--streams", "2", "--frames", "4",
+                              "--width", "64", "--height", "48",
+                              "--window", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "frame 3: 2/2 streams tracking" in out  # the tail step
+        assert "x 3 steps" in out
 
 
 def test_tracker_model_method():
