@@ -7,6 +7,7 @@
 // C++ with threads, off the Python hot path, feeding the host->device
 // streamer.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -66,7 +67,9 @@ extern "C" {
 // force-rebuilds when a stale .so reports an older ABI.
 // v4: png16 batch decode validates per-file dims against the caller's
 // buffer (a larger file used to overflow its fixed-stride slot).
-int rstpu_abi_version() { return 4; }
+// v5: write_clip rounds half-to-even (np.round parity), clamps NaN depth
+// to 0 instead of a UB cast, and fails on short writes (disk full).
+int rstpu_abi_version() { return 5; }
 
 // Reads header fields. Returns 0 on success, negative error code otherwise.
 int rsc_read_header(const char* path,
@@ -184,28 +187,37 @@ int rsc_write_clip(const char* path, const double* stamps, const float* depths,
   std::FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
   const int64_t total = static_cast<int64_t>(num_frames) * height * width;
+  size_t wr = 0;
   if (colors) {
-    std::fwrite(kMagic2, 1, 8, f);
+    wr += std::fwrite(kMagic2, 1, 8, f);
     int32_t dims[6] = {num_frames, height, width, kDtypeU16Mm, 1, 0};
-    std::fwrite(dims, 4, 6, f);
+    wr += std::fwrite(dims, 4, 6, f) * 4;
   } else {
-    std::fwrite(kMagic, 1, 8, f);
+    wr += std::fwrite(kMagic, 1, 8, f);
     int32_t dims[4] = {num_frames, height, width, kDtypeU16Mm};
-    std::fwrite(dims, 4, 4, f);
+    wr += std::fwrite(dims, 4, 4, f) * 4;
   }
-  std::fwrite(intr, 4, 4, f);
-  std::fwrite(stamps, 8, num_frames, f);
+  wr += std::fwrite(intr, 4, 4, f) * 4;
+  wr += std::fwrite(stamps, 8, num_frames, f) * 8;
   std::vector<uint16_t> mm(total);
   for (int64_t i = 0; i < total; ++i) {
-    float v = depths[i] * 1000.0f + 0.5f;
-    if (v < 0.0f) v = 0.0f;
+    // nearbyint = round-half-to-even (default FP mode), matching the
+    // Python writer's np.round; NaN/inf depths clamp to 0 instead of a
+    // UB float->uint16 cast.
+    float v = std::nearbyintf(depths[i] * 1000.0f);
+    if (!(v > 0.0f)) v = 0.0f;  // also catches NaN
     if (v > 65535.0f) v = 65535.0f;
     mm[i] = static_cast<uint16_t>(v);
   }
-  std::fwrite(mm.data(), 2, total, f);
-  if (colors) std::fwrite(colors, 1, total * 3, f);
-  std::fclose(f);
-  return 0;
+  wr += std::fwrite(mm.data(), 2, total, f) * 2;
+  if (colors) wr += std::fwrite(colors, 1, total * 3, f);
+  const size_t expect = (colors ? 8 + 24 : 8 + 16) + 16 +
+                        static_cast<size_t>(num_frames) * 8 + total * 2 +
+                        (colors ? total * 3 : 0);
+  const bool closed_ok = std::fclose(f) == 0;
+  // Short writes (disk full) must not report success: the corruption
+  // would otherwise only surface later as an unrelated read error.
+  return (wr == expect && closed_ok) ? 0 : -2;
 }
 
 }  // extern "C"

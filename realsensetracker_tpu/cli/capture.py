@@ -45,8 +45,10 @@ def main(argv=None) -> int:
         depths = np.asarray(depths)
 
     for i in range(len(depths)):
-        levels, _ = build_pyramid(jnp.asarray(depths[i]), intr, 1)
-        h, w = levels[0].valid.shape
+        # No normals: only vertex_map/vertex_valid are read below.
+        levels, _ = build_pyramid(jnp.asarray(depths[i]), intr, 1,
+                                  with_normals=False)
+        h, w = levels[0].vertex_valid.shape
         pts = np.asarray(levels[0].vertex_map.reshape(h * w, 3))
         ok = np.asarray(levels[0].vertex_valid.reshape(h * w))
         path = args.out.format(i)

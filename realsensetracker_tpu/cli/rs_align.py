@@ -49,11 +49,18 @@ def _cloud_from_depth(depth, intr, capacity):
     from realsensetracker_tpu.ops import cloud as cloud_mod
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
-    levels, _ = build_pyramid(jnp.asarray(depth), intr, 1)
-    h, w = levels[0].valid.shape
+    # No normals: only vertex_map/vertex_valid are read below.
+    levels, _ = build_pyramid(jnp.asarray(depth), intr, 1, with_normals=False)
+    h, w = levels[0].vertex_valid.shape
     pts = np.asarray(levels[0].vertex_map.reshape(h * w, 3))
     ok = np.asarray(levels[0].vertex_valid.reshape(h * w))
     pts = pts[ok]
+    if len(pts) > capacity:
+        # Uniform stride over the raster-ordered valid pixels: a head
+        # slice (pad_to_capacity drops the tail) would keep only the top
+        # ~capacity/W image rows and register garbage slivers.
+        idx = np.linspace(0, len(pts) - 1, capacity).astype(np.int64)
+        pts = pts[idx]
     return cloud_mod.pad_to_capacity(pts, capacity)
 
 
@@ -106,14 +113,19 @@ def main(argv=None) -> int:
 
     if args.render:
         from realsensetracker_tpu.ops import fpfh as fpfh_mod
-        from realsensetracker_tpu.ops import voxel as voxel_mod
         from realsensetracker_tpu.vis import fpfh_pca_colors, render_cloud_png
 
-        src_d = voxel_mod.downsample_voxel(src, cfg.voxel_size)
-        feats = np.asarray(
-            fpfh_mod.compute_fpfh(src_d, jnp.zeros(3), cfg.normal_k,
-                                  cfg.feature_radius, cfg.fpfh_max_neighbors)
-        )
+        # Reuse align_pair's own downsample + features (recomputing the
+        # O(N^2) FPFH pass here used to double the CLI latency).
+        src_d = res.src_down
+        if res.src_feats is not None:
+            feats = np.asarray(res.src_feats)
+        else:  # FPFH was skipped by the config: compute it for colors only
+            feats = np.asarray(
+                fpfh_mod.compute_fpfh(src_d, jnp.zeros(3), cfg.normal_k,
+                                      cfg.feature_radius,
+                                      cfg.fpfh_max_neighbors)
+            )
         mask = np.asarray(src_d.mask)
         rec = np.asarray(se3.transform_points(res.transform, src_d.points))[mask]
         colors = fpfh_pca_colors(feats[mask])

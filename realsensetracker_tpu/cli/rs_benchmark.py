@@ -197,13 +197,14 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             run(frames[skip:], skip)
             dt = time.perf_counter() - t0
-        n_chips = max(1, len(jax.devices()))
+        # Single-device program: the per-chip rate IS the measured rate
+        # (BENCHMARKS.md "Per-chip accounting").
         print(json.dumps({
             "pipeline": args.pipeline,
             "frames": args.batch,
             "window": win,
             "resolution": f"{args.width}x{args.height}",
-            "frames_per_sec_per_chip": round(n_timed / dt / n_chips, 2),
+            "frames_per_sec_per_chip": round(n_timed / dt, 2),
             "ms_per_frame": round(1000 * dt / max(n_timed, 1), 2),
             "keyframes": tracker.keyframe_count,
         }))
@@ -211,12 +212,12 @@ def main(argv=None) -> int:
     else:
         raise SystemExit(f"unsupported pipeline for benchmarking: {args.pipeline}")
 
-    n_chips = max(1, len(jax.devices()))
+    # Single-device program: the per-chip rate IS the measured rate.
     print(json.dumps({
         "pipeline": args.pipeline,
         "batch": args.batch,
         "resolution": f"{args.width}x{args.height}",
-        "pairs_per_sec_per_chip": round(per_pair / n_chips, 2),
+        "pairs_per_sec_per_chip": round(per_pair, 2),
         "ms_per_batch": round(1000 * dt / args.iters, 2),
     }))
     return 0

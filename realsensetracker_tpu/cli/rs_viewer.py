@@ -83,28 +83,46 @@ def _live_loop(args) -> int:
         transfer=lambda x: x,  # host-side rendering; no device staging
         min_interval_s=interval_s,
     )
+    import sys
+
+    for flag in ("render_dir", "ply_dir"):
+        if getattr(args, flag, ""):
+            print(f"note: --{flag.replace('_', '-')} applies to the "
+                  "non-loop path and is ignored in live/loop mode",
+                  file=sys.stderr)
+    if args.color:
+        print("note: live/loop mode renders and records depth only; "
+              "--color is ignored here", file=sys.stderr)
     server = live.LiveServer(port=args.serve) if args.serve >= 0 else None
     if server is not None:
         print(f"live view: http://127.0.0.1:{server.port}/")
+    # Frames are retained ONLY when recording (a live view of a long clip
+    # would otherwise hold every shown frame in memory for a counter).
     shown_frames: list = []
+    counter = [0]
     t0 = time.monotonic()
 
     def on_frame(ts, depth):
         png = live.encode_png(live.depth_to_rgb(depth))
         elapsed = max(time.monotonic() - t0, 1e-6)
         status = {
-            "frame": len(shown_frames),
+            "frame": counter[0],
             "timestamp": float(ts),
-            "fps": round((len(shown_frames) + 1) / elapsed, 2),
+            "fps": round((counter[0] + 1) / elapsed, 2),
         }
         if server is not None:
             server.update(png, status)
         if args.live_latest:
             live.write_latest_png(args.live_latest, png)
-        shown_frames.append((ts, depth))
+        if args.record:
+            shown_frames.append((ts, depth))
+        counter[0] += 1
 
+    # --frames sizes SYNTHETIC capture; viewing a clip plays it to the end
+    # (the reference Loop runs until the source ends, rs_viewer.cpp:67-117).
+    cap = len(depths) if args.view else args.frames
     shown = live.viewer_loop(
-        stream, on_frame, frame_interval_s=interval_s, max_frames=args.frames
+        stream, on_frame, frame_interval_s=interval_s, max_frames=cap
     )
     if args.record and shown_frames:
         recorded.write_clip(

@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                 cols = _np.full((len(pts), 3), 0.5, _np.float32)
         else:
             pts, cols = load_xyzrgb(path)
+        if len(pts) == 0:
+            # Empty/xyz-only file: skip it instead of crashing the loop
+            # (cols.max() on a zero-length array raises).
+            print(f"skipping empty cloud: {path}")
+            continue
         out = os.path.join(args.out_dir, f"view_{i:04d}.png")
         render_cloud_png(out, [(pts, cols / 255.0 if cols.max() > 1 else cols)])
         count += 1

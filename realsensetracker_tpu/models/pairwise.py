@@ -28,6 +28,10 @@ class AlignPairResult(NamedTuple):
     num_matches: jnp.ndarray
     icp_mean_cost: jnp.ndarray
     success: bool
+    # Intermediates, exposed so render/inspection paths do not recompute
+    # the downsample + O(N^2) FPFH pipeline a second time:
+    src_down: object = None   # voxel-downsampled source Cloud
+    src_feats: object = None  # its FPFH features (None without FPFH/robust)
 
 
 def align_pair(
@@ -106,4 +110,6 @@ def align_pair(
         num_matches=n_matches,
         icp_mean_cost=icp_cost,
         success=bool(jnp.all(jnp.isfinite(xfm))),
+        src_down=src_d,
+        src_feats=src_f,
     )

@@ -95,9 +95,20 @@ def _robust(cfg: AlignConfig | None = None):
 @register("keyframe")
 def _keyframe(intr: camera.Intrinsics = camera.TUM_DEFAULT,
               cfg: ProjectiveIcpConfig = ProjectiveIcpConfig()):
-    from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
+    """Pairwise adapter over the keyframe tracker's registration: honors
+    the registry contract (run(src_depth, dst_depth) -> .transform) by
+    registering the src DEPTH IMAGE onto dst with the same coarse-to-fine
+    projective pipeline the tracker uses per frame."""
+    from realsensetracker_tpu.align import projective
+    from realsensetracker_tpu.ops.pyramid import build_pyramid
 
-    def run():
-        return KeyframeTracker(intr, cfg)
+    def run(src_depth, dst_depth):
+        dst_levels, intrs = build_pyramid(dst_depth, intr, len(cfg.iters))
+        src_levels, _ = build_pyramid(
+            src_depth, intr, len(cfg.iters), with_normals=False
+        )
+        return projective.projective_icp(
+            tuple(src_levels), tuple(dst_levels), tuple(intrs), cfg=cfg
+        )
 
     return run

@@ -56,7 +56,7 @@ def load(auto_build: bool = True):
     if path is None:
         raise OSError("native library not built")
     lib = ctypes.CDLL(path)
-    if not hasattr(lib, "rstpu_abi_version") or lib.rstpu_abi_version() < 4:
+    if not hasattr(lib, "rstpu_abi_version") or lib.rstpu_abi_version() < 5:
         # Stale build from an older source revision: rebuild in place.
         if not auto_build:
             raise OSError("native library ABI too old")

@@ -27,10 +27,21 @@ class NativeVoxelMap:
         except Exception:
             pass
 
-    def add_cloud(self, transform, points) -> None:
+    def add_cloud(self, transform, points, mask=None) -> None:
+        """Insert points (world = transform @ points). mask (N,) bool keeps
+        only valid rows -- the framework's clouds are capacity-padded, and
+        feeding padded zero rows would permanently claim voxel (0,0,0)
+        under first-insert-wins; non-finite rows are always dropped (the
+        native int32 cast of a NaN coordinate is undefined behavior)."""
         T = np.ascontiguousarray(transform, np.float32)
-        pts = np.ascontiguousarray(points, np.float32)
+        pts = np.asarray(points, np.float32)
         assert T.shape == (4, 4) and pts.ndim == 2 and pts.shape[1] == 3
+        keep = np.isfinite(pts).all(axis=1)
+        if mask is not None:
+            keep &= np.asarray(mask, bool)
+        pts = np.ascontiguousarray(pts[keep])
+        if pts.shape[0] == 0:
+            return
         self._lib.voxel_map_add(
             self._handle,
             T.ctypes.data_as(ctypes.c_void_p),

@@ -25,8 +25,14 @@ def bilinear_sample(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     vc = jnp.clip(v, 0.0, h - 1.0)
     u0 = jnp.clip(jnp.floor(uc), 0, w - 2).astype(jnp.int32)
     v0 = jnp.clip(jnp.floor(vc), 0, h - 2).astype(jnp.int32)
-    du = (uc - u0).astype(image.dtype)
-    dv = (vc - v0).astype(image.dtype)
+    # Weights stay FLOAT: casting them to an integer image's dtype would
+    # truncate every fraction to 0 (nearest-floor lookup, zero gradients).
+    wdtype = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) \
+        else jnp.float32
+    du = (uc - u0).astype(wdtype)
+    dv = (vc - v0).astype(wdtype)
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(wdtype)
 
     i00 = image[v0, u0]
     i01 = image[v0, u0 + 1]

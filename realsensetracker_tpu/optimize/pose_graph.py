@@ -71,6 +71,13 @@ def from_trajectory(poses, loop_edges=(), odometry=None, odometry_weights=None):
                 f"odometry_weights must have {n - 1} entries, got {len(w)}"
             )
     for (i, j, T_ij, weight) in loop_edges:
+        if not (0 <= i < n and 0 <= j < n):
+            # Fail loudly: a JAX gather would silently CLAMP an
+            # out-of-range node index, attaching the constraint to the
+            # wrong node and corrupting the optimized trajectory.
+            raise ValueError(
+                f"loop edge ({i}, {j}) out of range for {n} nodes"
+            )
         ei.append(i)
         ej.append(j)
         meas.append(jnp.asarray(T_ij, jnp.float32))

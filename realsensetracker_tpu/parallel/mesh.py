@@ -13,7 +13,6 @@ scales over ICI with a jax.sharding.Mesh of two logical axes:
 
 from __future__ import annotations
 
-import math
 
 import jax
 import numpy as np

@@ -130,6 +130,15 @@ class LiveServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                # The index page polls /frame.png every 200 ms, so client
+                # disconnects mid-write are ROUTINE -- swallow them instead
+                # of letting socketserver dump a traceback per navigation.
+                try:
+                    self._do_get()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def _do_get(self):
                 path = self.path.split("?")[0]
                 if path == "/":
                     self._send(200, "text/html", _INDEX_HTML)

@@ -104,6 +104,40 @@ class TestModels:
             se3.compose(se3.inverse(T_true), out.transform))))
         assert err.max() < 5e-3
 
+    def test_keyframe_pipeline_honors_pairwise_contract(self):
+        """Every registry entry is run(src, dst) -> .transform; 'keyframe'
+        used to return a zero-arg tracker factory instead."""
+        run = get_pipeline("keyframe", intr=INTR, cfg=PCFG)
+        d0, d1, T_true = synthetic.render_pair(
+            INTR, jnp.asarray([0.01, 0, 0, 0, 0, 0])
+        )
+        out = run(d1, d0)
+        err = np.abs(np.asarray(se3.log(
+            se3.compose(se3.inverse(T_true), out.transform))))
+        assert err.max() < 5e-3
+
+    def test_align_clip_capacity_overflow_spans_image(self):
+        """_cloud_from_depth at a capacity far below the valid-pixel count
+        must subsample uniformly (a head slice kept only the TOP ~cap/W
+        image rows and registered garbage slivers)."""
+        from realsensetracker_tpu.cli.rs_align import _cloud_from_depth
+
+        d = synthetic.render_depth(INTR, se3.identity(),
+                                   synthetic.default_scene(seed=2))
+        full = _cloud_from_depth(np.asarray(d), INTR, 100000)
+        full_pts = np.asarray(full.points)[np.asarray(full.mask)]
+        assert len(full_pts) > 1000  # scene large enough to overflow cap
+
+        c = _cloud_from_depth(np.asarray(d), INTR, 256)
+        pts = np.asarray(c.points)[np.asarray(c.mask)]
+        assert len(pts) == 256
+        # Camera-frame y tracks image rows: the subsample must span
+        # (nearly) the full valid row range; the old head slice kept only
+        # the TOP ~256/W rows (a small fraction of the y span).
+        span_full = full_pts[:, 1].max() - full_pts[:, 1].min()
+        span_kept = pts[:, 1].max() - pts[:, 1].min()
+        assert span_kept > 0.8 * span_full
+
 
 class TestVis:
     def test_render_and_ply(self, tmp_path):

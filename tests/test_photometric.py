@@ -115,3 +115,19 @@ class TestPhotometricAlignment:
         res = photometric.align_photometric(pts, inten, ok, g0, INTR)
         err = np.abs(np.asarray(se3.log(res.transform)))
         assert err.max() < 1e-3
+
+
+class TestBilinearIntegerImages:
+    def test_uint8_image_keeps_fractional_weights(self):
+        """Integer images must not truncate the bilinear weights (the old
+        image-dtype cast made 'bilinear' a nearest-floor lookup with zero
+        gradients)."""
+        import numpy as np
+
+        from realsensetracker_tpu.ops.sampling import bilinear_sample
+
+        img8 = np.array([[0, 100], [0, 100]], np.uint8)
+        vals, inb = bilinear_sample(jnp.asarray(img8),
+                                    jnp.asarray([0.5]), jnp.asarray([0.0]))
+        assert bool(inb[0])
+        assert abs(float(vals[0]) - 50.0) < 1e-4  # mid-pixel interpolation

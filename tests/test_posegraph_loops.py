@@ -342,3 +342,12 @@ class TestLoopClosureDetection:
                                  noise_bound=0.1, pad_to=3)
         assert len(capped) == 3
         assert capped[0][1] == batch[0][1]
+
+
+class TestLoopEdgeValidation:
+    def test_out_of_range_loop_edge_raises(self):
+        import pytest
+
+        poses = jnp.stack([jnp.eye(4)] * 4)
+        with pytest.raises(ValueError, match="out of range"):
+            pg.from_trajectory(poses, loop_edges=[(0, 4, jnp.eye(4), 1.0)])
