@@ -1,0 +1,324 @@
+"""Cross-session dynamic batching for the tracking service.
+
+The reference is one process tracking one stream (rs_replay_app.cpp:
+159-415). A TPU serving deployment is the opposite shape: MANY producers
+POST frames to one chip, and the per-dispatch relay overhead (~45 ms in a
+warmed process, CLAUDE.md gotcha 11) dominates a single 640x480 frame's
+compute. Serializing sessions — the plain TrackingService behavior — pays
+that overhead once per session per frame.
+
+`BatchedExecutor` instead coalesces concurrently-pending `/track` requests
+across sessions into ONE device dispatch: each session owns a slot of a
+device-resident `parallel.streams.StreamState`, and a dispatcher thread
+drains whatever requests are queued into a single
+`step_streams_masked` call (inactive slots untouched, first frames seed
+their slot at identity). Batching is continuous-batching style: while one
+dispatch runs (~45+ ms), new requests pile up and form the next batch —
+under load, S sessions cost ~1 dispatch per frame-interval instead of S.
+
+Semantics per slot are frame-to-frame visual odometry with
+failure-holds-pose (rs_replay_app.cpp:266-273), i.e. the batched serving
+analog of `Tracker(method="projective")` without the world model.
+
+Usage (see cli/rs_serve.py `--batched`):
+
+    ex = BatchedExecutor(BatchingConfig(intrinsics=intr, capacity=8))
+    svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.parallel import streams
+from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
+from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+@dataclass(frozen=True)
+class BatchingConfig:
+    """Executor configuration (shapes are fixed at construction: one
+    compiled program serves every batch — CLAUDE.md gotcha 8)."""
+
+    intrinsics: camera.Intrinsics
+    icp: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
+    capacity: int = 8  # max concurrent sessions (slots)
+    min_inlier_fraction: float = 0.2
+    linger_ms: float = 0.0  # wait this long after the first pending
+    # request before dispatching, letting co-arriving requests coalesce.
+    # 0 is right for the axon relay: the ~45 ms dispatch itself is the
+    # natural batching window. Raise it on fast local backends or for
+    # deterministic batching in tests.
+    request_timeout_s: float = 600.0  # bound on one request's wait (first
+    # dispatch pays the full relay compile, 30-90 s; see CLAUDE.md)
+
+
+class _Request:
+    __slots__ = ("depth", "seed", "event", "row", "error")
+
+    def __init__(self, depth: np.ndarray, seed: bool):
+        self.depth = depth
+        self.seed = seed
+        self.event = threading.Event()
+        self.row: np.ndarray | None = None
+        self.error: BaseException | None = None
+
+
+class SlotResult:
+    """Unpacked step_streams_masked stats row for one slot."""
+
+    __slots__ = ("pose", "relative", "success", "rmse", "inlier_fraction")
+
+    def __init__(self, row: np.ndarray):
+        self.pose = row[0:16].reshape(4, 4).astype(np.float32)
+        self.relative = row[16:32].reshape(4, 4).astype(np.float32)
+        self.success = bool(row[32] > 0.5)
+        self.rmse = float(row[33])
+        self.inlier_fraction = float(row[34])
+
+
+class BatchedExecutor:
+    """Owns the device StreamState + the dispatcher thread.
+
+    Thread model: handler threads enqueue into per-slot FIFO queues and
+    block on an event; the single dispatcher thread drains at most one
+    request per slot per round (preserving per-session frame order), runs
+    one `step_streams_masked` dispatch, and delivers the packed rows.
+    Device work is inherently serialized by the single dispatcher — the
+    service must NOT additionally hold its own lock around `process` (see
+    `supports_concurrent_process` on the session facade).
+    """
+
+    def __init__(self, config: BatchingConfig):
+        if config.capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {config.capacity}")
+        self.config = config
+        self._cond = threading.Condition()
+        self._pending: dict[int, deque[_Request]] = {}
+        self._free = list(range(config.capacity - 1, -1, -1))
+        self._stop = False
+        self._state = None  # device StreamState, built on first dispatch
+        # stats (guarded by _cond)
+        self._dispatches = 0
+        self._frames = 0
+        self._max_batch = 0
+        self._thread = threading.Thread(
+            target=self._run, name="rst-batch-dispatch", daemon=True
+        )
+        self._thread.start()
+
+    # -- session lifecycle ----------------------------------------------
+
+    def make_session_tracker(self) -> "BatchedSessionTracker":
+        """TrackingService-compatible factory: one tracker facade = one
+        slot. Raises RuntimeError when all slots are taken."""
+        return BatchedSessionTracker(self, self._acquire_slot())
+
+    def _acquire_slot(self) -> int:
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("executor is closed")
+            if not self._free:
+                raise RuntimeError(
+                    f"batch capacity exhausted ({self.config.capacity} "
+                    "concurrent sessions); reset an idle session or raise "
+                    "BatchingConfig.capacity"
+                )
+            slot = self._free.pop()
+            self._pending[slot] = deque()
+            return slot
+
+    def _release_slot(self, slot: int) -> None:
+        with self._cond:
+            q = self._pending.pop(slot, None)
+            if q is None:
+                return  # already released
+            for req in q:  # unblock anyone still waiting on this session
+                req.error = RuntimeError("session was reset/released")
+                req.event.set()
+            self._free.append(slot)
+
+    # -- request path -----------------------------------------------------
+
+    def track(self, slot: int, depth: np.ndarray, seed: bool) -> SlotResult:
+        """Blocking: enqueue one frame for `slot`, wait for its batch."""
+        intr = self.config.intrinsics
+        shape = (int(intr.height), int(intr.width))
+        depth = np.asarray(depth, np.float32)
+        if depth.shape != shape:
+            raise ValueError(
+                f"frame shape {depth.shape} != service shape {shape} "
+                "(one compiled program serves all sessions)"
+            )
+        req = _Request(depth, seed)
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("executor is closed")
+            q = self._pending.get(slot)
+            if q is None:
+                raise RuntimeError(f"slot {slot} is not active")
+            q.append(req)
+            self._cond.notify_all()
+        if not req.event.wait(self.config.request_timeout_s):
+            raise TimeoutError(
+                f"batched track timed out after "
+                f"{self.config.request_timeout_s}s"
+            )
+        if req.error is not None:
+            raise req.error
+        return SlotResult(req.row)
+
+    # -- dispatcher -------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._stop and not any(self._pending.values()):
+                    self._cond.wait()
+                if self._stop:
+                    for q in self._pending.values():
+                        for req in q:
+                            req.error = RuntimeError("executor is closed")
+                            req.event.set()
+                    self._pending.clear()
+                    return
+                if self.config.linger_ms > 0:
+                    deadline = (
+                        time.monotonic() + self.config.linger_ms / 1000.0
+                    )
+                    while not self._stop:
+                        rem = deadline - time.monotonic()
+                        if rem <= 0:
+                            break
+                        self._cond.wait(timeout=rem)
+                    if self._stop:
+                        continue  # top of loop delivers shutdown errors
+                # One request per slot per round keeps per-session order.
+                batch = {
+                    slot: q.popleft()
+                    for slot, q in self._pending.items()
+                    if q
+                }
+            if batch:
+                self._dispatch(batch)
+
+    def _dispatch(self, batch: dict[int, _Request]) -> None:
+        cfg = self.config
+        s = cfg.capacity
+        h, w = int(cfg.intrinsics.height), int(cfg.intrinsics.width)
+        try:
+            depths = np.zeros((s, h, w), np.float32)
+            active = np.zeros((s,), bool)
+            seed = np.zeros((s,), bool)
+            for slot, req in batch.items():
+                depths[slot] = req.depth
+                active[slot] = True
+                seed[slot] = req.seed
+            if self._state is None:
+                self._state = streams.blank_streams(
+                    cfg.intrinsics, cfg.icp, num_streams=s
+                )
+            self._state, stats = streams.step_streams_masked(
+                self._state,
+                jnp.asarray(depths),
+                jnp.asarray(active),
+                jnp.asarray(seed),
+                cfg.intrinsics,
+                cfg.icp,
+                min_inlier_fraction=cfg.min_inlier_fraction,
+            )
+            rows = np.asarray(stats)  # the batch's ONE host transfer
+        except BaseException as e:  # deliver, don't kill the dispatcher
+            for req in batch.values():
+                req.error = e
+                req.event.set()
+            return
+        with self._cond:
+            self._dispatches += 1
+            self._frames += len(batch)
+            self._max_batch = max(self._max_batch, len(batch))
+        for slot, req in batch.items():
+            req.row = rows[slot]
+            req.event.set()
+
+    # -- observability / shutdown ----------------------------------------
+
+    def stats(self) -> dict:
+        with self._cond:
+            d, f = self._dispatches, self._frames
+            return {
+                "capacity": self.config.capacity,
+                "active_sessions": len(self._pending),
+                "dispatches": d,
+                "frames": f,
+                "mean_batch": round(f / d, 3) if d else 0.0,
+                "max_batch": self._max_batch,
+            }
+
+    def close(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=10.0)
+
+
+class BatchedSessionTracker:
+    """One session's tracker facade over a shared BatchedExecutor slot.
+
+    API-compatible with the trackers TrackingService wraps (`process` ->
+    FrameResult, `.pose`, `.trajectory`); `supports_concurrent_process`
+    tells the service NOT to hold its device lock across `process` — the
+    whole point is that concurrent sessions' calls coalesce into one
+    dispatch inside the executor.
+    """
+
+    supports_concurrent_process = True
+
+    def __init__(self, executor: BatchedExecutor, slot: int):
+        self._ex = executor
+        self._slot = slot
+        self._lock = threading.Lock()  # per-session frame order
+        self._index = 0
+        self._pose_np = np.eye(4, dtype=np.float32)
+        self.trajectory = Trajectory()
+
+    @property
+    def pose(self) -> np.ndarray:
+        return self._pose_np
+
+    def process(self, depth, timestamp: float | None = None,
+                color=None) -> FrameResult:
+        """One frame in -> FrameResult out (depth-only; `color` is accepted
+        for interface parity and ignored, like method='projective')."""
+        del color
+        with self._lock:
+            ts = float(self._index) if timestamp is None else timestamp
+            r = self._ex.track(
+                self._slot, depth, seed=(self._index == 0)
+            )
+            self._pose_np = r.pose
+            self.trajectory.append(ts, r.pose)
+            res = FrameResult(
+                r.pose, r.relative, r.success, r.rmse,
+                r.inlier_fraction, self._index,
+            )
+            self._index += 1
+            return res
+
+    def release(self) -> None:
+        """Free the slot (called on /reset via GC, or explicitly)."""
+        self._ex._release_slot(self._slot)
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass

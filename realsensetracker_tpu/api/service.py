@@ -109,10 +109,12 @@ class TrackingService:
     """HTTP frame-in/pose-out tracking service around a tracker factory."""
 
     def __init__(self, make_tracker, host: str = "127.0.0.1", port: int = 0,
-                 max_frames: int | None = None):
+                 max_frames: int | None = None, extra_status=None):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self._make_tracker = make_tracker
+        self._extra_status = extra_status  # callable -> dict, merged into
+        # /status under "batching" (see api/batching.py BatchedExecutor.stats)
         self._lock = threading.Lock()  # serializes device dispatches
         self._sessions: dict[str, _Session] = {}
         self._frames = 0  # total across sessions
@@ -191,16 +193,36 @@ class TrackingService:
                 try:
                     with svc._lock:
                         sess = svc._get_session(self._session())
+                        concurrent = getattr(
+                            sess.tracker, "supports_concurrent_process", False
+                        )
+                        if not concurrent:
+                            t0 = time.perf_counter()
+                            kwargs = {}
+                            if color is not None:
+                                kwargs[_color_kwarg(sess.tracker)] = color
+                            res = sess.tracker.process(depth, ts, **kwargs)
+                            ms = 1000 * (time.perf_counter() - t0)
+                            sess.record(1, ms)
+                            svc._frames += 1
+                            frames = sess.frames
+                            total = svc._frames
+                    if concurrent:
+                        # Batching trackers (api/batching.py) do their own
+                        # device serialization: calling process OUTSIDE the
+                        # service lock is what lets concurrent sessions'
+                        # frames coalesce into one dispatch.
                         t0 = time.perf_counter()
                         kwargs = {}
                         if color is not None:
                             kwargs[_color_kwarg(sess.tracker)] = color
                         res = sess.tracker.process(depth, ts, **kwargs)
                         ms = 1000 * (time.perf_counter() - t0)
-                        sess.record(1, ms)
-                        svc._frames += 1
-                        frames = sess.frames
-                        total = svc._frames
+                        with svc._lock:
+                            sess.record(1, ms)
+                            svc._frames += 1
+                            frames = sess.frames
+                            total = svc._frames
                     self._send_json(_result_record(res, frames, ms))
                 except Exception as e:
                     self._send_json({"error": str(e)}, code=500)
@@ -229,14 +251,30 @@ class TrackingService:
                     with svc._lock:
                         sess = svc._get_session(self._session())
                         base = sess.frames
+                        concurrent = getattr(
+                            sess.tracker, "supports_concurrent_process", False
+                        )
+                        if not concurrent:
+                            t0 = time.perf_counter()
+                            results, windowed = _process_window(
+                                sess.tracker, depths, ts, grays, window
+                            )
+                            ms = 1000 * (time.perf_counter() - t0)
+                            sess.record(len(results), ms)
+                            svc._frames += len(results)
+                            total = svc._frames
+                    if concurrent:
+                        # See /track: process outside the service lock so
+                        # other sessions' frames batch with this window's.
                         t0 = time.perf_counter()
                         results, windowed = _process_window(
                             sess.tracker, depths, ts, grays, window
                         )
                         ms = 1000 * (time.perf_counter() - t0)
-                        sess.record(len(results), ms)
-                        svc._frames += len(results)
-                        total = svc._frames
+                        with svc._lock:
+                            sess.record(len(results), ms)
+                            svc._frames += len(results)
+                            total = svc._frames
                     per = ms / max(len(results), 1)
                     recs = [
                         _result_record(r, base + 1 + i, per)
@@ -299,6 +337,8 @@ class TrackingService:
                 out["tracker"] = sessions["default"]["tracker"]
                 if "keyframes" in sessions["default"]:
                     out["keyframes"] = sessions["default"]["keyframes"]
+        if self._extra_status is not None:
+            out["batching"] = self._extra_status()
         return out
 
     def metrics(self) -> str:
@@ -325,6 +365,18 @@ class TrackingService:
                         f'rst_track_ms{{session="{_plabel(name)}",'
                         f'stat="{key[:-3]}"}} {lat[key]}'
                     )
+        if self._extra_status is not None:
+            b = self._extra_status()
+            lines += [
+                "# TYPE rst_batch_dispatches_total counter",
+                f"rst_batch_dispatches_total {b.get('dispatches', 0)}",
+                "# TYPE rst_batch_frames_total counter",
+                f"rst_batch_frames_total {b.get('frames', 0)}",
+                "# TYPE rst_batch_mean_size gauge",
+                f"rst_batch_mean_size {b.get('mean_batch', 0.0)}",
+                "# TYPE rst_batch_active_sessions gauge",
+                f"rst_batch_active_sessions {b.get('active_sessions', 0)}",
+            ]
         return "\n".join(lines) + "\n"
 
     def close(self) -> None:

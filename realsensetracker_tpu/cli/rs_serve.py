@@ -36,6 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-frames", type=int, default=0,
                    help="exit after this many tracked frames (0 = serve "
                         "forever); used by tests/smoke runs")
+    p.add_argument("--batched", action="store_true",
+                   help="cross-session dynamic batching: concurrent "
+                        "sessions' /track frames coalesce into ONE device "
+                        "dispatch (frame-to-frame odometry semantics; see "
+                        "api/batching.py). Ignores --method.")
+    p.add_argument("--batch-capacity", type=int, default=8,
+                   help="max concurrent sessions under --batched")
+    p.add_argument("--batch-linger-ms", type=float, default=0.0,
+                   help="wait this long for co-arriving requests before "
+                        "dispatching a batch (0: the dispatch itself is "
+                        "the batching window)")
     return p
 
 
@@ -60,11 +71,28 @@ def main(argv=None) -> int:
 
         return Tracker(TrackerConfig(intrinsics=intr, method=args.method))
 
+    executor = None
+    extra_status = None
+    if args.batched:
+        from realsensetracker_tpu.api.batching import (
+            BatchedExecutor,
+            BatchingConfig,
+        )
+
+        executor = BatchedExecutor(BatchingConfig(
+            intrinsics=intr,
+            capacity=args.batch_capacity,
+            linger_ms=args.batch_linger_ms,
+        ))
+        make_tracker = executor.make_session_tracker
+        extra_status = executor.stats
+
     svc = TrackingService(
         make_tracker, host=args.host, port=args.port,
-        max_frames=args.max_frames or None,
+        max_frames=args.max_frames or None, extra_status=extra_status,
     )
-    print(f"tracking service ({args.method}, {args.width}x{args.height}) "
+    mode = "batched" if args.batched else args.method
+    print(f"tracking service ({mode}, {args.width}x{args.height}) "
           f"on http://{args.host}:{svc.port}/  -- POST /track", flush=True)
     try:
         if args.max_frames:
@@ -76,6 +104,8 @@ def main(argv=None) -> int:
         pass
     finally:
         svc.close()
+        if executor is not None:
+            executor.close()
     print(f"served {svc.status()['frames']} frames")
     return 0
 

@@ -135,6 +135,108 @@ def step_streams_window(
     )
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg", "num_streams"))
+def blank_streams(
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    num_streams: int = 8,
+) -> StreamState:
+    """Uninitialized S-slot state (all slots inactive, identity poses).
+
+    Slots come alive one at a time through `step_streams_masked`'s `seed`
+    mask — the serving executor (api/batching.py) allocates one slot per
+    session as sessions connect, instead of requiring every stream's first
+    frame up front like `init_streams`.
+    """
+    depths = jnp.zeros(
+        (num_streams, int(intr.height), int(intr.width)), jnp.float32
+    )
+    levels, _ = _build_levels(depths, intr, cfg)
+    return StreamState(
+        poses=jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (num_streams, 4, 4)
+        ),
+        ref_levels=levels,
+        initialized=jnp.zeros((num_streams,), bool),
+        frame_count=jnp.zeros((num_streams,), jnp.int32),
+    )
+
+
+# Packed per-slot stats row of step_streams_masked: pose (16) | relative
+# (16) | success | rmse | inlier_fraction. One (S, 35) array = ONE host
+# materialization per dispatch through the relay (CLAUDE.md gotcha 11).
+MASKED_STATS_WIDTH = 35
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams_masked(
+    state: StreamState,
+    depths: jnp.ndarray,  # (S, H, W) one new frame per slot
+    active: jnp.ndarray,  # (S,) bool: slots with a request this round
+    seed: jnp.ndarray,  # (S,) bool: active slot's FIRST frame (re)seeds it
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[StreamState, jnp.ndarray]:
+    """Advance only the `active` slots; `seed` slots take the new frame as
+    their reference at identity pose (the per-stream init branch,
+    rs_replay_app.cpp:236-240). Inactive slots' pose/reference/frame_count
+    are untouched, so one compiled program serves ANY subset of sessions —
+    the serving-side dynamic batcher dispatches whatever requests are
+    pending as one step instead of one device program per session.
+
+    Returns (new_state, stats (S, 35)); see MASKED_STATS_WIDTH for the row
+    layout. Rows of inactive slots report their held pose with
+    success=False.
+    """
+    new_levels, intrs = _build_levels(depths, intr, cfg)
+
+    def one(ref_lv, new_lv):
+        return projective.projective_icp(new_lv, ref_lv, tuple(intrs), cfg=cfg)
+
+    res = jax.vmap(one)(state.ref_levels, new_levels)
+    seeding = active & seed
+    tracking = active & ~seed
+    finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
+    success = tracking & finite & (res.inlier_fraction >= min_inlier_fraction)
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
+    poses = jnp.where(success[:, None, None], new_pose, state.poses)
+    poses = jnp.where(seeding[:, None, None], eye, poses)
+    take_new = success | seeding
+    ref_levels = jax.tree.map(
+        lambda new, old: jnp.where(
+            take_new.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        ),
+        new_levels,
+        state.ref_levels,
+    )
+    new_state = StreamState(
+        poses=poses,
+        ref_levels=ref_levels,
+        initialized=state.initialized | seeding,
+        frame_count=state.frame_count + active.astype(jnp.int32),
+    )
+    f32 = jnp.float32
+    relative = jnp.where(seeding[:, None, None], eye, res.transform)
+    report_ok = success | seeding
+    rmse = jnp.where(seeding, f32(0.0), res.rmse.astype(f32))
+    inlier = jnp.where(seeding, f32(1.0), res.inlier_fraction.astype(f32))
+    s = depths.shape[0]
+    stats = jnp.concatenate(
+        [
+            poses.reshape(s, 16).astype(f32),
+            relative.reshape(s, 16).astype(f32),
+            report_ok[:, None].astype(f32),
+            rmse[:, None],
+            inlier[:, None],
+        ],
+        axis=1,
+    )
+    return new_state, stats
+
+
 def shard_streams(state: StreamState, mesh, data_axis: str = "data") -> StreamState:
     """Shard per-stream state over the mesh's data axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P

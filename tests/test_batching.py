@@ -1,0 +1,341 @@
+"""Cross-session dynamic batching (api/batching.py + step_streams_masked).
+
+The serving shape the reference never had: many producers, one chip.
+`step_streams_masked` must (a) leave inactive slots bit-identical, (b)
+seed first frames at identity, and (c) match the always-on `step_streams`
+when every slot is active — so batching NEVER changes any session's
+trajectory, it only changes how many sessions share one dispatch.
+"""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.api.batching import BatchedExecutor, BatchingConfig
+from realsensetracker_tpu.api.service import TrackingService, get_json, post_frame
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.parallel import streams
+
+INTR = camera.Intrinsics(fx=100.0, fy=100.0, cx=49.5, cy=37.0,
+                         width=100, height=75)
+CFG = projective.ProjectiveIcpConfig(iters=(5, 5, 6), samples=1024)
+S = 3
+F = 4
+
+
+@pytest.fixture(scope="module")
+def stream_data():
+    """(F, S, H, W): S independent trajectories through different scenes."""
+    all_depths = []
+    for i in range(S):
+        scene = synthetic.default_scene(seed=20 + i)
+        d, _ = synthetic.render_trajectory(INTR, F, scene=scene, seed=i,
+                                           step_scale=0.015)
+        all_depths.append(np.asarray(d, np.float32))
+    return np.stack(all_depths, 1)
+
+
+def _aligned_reference(stream_data, frames):
+    """Every slot advanced `frames` frames via the always-on step."""
+    ref = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+    for f in range(1, frames):
+        ref, _ = streams.step_streams(ref, jnp.asarray(stream_data[f]),
+                                      INTR, CFG)
+    return ref
+
+
+class TestMaskedStep:
+    def test_all_active_matches_step_streams(self, stream_data):
+        ref = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+        msk = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+        active = jnp.ones((S,), bool)
+        seed = jnp.zeros((S,), bool)
+        for f in range(1, F):
+            ref, r = streams.step_streams(ref, jnp.asarray(stream_data[f]),
+                                          INTR, CFG)
+            msk, stats = streams.step_streams_masked(
+                msk, jnp.asarray(stream_data[f]), active, seed, INTR, CFG
+            )
+            stats = np.asarray(stats)
+            assert stats.shape == (S, streams.MASKED_STATS_WIDTH)
+            np.testing.assert_allclose(
+                np.asarray(msk.poses), np.asarray(ref.poses), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                stats[:, :16].reshape(S, 4, 4), np.asarray(ref.poses),
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                stats[:, 32] > 0.5, np.asarray(r.success)
+            )
+
+    def test_staggered_seeding_matches_aligned_run(self, stream_data):
+        """Slot i joins at round i (its frame 0 seeds); the final state must
+        equal the aligned all-active run — WHEN frames arrive must not
+        change WHAT each slot computes."""
+        eye = np.eye(4, dtype=np.float32)
+        state = streams.blank_streams(INTR, CFG, num_streams=S)
+        for r in range(F + S - 1):
+            depths = np.zeros((S,) + stream_data.shape[2:], np.float32)
+            active = np.zeros((S,), bool)
+            seed = np.zeros((S,), bool)
+            for i in range(S):
+                f = r - i
+                if 0 <= f < F:
+                    depths[i] = stream_data[f, i]
+                    active[i] = True
+                    seed[i] = f == 0
+            prev_poses = np.asarray(state.poses)
+            prev_count = np.asarray(state.frame_count)
+            state, stats = streams.step_streams_masked(
+                state, jnp.asarray(depths), jnp.asarray(active),
+                jnp.asarray(seed), INTR, CFG,
+            )
+            stats = np.asarray(stats)
+            poses = np.asarray(state.poses)
+            count = np.asarray(state.frame_count)
+            for i in range(S):
+                f = r - i
+                if f == 0:  # seed row: identity pose/relative, clean stats
+                    np.testing.assert_array_equal(
+                        stats[i, :16].reshape(4, 4), eye
+                    )
+                    np.testing.assert_array_equal(
+                        stats[i, 16:32].reshape(4, 4), eye
+                    )
+                    assert stats[i, 32] > 0.5  # success
+                    assert stats[i, 33] == 0.0 and stats[i, 34] == 1.0
+                elif not (0 <= f < F):  # inactive slot: untouched
+                    assert stats[i, 32] < 0.5
+                    np.testing.assert_array_equal(poses[i], prev_poses[i])
+                    assert count[i] == prev_count[i]
+                else:
+                    assert count[i] == prev_count[i] + 1
+        ref = _aligned_reference(stream_data, F)
+        np.testing.assert_allclose(
+            np.asarray(state.poses), np.asarray(ref.poses), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(state.frame_count), F)
+        assert bool(jnp.all(state.initialized))
+
+    def test_reseed_resets_a_live_slot(self, stream_data):
+        """seed=True on an initialized slot restarts it at identity (slot
+        reuse: a released session's slot is handed to a new session)."""
+        state = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+        state, _ = streams.step_streams_masked(
+            state, jnp.asarray(stream_data[1]),
+            jnp.ones((S,), bool), jnp.zeros((S,), bool), INTR, CFG,
+        )
+        moved = np.asarray(state.poses)
+        assert not np.allclose(moved[0], np.eye(4), atol=1e-6)
+        seed = jnp.asarray([True, False, False])
+        state, _ = streams.step_streams_masked(
+            state, jnp.asarray(stream_data[2]),
+            jnp.ones((S,), bool), seed, INTR, CFG,
+        )
+        poses = np.asarray(state.poses)
+        np.testing.assert_array_equal(poses[0], np.eye(4, dtype=np.float32))
+        assert not np.allclose(poses[1], moved[1], atol=1e-9)  # kept moving
+
+
+class TestBatchedExecutor:
+    def test_concurrent_sessions_coalesce_and_match(self, stream_data):
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=S, linger_ms=150.0,
+        ))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(S)]
+            barrier = threading.Barrier(S)
+            results = [[] for _ in range(S)]
+            errors = []
+
+            def worker(i):
+                try:
+                    for f in range(F):
+                        barrier.wait()
+                        results[i].append(
+                            trackers[i].process(stream_data[f, i], float(f))
+                        )
+                except BaseException as e:  # pragma: no cover - diagnostics
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(S)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors
+            ref = _aligned_reference(stream_data, F)
+            for i in range(S):
+                assert [r.frame_index for r in results[i]] == list(range(F))
+                assert all(r.success for r in results[i])
+                np.testing.assert_allclose(
+                    results[i][-1].pose, np.asarray(ref.poses[i]), atol=1e-5
+                )
+                assert len(trackers[i].trajectory) == F
+            st = ex.stats()
+            assert st["frames"] == S * F
+            assert st["active_sessions"] == S
+            # Coalescing actually happened: fewer dispatches than frames,
+            # and at least one round carried 2+ sessions' frames.
+            assert st["dispatches"] < S * F
+            assert st["max_batch"] >= 2
+            assert st["mean_batch"] == round(st["frames"] / st["dispatches"], 3)
+        finally:
+            ex.close()
+
+    def test_slot_lifecycle_capacity_release_reseed(self, stream_data):
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=1,
+        ))
+        try:
+            t1 = ex.make_session_tracker()
+            with pytest.raises(RuntimeError, match="capacity"):
+                ex.make_session_tracker()
+            with pytest.raises(ValueError, match="shape"):
+                t1.process(np.zeros((8, 8), np.float32))
+            r0 = t1.process(stream_data[0, 0], 0.0)
+            r1 = t1.process(stream_data[1, 0], 1.0)
+            assert r0.success and r1.success
+            np.testing.assert_array_equal(r0.pose, np.eye(4))
+            assert not np.allclose(r1.pose, np.eye(4), atol=1e-6)
+            t1.release()
+            t1.release()  # idempotent
+            t2 = ex.make_session_tracker()  # reuses the freed slot...
+            r = t2.process(stream_data[0, 1], 0.0)
+            np.testing.assert_array_equal(r.pose, np.eye(4))  # ...reseeded
+        finally:
+            ex.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            t2.process(stream_data[1, 1], 1.0)
+        with pytest.raises(RuntimeError, match="closed"):
+            ex.make_session_tracker()
+
+    def test_capacity_validation(self):
+        with pytest.raises(ValueError, match="capacity"):
+            BatchedExecutor(BatchingConfig(intrinsics=INTR, capacity=0))
+
+
+class TestBatchedService:
+    def test_sessions_through_http_coalesce_and_match(self, stream_data):
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=S, linger_ms=50.0,
+        ))
+        svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            errors = []
+
+            def worker(i):
+                try:
+                    for f in range(F):
+                        rec = post_frame(url, stream_data[f, i],
+                                         ts=float(f), session=f"s{i}")
+                        assert rec["frame"] == f + 1
+                except BaseException as e:
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(S)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors
+            st = get_json(url, "/status")
+            assert st["frames"] == S * F
+            assert st["batching"]["frames"] == S * F
+            assert st["batching"]["capacity"] == S
+            assert st["batching"]["active_sessions"] == S
+            ref = _aligned_reference(stream_data, F)
+            for i in range(S):
+                assert st["sessions"][f"s{i}"]["frames"] == F
+                pose = get_json(url, f"/pose?session=s{i}")["pose"]
+                np.testing.assert_allclose(
+                    np.asarray(pose), np.asarray(ref.poses[i]), atol=1e-5
+                )
+                tum = get_json(url, f"/trajectory?session=s{i}")
+                assert len(tum.strip().splitlines()) == F
+            text = get_json(url, "/metrics")
+            assert f"rst_batch_frames_total {S * F}" in text
+            assert "rst_batch_dispatches_total" in text
+            assert "rst_batch_mean_size" in text
+        finally:
+            svc.close()
+            ex.close()
+
+    def test_capacity_exhaustion_is_500(self, stream_data):
+        """S sessions hold every slot; an (S+1)-th session's first frame
+        fails with a capacity error, not a hang or crash."""
+        import urllib.error
+
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=1,
+        ))
+        svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            post_frame(url, stream_data[0, 0], session="a")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post_frame(url, stream_data[0, 1], session="b")
+            assert ei.value.code == 500
+            assert "capacity" in ei.value.read().decode()
+            # /reset releases session a's slot; a new session can join.
+            import urllib.request
+
+            with urllib.request.urlopen(urllib.request.Request(
+                url + "/reset?session=a", data=b""
+            ), timeout=30) as r:
+                assert r.status == 200
+            rec = post_frame(url, stream_data[0, 1], session="b")
+            assert rec["frame"] == 1
+        finally:
+            svc.close()
+            ex.close()
+
+
+class TestServeCliBatched:
+    def test_batched_flag_end_to_end(self, capsys):
+        import re
+        import time
+
+        from realsensetracker_tpu.cli import rs_serve
+
+        w, h = 64, 48
+        intr = camera.Intrinsics(fx=64.0, fy=64.0, cx=(w - 1) / 2,
+                                 cy=(h - 1) / 2, width=w, height=h)
+        depths, _ = synthetic.render_trajectory(intr, 2, seed=0,
+                                                step_scale=0.01)
+        rc_holder = {}
+
+        def run():
+            rc_holder["rc"] = rs_serve.main([
+                "--batched", "--batch-capacity", "2",
+                "--width", str(w), "--height", str(h), "--fx", "64",
+                "--max-frames", "2",
+            ])
+
+        t = threading.Thread(target=run)
+        t.start()
+        port = None
+        for _ in range(100):
+            out = capsys.readouterr().out
+            m = re.search(r"http://127\.0\.0\.1:(\d+)/", out)
+            if m:
+                port = int(m.group(1))
+                break
+            time.sleep(0.1)
+        assert port, "service did not start"
+        assert "batched" in out
+        url = f"http://127.0.0.1:{port}"
+        r1 = post_frame(url, np.asarray(depths[0]), ts=0.0)
+        r2 = post_frame(url, np.asarray(depths[1]), ts=1 / 30.0)
+        assert r1["success"] and r2["success"]
+        t.join(timeout=120)
+        assert not t.is_alive() and rc_holder["rc"] == 0
+        assert "served 2 frames" in capsys.readouterr().out
