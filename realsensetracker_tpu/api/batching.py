@@ -33,6 +33,7 @@ import time
 from collections import deque
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,12 @@ class BatchingConfig:
     icp: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
     capacity: int = 8  # max concurrent sessions (slots)
     min_inlier_fraction: float = 0.2
+    mesh: object = None  # jax.sharding.Mesh | None: shard the slot axis
+    # over `data_axis` so serving capacity scales with chips (each device
+    # runs capacity/n_data slots' ICP; registrations are independent, the
+    # hot loop needs zero collectives -- SURVEY.md section 5.8). Capacity
+    # must be a multiple of the mesh's data-axis size.
+    data_axis: str = "data"
     linger_ms: float = 0.0  # wait this long after the first pending
     # request before dispatching, letting co-arriving requests coalesce.
     # 0 is right for the axon relay: the ~45 ms dispatch itself is the
@@ -100,6 +107,14 @@ class BatchedExecutor:
     def __init__(self, config: BatchingConfig):
         if config.capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {config.capacity}")
+        if config.mesh is not None:
+            n_data = config.mesh.shape[config.data_axis]
+            if config.capacity % n_data != 0:
+                raise ValueError(
+                    f"capacity ({config.capacity}) must be a multiple of "
+                    f"the mesh '{config.data_axis}' axis size ({n_data}) "
+                    "so slots shard evenly over devices"
+                )
         self.config = config
         self._cond = threading.Condition()
         self._pending: dict[int, deque[_Request]] = {}
@@ -226,11 +241,27 @@ class BatchedExecutor:
                 self._state = streams.blank_streams(
                     cfg.intrinsics, cfg.icp, num_streams=s
                 )
+                if cfg.mesh is not None:
+                    self._state = streams.shard_streams(
+                        self._state, cfg.mesh, cfg.data_axis
+                    )
+            inputs = (jnp.asarray(depths), jnp.asarray(active),
+                      jnp.asarray(seed))
+            if cfg.mesh is not None:
+                # Committed slot-sharded inputs make the jitted step run
+                # sharded over the mesh (state is already sharded).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                inputs = tuple(
+                    jax.device_put(x, NamedSharding(
+                        cfg.mesh,
+                        P(cfg.data_axis, *([None] * (x.ndim - 1))),
+                    ))
+                    for x in inputs
+                )
             self._state, stats = streams.step_streams_masked(
                 self._state,
-                jnp.asarray(depths),
-                jnp.asarray(active),
-                jnp.asarray(seed),
+                *inputs,
                 cfg.intrinsics,
                 cfg.icp,
                 min_inlier_fraction=cfg.min_inlier_fraction,

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wait this long for co-arriving requests before "
                         "dispatching a batch (0: the dispatch itself is "
                         "the batching window)")
+    p.add_argument("--batch-mesh", type=int, default=0,
+                   help="shard the --batched slot axis over this many "
+                        "devices (0 = single device); capacity must be a "
+                        "multiple of it")
     return p
 
 
@@ -79,10 +83,16 @@ def main(argv=None) -> int:
             BatchingConfig,
         )
 
+        batch_mesh = None
+        if args.batch_mesh:
+            from realsensetracker_tpu.parallel import mesh as mesh_mod
+
+            batch_mesh = mesh_mod.make_mesh(args.batch_mesh)
         executor = BatchedExecutor(BatchingConfig(
             intrinsics=intr,
             capacity=args.batch_capacity,
             linger_ms=args.batch_linger_ms,
+            mesh=batch_mesh,
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats

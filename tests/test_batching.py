@@ -220,6 +220,34 @@ class TestBatchedExecutor:
         with pytest.raises(ValueError, match="capacity"):
             BatchedExecutor(BatchingConfig(intrinsics=INTR, capacity=0))
 
+    def test_mesh_sharded_executor_matches_unsharded(self, stream_data):
+        """Slots shard over the 8-device mesh; trajectories are unchanged
+        and the device state is actually distributed."""
+        import jax
+        from realsensetracker_tpu.parallel import mesh as mesh_mod
+
+        m = mesh_mod.make_mesh(8)
+        with pytest.raises(ValueError, match="multiple"):
+            BatchedExecutor(BatchingConfig(
+                intrinsics=INTR, icp=CFG, capacity=3, mesh=m,
+            ))
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=8, mesh=m,
+        ))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(S)]
+            for f in range(F):
+                for i in range(S):
+                    trackers[i].process(stream_data[f, i], float(f))
+            ref = _aligned_reference(stream_data, F)
+            for i in range(S):
+                np.testing.assert_allclose(
+                    trackers[i].pose, np.asarray(ref.poses[i]), atol=1e-5
+                )
+            assert len(ex._state.poses.sharding.device_set) == 8
+        finally:
+            ex.close()
+
 
 class TestBatchedService:
     def test_sessions_through_http_coalesce_and_match(self, stream_data):
