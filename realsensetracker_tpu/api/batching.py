@@ -68,6 +68,13 @@ class BatchingConfig:
     # dispatch pays the full relay compile, 30-90 s; see CLAUDE.md)
 
 
+class SessionDesyncError(RuntimeError):
+    """A request timed out AFTER its frame was handed to the dispatcher:
+    the frame will still be applied to the slot's device state, so the
+    session facade's view (frame index, trajectory) no longer matches the
+    device. The session must be reset (its slot reseeds on reuse)."""
+
+
 class _Request:
     __slots__ = ("depth", "seed", "event", "row", "error")
 
@@ -125,6 +132,7 @@ class BatchedExecutor:
         self._dispatches = 0
         self._frames = 0
         self._max_batch = 0
+        self._errors = 0  # failed dispatch rounds (delivered as 500s)
         self._thread = threading.Thread(
             target=self._run, name="rst-batch-dispatch", daemon=True
         )
@@ -183,10 +191,36 @@ class BatchedExecutor:
             q.append(req)
             self._cond.notify_all()
         if not req.event.wait(self.config.request_timeout_s):
-            raise TimeoutError(
-                f"batched track timed out after "
-                f"{self.config.request_timeout_s}s"
-            )
+            # Cancel if still queued: the frame never reached the device,
+            # so the caller may safely retry it. If the dispatcher already
+            # took it, the frame WILL mutate the slot's device state even
+            # though we return failure here -- that session is
+            # desynchronized and must be reset (SessionDesyncError).
+            with self._cond:
+                q = self._pending.get(slot)
+                cancelled = False
+                if q is not None:
+                    try:
+                        q.remove(req)
+                        cancelled = True
+                    except ValueError:
+                        pass
+            if cancelled:
+                raise TimeoutError(
+                    f"batched track timed out after "
+                    f"{self.config.request_timeout_s}s (frame was never "
+                    "dispatched; safe to retry)"
+                )
+            if not req.event.is_set():  # in flight right now
+                raise SessionDesyncError(
+                    f"batched track timed out after "
+                    f"{self.config.request_timeout_s}s with the frame "
+                    "in-flight on the device; the slot state will advance "
+                    "without this session seeing the result -- reset the "
+                    "session"
+                )
+            # completed between the wait timing out and the lock: fall
+            # through and deliver the (valid) result.
         if req.error is not None:
             raise req.error
         return SlotResult(req.row)
@@ -210,6 +244,11 @@ class BatchedExecutor:
                         time.monotonic() + self.config.linger_ms / 1000.0
                     )
                     while not self._stop:
+                        # Early out once EVERY active session has a frame
+                        # queued -- the batch cannot get any fuller, so the
+                        # rest of the linger would be pure added latency.
+                        if self._pending and all(self._pending.values()):
+                            break
                         rem = deadline - time.monotonic()
                         if rem <= 0:
                             break
@@ -245,11 +284,11 @@ class BatchedExecutor:
                     self._state = streams.shard_streams(
                         self._state, cfg.mesh, cfg.data_axis
                     )
-            inputs = (jnp.asarray(depths), jnp.asarray(active),
-                      jnp.asarray(seed))
             if cfg.mesh is not None:
                 # Committed slot-sharded inputs make the jitted step run
-                # sharded over the mesh (state is already sharded).
+                # sharded over the mesh (state is already sharded). One
+                # host->device transfer per input: device_put straight
+                # from numpy to the sharded layout.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 inputs = tuple(
@@ -257,8 +296,11 @@ class BatchedExecutor:
                         cfg.mesh,
                         P(cfg.data_axis, *([None] * (x.ndim - 1))),
                     ))
-                    for x in inputs
+                    for x in (depths, active, seed)
                 )
+            else:
+                inputs = (jnp.asarray(depths), jnp.asarray(active),
+                          jnp.asarray(seed))
             self._state, stats = streams.step_streams_masked(
                 self._state,
                 *inputs,
@@ -268,6 +310,8 @@ class BatchedExecutor:
             )
             rows = np.asarray(stats)  # the batch's ONE host transfer
         except BaseException as e:  # deliver, don't kill the dispatcher
+            with self._cond:
+                self._errors += 1
             for req in batch.values():
                 req.error = e
                 req.event.set()
@@ -292,6 +336,7 @@ class BatchedExecutor:
                 "frames": f,
                 "mean_batch": round(f / d, 3) if d else 0.0,
                 "max_batch": self._max_batch,
+                "errors": self._errors,
             }
 
     def close(self) -> None:
@@ -318,6 +363,7 @@ class BatchedSessionTracker:
         self._slot = slot
         self._lock = threading.Lock()  # per-session frame order
         self._index = 0
+        self._desynced = False  # a timed-out frame mutated the slot anyway
         self._pose_np = np.eye(4, dtype=np.float32)
         self.trajectory = Trajectory()
 
@@ -331,10 +377,19 @@ class BatchedSessionTracker:
         for interface parity and ignored, like method='projective')."""
         del color
         with self._lock:
+            if self._desynced:
+                raise SessionDesyncError(
+                    "session is desynchronized from its device slot (an "
+                    "earlier frame timed out in-flight); reset the session"
+                )
             ts = float(self._index) if timestamp is None else timestamp
-            r = self._ex.track(
-                self._slot, depth, seed=(self._index == 0)
-            )
+            try:
+                r = self._ex.track(
+                    self._slot, depth, seed=(self._index == 0)
+                )
+            except SessionDesyncError:
+                self._desynced = True
+                raise
             self._pose_np = r.pose
             self.trajectory.append(ts, r.pose)
             res = FrameResult(

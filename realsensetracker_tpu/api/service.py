@@ -28,14 +28,20 @@ independent tracker created on first use, so N producers track N
 independent streams against one device (the serving analog of BASELINE
 config 5's multi-stream tracking).
 
-One device dispatch at a time: a lock serializes /track requests (TPU
-programs are single-stream; concurrent dispatch through the relay
-deadlocks), so N producers can POST concurrently and get queued, ordered
-results. The client side is `post_frame` / `get_json` (stdlib urllib).
+One device dispatch at a time: for ordinary trackers a lock serializes
+/track requests (TPU programs are single-stream; concurrent dispatch
+through the relay deadlocks), so N producers can POST concurrently and get
+queued, ordered results. Trackers that declare
+`supports_concurrent_process` (api/batching.py facades) instead serialize
+device work in their OWN dispatcher thread — the service deliberately
+calls their `process` outside the lock, because overlapping calls are what
+coalesce into one batched dispatch. The client side is `post_frame` /
+`get_json` (stdlib urllib).
 """
 
 from __future__ import annotations
 
+import contextlib
 import io
 import json
 import threading
@@ -172,7 +178,17 @@ class TrackingService:
                 if path == "/reset":
                     name = self._session()
                     with svc._lock:
-                        svc._sessions.pop(name, None)
+                        old = svc._sessions.pop(name, None)
+                    # Release shared resources (a batched tracker's slot)
+                    # deterministically -- GC alone defers the release while
+                    # any in-flight handler still references the tracker,
+                    # which would make a follow-up session hit a spurious
+                    # capacity-exhausted 500.
+                    release = getattr(
+                        old.tracker if old else None, "release", None
+                    )
+                    if release is not None:
+                        release()
                     self._send_json({"reset": True, "session": name})
                     return
                 if path == "/track_window":
@@ -193,36 +209,14 @@ class TrackingService:
                 try:
                     with svc._lock:
                         sess = svc._get_session(self._session())
-                        concurrent = getattr(
-                            sess.tracker, "supports_concurrent_process", False
-                        )
-                        if not concurrent:
-                            t0 = time.perf_counter()
-                            kwargs = {}
-                            if color is not None:
-                                kwargs[_color_kwarg(sess.tracker)] = color
-                            res = sess.tracker.process(depth, ts, **kwargs)
-                            ms = 1000 * (time.perf_counter() - t0)
-                            sess.record(1, ms)
-                            svc._frames += 1
-                            frames = sess.frames
-                            total = svc._frames
-                    if concurrent:
-                        # Batching trackers (api/batching.py) do their own
-                        # device serialization: calling process OUTSIDE the
-                        # service lock is what lets concurrent sessions'
-                        # frames coalesce into one dispatch.
-                        t0 = time.perf_counter()
+
+                    def call(tracker):
                         kwargs = {}
                         if color is not None:
-                            kwargs[_color_kwarg(sess.tracker)] = color
-                        res = sess.tracker.process(depth, ts, **kwargs)
-                        ms = 1000 * (time.perf_counter() - t0)
-                        with svc._lock:
-                            sess.record(1, ms)
-                            svc._frames += 1
-                            frames = sess.frames
-                            total = svc._frames
+                            kwargs[_color_kwarg(tracker)] = color
+                        return tracker.process(depth, ts, **kwargs), 1
+
+                    res, ms, frames, total = svc._run_tracked(sess, call)
                     self._send_json(_result_record(res, frames, ms))
                 except Exception as e:
                     self._send_json({"error": str(e)}, code=500)
@@ -251,30 +245,15 @@ class TrackingService:
                     with svc._lock:
                         sess = svc._get_session(self._session())
                         base = sess.frames
-                        concurrent = getattr(
-                            sess.tracker, "supports_concurrent_process", False
-                        )
-                        if not concurrent:
-                            t0 = time.perf_counter()
-                            results, windowed = _process_window(
-                                sess.tracker, depths, ts, grays, window
-                            )
-                            ms = 1000 * (time.perf_counter() - t0)
-                            sess.record(len(results), ms)
-                            svc._frames += len(results)
-                            total = svc._frames
-                    if concurrent:
-                        # See /track: process outside the service lock so
-                        # other sessions' frames batch with this window's.
-                        t0 = time.perf_counter()
-                        results, windowed = _process_window(
-                            sess.tracker, depths, ts, grays, window
-                        )
-                        ms = 1000 * (time.perf_counter() - t0)
-                        with svc._lock:
-                            sess.record(len(results), ms)
-                            svc._frames += len(results)
-                            total = svc._frames
+
+                    def call(tracker):
+                        rw = _process_window(tracker, depths, ts, grays,
+                                             window)
+                        return rw, len(rw[0])
+
+                    (results, windowed), ms, _, total = svc._run_tracked(
+                        sess, call
+                    )
                     per = ms / max(len(results), 1)
                     recs = [
                         _result_record(r, base + 1 + i, per)
@@ -314,6 +293,33 @@ class TrackingService:
         if name not in self._sessions:
             self._sessions[name] = _Session(self._make_tracker())
         return self._sessions[name]
+
+    def _run_tracked(self, sess: _Session, call):
+        """Run `call(tracker) -> (out, n_frames)` with the dispatch-lock
+        discipline, update counters, and return
+        (out, ms, session_frames, total_frames).
+
+        Ordinary trackers dispatch while holding the service lock (one
+        device program at a time; concurrent relay dispatch deadlocks).
+        Trackers with `supports_concurrent_process` (api/batching.py
+        facades) serialize device work in their own dispatcher thread and
+        MUST run outside the lock -- overlapping calls are what coalesce
+        into one batched dispatch.
+        """
+        concurrent = getattr(
+            sess.tracker, "supports_concurrent_process", False
+        )
+        dispatch_lock = (
+            contextlib.nullcontext() if concurrent else self._lock
+        )
+        with dispatch_lock:
+            t0 = time.perf_counter()
+            out, n = call(sess.tracker)
+            ms = 1000 * (time.perf_counter() - t0)
+        with self._lock:
+            sess.record(n, ms)
+            self._frames += n
+            return out, ms, sess.frames, self._frames
 
     def status(self) -> dict:
         with self._lock:
@@ -370,6 +376,8 @@ class TrackingService:
             lines += [
                 "# TYPE rst_batch_dispatches_total counter",
                 f"rst_batch_dispatches_total {b.get('dispatches', 0)}",
+                "# TYPE rst_batch_errors_total counter",
+                f"rst_batch_errors_total {b.get('errors', 0)}",
                 "# TYPE rst_batch_frames_total counter",
                 f"rst_batch_frames_total {b.get('frames', 0)}",
                 "# TYPE rst_batch_mean_size gauge",

@@ -61,15 +61,28 @@ def init_streams(
     )
 
 
-def _step_impl(state, depths, intr, cfg, min_inlier_fraction):
+def _register_all(ref_levels, depths, intr, cfg, min_inlier_fraction):
+    """Build new pyramids and register every slot against its reference.
+
+    Shared by the always-on and the masked steps so a parity-relevant fix
+    (precision annotation, success-gate change) lands in both. Returns
+    (new_levels, icp_result, ok) with ok = finite transform & inlier gate.
+    """
     new_levels, intrs = _build_levels(depths, intr, cfg)
 
     def one(ref_lv, new_lv):
         return projective.projective_icp(new_lv, ref_lv, tuple(intrs), cfg=cfg)
 
-    res = jax.vmap(one)(state.ref_levels, new_levels)
+    res = jax.vmap(one)(ref_levels, new_levels)
     finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
-    success = finite & (res.inlier_fraction >= min_inlier_fraction)
+    ok = finite & (res.inlier_fraction >= min_inlier_fraction)
+    return new_levels, res, ok
+
+
+def _step_impl(state, depths, intr, cfg, min_inlier_fraction):
+    new_levels, res, success = _register_all(
+        state.ref_levels, depths, intr, cfg, min_inlier_fraction
+    )
 
     # Orthonormalized accumulation (batched 3x3 SVD; see se3.orthonormalize).
     new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
@@ -189,16 +202,12 @@ def step_streams_masked(
     layout. Rows of inactive slots report their held pose with
     success=False.
     """
-    new_levels, intrs = _build_levels(depths, intr, cfg)
-
-    def one(ref_lv, new_lv):
-        return projective.projective_icp(new_lv, ref_lv, tuple(intrs), cfg=cfg)
-
-    res = jax.vmap(one)(state.ref_levels, new_levels)
+    new_levels, res, ok = _register_all(
+        state.ref_levels, depths, intr, cfg, min_inlier_fraction
+    )
     seeding = active & seed
     tracking = active & ~seed
-    finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
-    success = tracking & finite & (res.inlier_fraction >= min_inlier_fraction)
+    success = tracking & ok
 
     eye = jnp.eye(4, dtype=jnp.float32)
     new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))

@@ -14,7 +14,11 @@ import numpy as np
 import pytest
 
 from realsensetracker_tpu.align import projective
-from realsensetracker_tpu.api.batching import BatchedExecutor, BatchingConfig
+from realsensetracker_tpu.api.batching import (
+    BatchedExecutor,
+    BatchingConfig,
+    SessionDesyncError,
+)
 from realsensetracker_tpu.api.service import TrackingService, get_json, post_frame
 from realsensetracker_tpu.data import synthetic
 from realsensetracker_tpu.geometry import camera
@@ -219,6 +223,82 @@ class TestBatchedExecutor:
     def test_capacity_validation(self):
         with pytest.raises(ValueError, match="capacity"):
             BatchedExecutor(BatchingConfig(intrinsics=INTR, capacity=0))
+
+    def test_linger_early_out_when_batch_is_full(self, stream_data):
+        """With every active session's frame queued, the dispatcher must
+        not sleep out a huge linger window."""
+        import time
+
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=2, linger_ms=30_000.0,
+        ))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(2)]
+            t0 = time.monotonic()
+            threads = [
+                threading.Thread(
+                    target=trackers[i].process, args=(stream_data[0, i], 0.0)
+                )
+                for i in range(2)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=25.0)
+            elapsed = time.monotonic() - t0
+            assert not any(t.is_alive() for t in threads)
+            assert elapsed < 25.0  # far below the 30 s linger
+            assert ex.stats()["frames"] == 2
+        finally:
+            ex.close()
+
+    def test_timeout_queued_is_clean_inflight_desyncs(self, stream_data,
+                                                      monkeypatch):
+        """A request that times out while still QUEUED is cancelled (state
+        untouched, retry-safe); one that times out IN-FLIGHT poisons its
+        session facade (the device slot advanced without it)."""
+        import time as _time
+
+        real = streams.step_streams_masked
+        release = threading.Event()
+
+        def slow(*a, **k):
+            release.wait(20.0)
+            return real(*a, **k)
+
+        monkeypatch.setattr(streams, "step_streams_masked", slow)
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=2, request_timeout_s=1.0,
+        ))
+        try:
+            t1 = ex.make_session_tracker()
+            t2 = ex.make_session_tracker()
+            errs = {}
+
+            def first():
+                try:
+                    t1.process(stream_data[0, 0], 0.0)
+                except BaseException as e:
+                    errs["t1"] = e
+
+            th = threading.Thread(target=first)
+            th.start()
+            _time.sleep(0.3)  # dispatcher is now blocked inside `slow`
+            # t2's frame sits in the queue behind the blocked dispatch and
+            # times out QUEUED -> clean, retryable TimeoutError.
+            with pytest.raises(TimeoutError, match="never dispatched"):
+                t2.process(stream_data[0, 1], 0.0)
+            th.join(timeout=10.0)
+            assert isinstance(errs.get("t1"), SessionDesyncError)
+            # t1 is poisoned until reset; t2 retries cleanly.
+            with pytest.raises(SessionDesyncError, match="reset"):
+                t1.process(stream_data[1, 0], 1.0)
+            release.set()
+            r = t2.process(stream_data[0, 1], 0.0)
+            assert r.success and r.frame_index == 0
+        finally:
+            release.set()
+            ex.close()
 
     def test_mesh_sharded_executor_matches_unsharded(self, stream_data):
         """Slots shard over the 8-device mesh; trajectories are unchanged
