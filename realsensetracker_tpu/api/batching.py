@@ -66,6 +66,12 @@ class BatchingConfig:
     # deterministic batching in tests.
     request_timeout_s: float = 600.0  # bound on one request's wait (first
     # dispatch pays the full relay compile, 30-90 s; see CLAUDE.md)
+    window: int = 1  # max frames per request. >1 adds a SECOND compiled
+    # program (a lax.scan of the masked step over the window axis,
+    # streams.step_streams_masked_window) used for rounds where any
+    # session posted a multi-frame batch (/track_window): the dispatch
+    # amortizes across sessions AND along time. Rounds of single frames
+    # keep using the cheaper per-step program.
 
 
 class SessionDesyncError(RuntimeError):
@@ -76,13 +82,13 @@ class SessionDesyncError(RuntimeError):
 
 
 class _Request:
-    __slots__ = ("depth", "seed", "event", "row", "error")
+    __slots__ = ("depths", "seed", "event", "rows", "error")
 
-    def __init__(self, depth: np.ndarray, seed: bool):
-        self.depth = depth
-        self.seed = seed
+    def __init__(self, depths: np.ndarray, seed: bool):
+        self.depths = depths  # (n, H, W), 1 <= n <= config.window
+        self.seed = seed  # first frame (row 0) (re)seeds the slot
         self.event = threading.Event()
-        self.row: np.ndarray | None = None
+        self.rows: np.ndarray | None = None  # (n, MASKED_STATS_WIDTH)
         self.error: BaseException | None = None
 
 
@@ -114,6 +120,8 @@ class BatchedExecutor:
     def __init__(self, config: BatchingConfig):
         if config.capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {config.capacity}")
+        if config.window < 1:
+            raise ValueError(f"window must be >= 1, got {config.window}")
         if config.mesh is not None:
             n_data = config.mesh.shape[config.data_axis]
             if config.capacity % n_data != 0:
@@ -173,15 +181,29 @@ class BatchedExecutor:
 
     def track(self, slot: int, depth: np.ndarray, seed: bool) -> SlotResult:
         """Blocking: enqueue one frame for `slot`, wait for its batch."""
+        return self.track_window(
+            slot, np.asarray(depth, np.float32)[None], seed
+        )[0]
+
+    def track_window(self, slot: int, depths: np.ndarray,
+                     seed: bool) -> list[SlotResult]:
+        """Blocking: enqueue up to `config.window` frames for `slot` as ONE
+        request, wait for the round that carries them. Returns one
+        SlotResult per frame, in order."""
         intr = self.config.intrinsics
         shape = (int(intr.height), int(intr.width))
-        depth = np.asarray(depth, np.float32)
-        if depth.shape != shape:
+        depths = np.asarray(depths, np.float32)
+        if depths.ndim != 3 or depths.shape[1:] != shape:
             raise ValueError(
-                f"frame shape {depth.shape} != service shape {shape} "
-                "(one compiled program serves all sessions)"
+                f"frame batch shape {depths.shape} != (n,) + service shape "
+                f"{shape} (one compiled program serves all sessions)"
             )
-        req = _Request(depth, seed)
+        if not 1 <= len(depths) <= self.config.window:
+            raise ValueError(
+                f"request carries {len(depths)} frames; the executor "
+                f"window is {self.config.window} (BatchingConfig.window)"
+            )
+        req = _Request(depths, seed)
         with self._cond:
             if self._stop:
                 raise RuntimeError("executor is closed")
@@ -223,7 +245,7 @@ class BatchedExecutor:
             # through and deliver the (valid) result.
         if req.error is not None:
             raise req.error
-        return SlotResult(req.row)
+        return [SlotResult(row) for row in req.rows]
 
     # -- dispatcher -------------------------------------------------------
 
@@ -268,14 +290,9 @@ class BatchedExecutor:
         cfg = self.config
         s = cfg.capacity
         h, w = int(cfg.intrinsics.height), int(cfg.intrinsics.width)
+        n_frames = sum(len(req.depths) for req in batch.values())
         try:
-            depths = np.zeros((s, h, w), np.float32)
-            active = np.zeros((s,), bool)
-            seed = np.zeros((s,), bool)
-            for slot, req in batch.items():
-                depths[slot] = req.depth
-                active[slot] = True
-                seed[slot] = req.seed
+            windowed = any(len(req.depths) > 1 for req in batch.values())
             if self._state is None:
                 self._state = streams.blank_streams(
                     cfg.intrinsics, cfg.icp, num_streams=s
@@ -284,6 +301,26 @@ class BatchedExecutor:
                     self._state = streams.shard_streams(
                         self._state, cfg.mesh, cfg.data_axis
                     )
+            if windowed:
+                wlen = cfg.window
+                depths = np.zeros((s, wlen, h, w), np.float32)
+                active = np.zeros((s, wlen), bool)
+                seed = np.zeros((s, wlen), bool)
+                for slot, req in batch.items():
+                    n = len(req.depths)
+                    depths[slot, :n] = req.depths
+                    active[slot, :n] = True
+                    seed[slot, 0] = req.seed
+                step = streams.step_streams_masked_window
+            else:
+                depths = np.zeros((s, h, w), np.float32)
+                active = np.zeros((s,), bool)
+                seed = np.zeros((s,), bool)
+                for slot, req in batch.items():
+                    depths[slot] = req.depths[0]
+                    active[slot] = True
+                    seed[slot] = req.seed
+                step = streams.step_streams_masked
             if cfg.mesh is not None:
                 # Committed slot-sharded inputs make the jitted step run
                 # sharded over the mesh (state is already sharded). One
@@ -301,7 +338,7 @@ class BatchedExecutor:
             else:
                 inputs = (jnp.asarray(depths), jnp.asarray(active),
                           jnp.asarray(seed))
-            self._state, stats = streams.step_streams_masked(
+            self._state, stats = step(
                 self._state,
                 *inputs,
                 cfg.intrinsics,
@@ -318,10 +355,11 @@ class BatchedExecutor:
             return
         with self._cond:
             self._dispatches += 1
-            self._frames += len(batch)
+            self._frames += n_frames
             self._max_batch = max(self._max_batch, len(batch))
         for slot, req in batch.items():
-            req.row = rows[slot]
+            req.rows = (rows[slot, : len(req.depths)] if windowed
+                        else rows[slot][None])
             req.event.set()
 
     # -- observability / shutdown ----------------------------------------
@@ -377,11 +415,7 @@ class BatchedSessionTracker:
         for interface parity and ignored, like method='projective')."""
         del color
         with self._lock:
-            if self._desynced:
-                raise SessionDesyncError(
-                    "session is desynchronized from its device slot (an "
-                    "earlier frame timed out in-flight); reset the session"
-                )
+            self._check_sync()
             ts = float(self._index) if timestamp is None else timestamp
             try:
                 r = self._ex.track(
@@ -390,14 +424,52 @@ class BatchedSessionTracker:
             except SessionDesyncError:
                 self._desynced = True
                 raise
-            self._pose_np = r.pose
-            self.trajectory.append(ts, r.pose)
-            res = FrameResult(
-                r.pose, r.relative, r.success, r.rmse,
-                r.inlier_fraction, self._index,
+            return self._append(r, ts)
+
+    def process_window(self, depths, timestamps=None, window: int = 8,
+                       ) -> list[FrameResult]:
+        """Run a frame batch, `min(window, executor window)` frames per
+        device request (TrackingService /track_window plugs in here).
+        Per-frame identical to `process` -- each chunk is one executor
+        request whose frames batch across sessions AND scan along time
+        (streams.step_streams_masked_window)."""
+        with self._lock:
+            self._check_sync()
+            chunk = max(1, min(window, self._ex.config.window))
+            out: list[FrameResult] = []
+            for i in range(0, len(depths), chunk):
+                part = np.asarray(depths[i : i + chunk], np.float32)
+                try:
+                    rs = self._ex.track_window(
+                        self._slot, part, seed=(self._index == 0)
+                    )
+                except SessionDesyncError:
+                    self._desynced = True
+                    raise
+                for j, r in enumerate(rs):
+                    ts = (float(self._index) if timestamps is None
+                          or timestamps[i + j] is None
+                          else float(timestamps[i + j]))
+                    out.append(self._append(r, ts))
+            return out
+
+    def _check_sync(self) -> None:
+        if self._desynced:
+            raise SessionDesyncError(
+                "session is desynchronized from its device slot (an "
+                "earlier frame timed out in-flight); reset the session"
             )
-            self._index += 1
-            return res
+
+    def _append(self, r: SlotResult, ts: float) -> FrameResult:
+        """Caller holds self._lock."""
+        self._pose_np = r.pose
+        self.trajectory.append(ts, r.pose)
+        res = FrameResult(
+            r.pose, r.relative, r.success, r.rmse,
+            r.inlier_fraction, self._index,
+        )
+        self._index += 1
+        return res
 
     def release(self) -> None:
         """Free the slot (called on /reset via GC, or explicitly)."""

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the --batched slot axis over this many "
                         "devices (0 = single device); capacity must be a "
                         "multiple of it")
+    p.add_argument("--batch-window", type=int, default=1,
+                   help="max frames per request under --batched: "
+                        "/track_window batches scan up to this many frames "
+                        "per slot inside the shared dispatch (second "
+                        "compiled program; 1 = per-frame only)")
     return p
 
 
@@ -93,6 +98,7 @@ def main(argv=None) -> int:
             capacity=args.batch_capacity,
             linger_ms=args.batch_linger_ms,
             mesh=batch_mesh,
+            window=args.batch_window,
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats

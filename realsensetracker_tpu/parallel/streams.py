@@ -202,6 +202,12 @@ def step_streams_masked(
     layout. Rows of inactive slots report their held pose with
     success=False.
     """
+    return _masked_impl(state, depths, active, seed, intr, cfg,
+                        min_inlier_fraction)
+
+
+def _masked_impl(state, depths, active, seed, intr, cfg,
+                 min_inlier_fraction):
     new_levels, res, ok = _register_all(
         state.ref_levels, depths, intr, cfg, min_inlier_fraction
     )
@@ -244,6 +250,45 @@ def step_streams_masked(
         axis=1,
     )
     return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams_masked_window(
+    state: StreamState,
+    depths: jnp.ndarray,  # (S, W, H, Wd): up to W new frames per slot
+    active: jnp.ndarray,  # (S, W) bool: which window rows carry a frame
+    seed: jnp.ndarray,  # (S, W) bool: row is that slot's FIRST frame
+    intr: camera.Intrinsics,
+    cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[StreamState, jnp.ndarray]:
+    """Masked multi-stream step over a W-frame window in ONE dispatch.
+
+    lax.scan of `step_streams_masked` over the window axis: the two
+    dispatch-amortization levers compose — frames batch ACROSS sessions
+    (slot axis) and ALONG time (window axis), so S near-line sessions
+    posting W-frame batches cost ~1 device dispatch per S*W frames.
+    Sessions with fewer than W pending frames pad with active=False rows
+    (those scan steps leave their slot bit-identical), which keeps the
+    compiled program unique per (S, W) shape.
+
+    Returns (new_state, stats (S, W, 35)) — per-frame rows in window
+    order, identical to W sequential step_streams_masked calls.
+    """
+    def body(st, xs):
+        d, a, sd = xs
+        return _masked_impl(st, d, a, sd, intr, cfg, min_inlier_fraction)
+
+    state2, stats_seq = jax.lax.scan(
+        body,
+        state,
+        (
+            jnp.moveaxis(depths, 1, 0),
+            jnp.moveaxis(active, 1, 0),
+            jnp.moveaxis(seed, 1, 0),
+        ),
+    )
+    return state2, jnp.moveaxis(stats_seq, 0, 1)
 
 
 def shard_streams(state: StreamState, mesh, data_axis: str = "data") -> StreamState:

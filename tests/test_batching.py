@@ -19,7 +19,12 @@ from realsensetracker_tpu.api.batching import (
     BatchingConfig,
     SessionDesyncError,
 )
-from realsensetracker_tpu.api.service import TrackingService, get_json, post_frame
+from realsensetracker_tpu.api.service import (
+    TrackingService,
+    get_json,
+    post_frame,
+    post_window,
+)
 from realsensetracker_tpu.data import synthetic
 from realsensetracker_tpu.geometry import camera
 from realsensetracker_tpu.parallel import streams
@@ -126,6 +131,44 @@ class TestMaskedStep:
         np.testing.assert_array_equal(np.asarray(state.frame_count), F)
         assert bool(jnp.all(state.initialized))
 
+    def test_window_scan_matches_sequential_masked_steps(self, stream_data):
+        """step_streams_masked_window == W sequential masked steps, with a
+        ragged active pattern (slot i carries i+1 frames, slot 2 seeds)."""
+        W = 3
+        state_a = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+        state_b = streams.init_streams(jnp.asarray(stream_data[0]), INTR, CFG)
+        depths = np.zeros((S, W) + stream_data.shape[2:], np.float32)
+        active = np.zeros((S, W), bool)
+        seed = np.zeros((S, W), bool)
+        for i in range(S):
+            n = i + 1
+            depths[i, :n] = stream_data[1 : 1 + n, i]
+            active[i, :n] = True
+        seed[2, 0] = True  # slot 2's request reseeds it
+        state_a, stats_a = streams.step_streams_masked_window(
+            state_a, jnp.asarray(depths), jnp.asarray(active),
+            jnp.asarray(seed), INTR, CFG,
+        )
+        per_frame = []
+        for j in range(W):
+            state_b, st = streams.step_streams_masked(
+                state_b, jnp.asarray(depths[:, j]),
+                jnp.asarray(active[:, j]), jnp.asarray(seed[:, j]),
+                INTR, CFG,
+            )
+            per_frame.append(np.asarray(st))
+        stats_a = np.asarray(stats_a)
+        assert stats_a.shape == (S, W, streams.MASKED_STATS_WIDTH)
+        np.testing.assert_allclose(
+            stats_a, np.stack(per_frame, 1), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_a.poses), np.asarray(state_b.poses), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state_a.frame_count), np.asarray(state_b.frame_count)
+        )
+
     def test_reseed_resets_a_live_slot(self, stream_data):
         """seed=True on an initialized slot restarts it at identity (slot
         reuse: a released session's slot is handed to a new session)."""
@@ -224,6 +267,66 @@ class TestBatchedExecutor:
         with pytest.raises(ValueError, match="capacity"):
             BatchedExecutor(BatchingConfig(intrinsics=INTR, capacity=0))
 
+    def test_windowed_requests_coalesce_and_match(self, stream_data):
+        """Sessions posting F-frame windows through process_window end at
+        the same poses as per-frame aligned runs, in ONE dispatch when the
+        windows co-arrive."""
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=S, window=F,
+            linger_ms=150.0,
+        ))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(S)]
+            barrier = threading.Barrier(S)
+            results = [None] * S
+            errors = []
+
+            def worker(i):
+                try:
+                    barrier.wait()
+                    results[i] = trackers[i].process_window(
+                        stream_data[:, i], list(range(F)), window=F
+                    )
+                except BaseException as e:
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(S)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+            ref = _aligned_reference(stream_data, F)
+            for i in range(S):
+                assert [r.frame_index for r in results[i]] == list(range(F))
+                np.testing.assert_allclose(
+                    results[i][-1].pose, np.asarray(ref.poses[i]), atol=1e-5
+                )
+                assert len(trackers[i].trajectory) == F
+            st = ex.stats()
+            assert st["frames"] == S * F
+            # All three windows should share very few dispatches (ideally 1).
+            assert st["dispatches"] <= 2
+        finally:
+            ex.close()
+
+    def test_window_request_validation(self, stream_data):
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=1, window=2,
+        ))
+        try:
+            t1 = ex.make_session_tracker()
+            with pytest.raises(ValueError, match="window"):
+                ex.track_window(0, stream_data[:3, 0], seed=True)
+            # process_window chunks to the executor window instead.
+            rs = t1.process_window(stream_data[:3, 0], window=8)
+            assert len(rs) == 3 and rs[0].success
+        finally:
+            ex.close()
+        with pytest.raises(ValueError, match="window"):
+            BatchedExecutor(BatchingConfig(intrinsics=INTR, window=0))
+
     def test_linger_early_out_when_batch_is_full(self, stream_data):
         """With every active session's frame queued, the dispatcher must
         not sleep out a huge linger window."""
@@ -312,7 +415,7 @@ class TestBatchedExecutor:
                 intrinsics=INTR, icp=CFG, capacity=3, mesh=m,
             ))
         ex = BatchedExecutor(BatchingConfig(
-            intrinsics=INTR, icp=CFG, capacity=8, mesh=m,
+            intrinsics=INTR, icp=CFG, capacity=8, mesh=m, window=2,
         ))
         try:
             trackers = [ex.make_session_tracker() for _ in range(S)]
@@ -325,6 +428,16 @@ class TestBatchedExecutor:
                     trackers[i].pose, np.asarray(ref.poses[i]), atol=1e-5
                 )
             assert len(ex._state.poses.sharding.device_set) == 8
+            # The windowed program also runs sharded: a fresh session's
+            # 2-frame window on the mesh matches its per-frame twin.
+            tw = ex.make_session_tracker()
+            rs = tw.process_window(stream_data[:2, 0], window=2)
+            assert rs[0].success and rs[1].success
+            np.testing.assert_allclose(
+                rs[1].pose,
+                np.asarray(_aligned_reference(stream_data, 2).poses[0]),
+                atol=1e-5,
+            )
         finally:
             ex.close()
 
@@ -373,6 +486,33 @@ class TestBatchedService:
             assert f"rst_batch_frames_total {S * F}" in text
             assert "rst_batch_dispatches_total" in text
             assert "rst_batch_mean_size" in text
+        finally:
+            svc.close()
+            ex.close()
+
+    def test_track_window_through_http_batched(self, stream_data):
+        """POST /track_window against a --batched-style service uses the
+        executor's windowed program and matches the aligned reference."""
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=S, window=F,
+        ))
+        svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            out = post_window(url, stream_data[:, 0],
+                              ts=np.arange(F, dtype=np.float64),
+                              session="w0", window=F)
+            assert out["windowed"] is True
+            assert len(out["frames"]) == F
+            assert [r["frame"] for r in out["frames"]] == list(range(1, F + 1))
+            ref = _aligned_reference(stream_data, F)
+            np.testing.assert_allclose(
+                np.asarray(out["frames"][-1]["pose"]),
+                np.asarray(ref.poses[0]), atol=1e-5,
+            )
+            st = get_json(url, "/status")
+            assert st["batching"]["frames"] == F
+            assert st["batching"]["dispatches"] == 1  # one window dispatch
         finally:
             svc.close()
             ex.close()
