@@ -169,6 +169,37 @@ class TestMaskedStep:
             np.asarray(state_a.frame_count), np.asarray(state_b.frame_count)
         )
 
+    def test_random_activity_matches_per_slot_replay(self, stream_data):
+        """Fuzz the serving reality: sessions join late, skip rounds, and
+        resume. Whatever the activity pattern, each slot's final state must
+        equal replaying ONLY its own frames through an all-active run of
+        its own lane (batching never changes what a session computes)."""
+        rng = np.random.default_rng(7)
+        state = streams.blank_streams(INTR, CFG, num_streams=S)
+        next_frame = np.zeros(S, int)  # per-slot frames consumed so far
+        rounds = 0
+        while (next_frame < F).any():
+            rounds += 1
+            depths = np.zeros((S,) + stream_data.shape[2:], np.float32)
+            active = np.zeros((S,), bool)
+            seed = np.zeros((S,), bool)
+            for i in range(S):
+                if next_frame[i] < F and rng.random() < 0.6:
+                    depths[i] = stream_data[next_frame[i], i]
+                    active[i] = True
+                    seed[i] = next_frame[i] == 0
+                    next_frame[i] += 1
+            state, _ = streams.step_streams_masked(
+                state, jnp.asarray(depths), jnp.asarray(active),
+                jnp.asarray(seed), INTR, CFG,
+            )
+        assert rounds > F  # gaps actually happened
+        ref = _aligned_reference(stream_data, F)
+        np.testing.assert_allclose(
+            np.asarray(state.poses), np.asarray(ref.poses), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(state.frame_count), F)
+
     def test_reseed_resets_a_live_slot(self, stream_data):
         """seed=True on an initialized slot restarts it at identity (slot
         reuse: a released session's slot is handed to a new session)."""
