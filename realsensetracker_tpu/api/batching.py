@@ -18,7 +18,10 @@ under load, S sessions cost ~1 dispatch per frame-interval instead of S.
 
 Semantics per slot are frame-to-frame visual odometry with
 failure-holds-pose (rs_replay_app.cpp:266-273), i.e. the batched serving
-analog of `Tracker(method="projective")` without the world model.
+analog of `Tracker(method="projective")` without the world model; with
+`BatchingConfig(rgbd=True)` the joint point-to-plane + photometric
+objective (align/rgbd.py) replaces depth-only ICP and sessions POST
+depth+color bodies.
 
 Usage (see cli/rs_serve.py `--batched`):
 
@@ -37,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.align import projective, rgbd as rgbd_mod
 from realsensetracker_tpu.geometry import camera
 from realsensetracker_tpu.parallel import streams
 from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
@@ -72,6 +75,11 @@ class BatchingConfig:
     # session posted a multi-frame batch (/track_window): the dispatch
     # amortizes across sessions AND along time. Rounds of single frames
     # keep using the cheaper per-step program.
+    rgbd: bool = False  # joint depth+photometric odometry per slot
+    # (align/rgbd.py): every frame must then carry an intensity/color
+    # plane. Use for geometry-degenerate scenes (flat walls) where
+    # depth-only projective ICP cannot observe in-plane motion.
+    rgbd_icp: rgbd_mod.RgbdIcpConfig = rgbd_mod.RgbdIcpConfig()
 
 
 class SessionDesyncError(RuntimeError):
@@ -82,27 +90,36 @@ class SessionDesyncError(RuntimeError):
 
 
 class _Request:
-    __slots__ = ("depths", "seed", "event", "rows", "error")
+    __slots__ = ("depths", "grays", "seed", "event", "rows", "error")
 
-    def __init__(self, depths: np.ndarray, seed: bool):
+    def __init__(self, depths: np.ndarray, grays: np.ndarray | None,
+                 seed: bool):
         self.depths = depths  # (n, H, W), 1 <= n <= config.window
+        self.grays = grays  # (n, H, W) [0, 1] | None (rgbd executors only)
         self.seed = seed  # first frame (row 0) (re)seeds the slot
         self.event = threading.Event()
-        self.rows: np.ndarray | None = None  # (n, MASKED_STATS_WIDTH)
+        self.rows: np.ndarray | None = None  # (n, stats_width)
         self.error: BaseException | None = None
 
 
 class SlotResult:
-    """Unpacked step_streams_masked stats row for one slot."""
+    """Unpacked masked-step stats row for one slot (35-wide depth-only or
+    36-wide RGB-D; see streams.MASKED_STATS_WIDTH/MASKED_RGBD_STATS_WIDTH)."""
 
-    __slots__ = ("pose", "relative", "success", "rmse", "inlier_fraction")
+    __slots__ = ("pose", "relative", "success", "rmse", "photo_rmse",
+                 "inlier_fraction")
 
     def __init__(self, row: np.ndarray):
         self.pose = row[0:16].reshape(4, 4).astype(np.float32)
         self.relative = row[16:32].reshape(4, 4).astype(np.float32)
         self.success = bool(row[32] > 0.5)
         self.rmse = float(row[33])
-        self.inlier_fraction = float(row[34])
+        if len(row) == streams.MASKED_RGBD_STATS_WIDTH:
+            self.photo_rmse = float(row[34])
+            self.inlier_fraction = float(row[35])
+        else:
+            self.photo_rmse = None
+            self.inlier_fraction = float(row[34])
 
 
 class BatchedExecutor:
@@ -179,14 +196,17 @@ class BatchedExecutor:
 
     # -- request path -----------------------------------------------------
 
-    def track(self, slot: int, depth: np.ndarray, seed: bool) -> SlotResult:
+    def track(self, slot: int, depth: np.ndarray, seed: bool,
+              gray: np.ndarray | None = None) -> SlotResult:
         """Blocking: enqueue one frame for `slot`, wait for its batch."""
         return self.track_window(
-            slot, np.asarray(depth, np.float32)[None], seed
+            slot, np.asarray(depth, np.float32)[None], seed,
+            grays=None if gray is None
+            else np.asarray(gray, np.float32)[None],
         )[0]
 
-    def track_window(self, slot: int, depths: np.ndarray,
-                     seed: bool) -> list[SlotResult]:
+    def track_window(self, slot: int, depths: np.ndarray, seed: bool,
+                     grays: np.ndarray | None = None) -> list[SlotResult]:
         """Blocking: enqueue up to `config.window` frames for `slot` as ONE
         request, wait for the round that carries them. Returns one
         SlotResult per frame, in order."""
@@ -203,7 +223,20 @@ class BatchedExecutor:
                 f"request carries {len(depths)} frames; the executor "
                 f"window is {self.config.window} (BatchingConfig.window)"
             )
-        req = _Request(depths, seed)
+        if self.config.rgbd:
+            if grays is None:
+                raise ValueError(
+                    "rgbd executor: every frame needs an intensity/color "
+                    "plane (post .npz depth+color bodies)"
+                )
+            grays = np.asarray(grays, np.float32)
+            if grays.shape != depths.shape:
+                raise ValueError(
+                    f"grays shape {grays.shape} != depths {depths.shape}"
+                )
+        else:
+            grays = None  # interface parity: ignored, like Tracker color
+        req = _Request(depths, grays, seed)
         with self._cond:
             if self._stop:
                 raise RuntimeError("executor is closed")
@@ -294,9 +327,14 @@ class BatchedExecutor:
         try:
             windowed = any(len(req.depths) > 1 for req in batch.values())
             if self._state is None:
-                self._state = streams.blank_streams(
-                    cfg.intrinsics, cfg.icp, num_streams=s
-                )
+                if cfg.rgbd:
+                    self._state = streams.blank_streams_rgbd(
+                        cfg.intrinsics, cfg.rgbd_icp, num_streams=s
+                    )
+                else:
+                    self._state = streams.blank_streams(
+                        cfg.intrinsics, cfg.icp, num_streams=s
+                    )
                 if cfg.mesh is not None:
                     self._state = streams.shard_streams(
                         self._state, cfg.mesh, cfg.data_axis
@@ -304,23 +342,33 @@ class BatchedExecutor:
             if windowed:
                 wlen = cfg.window
                 depths = np.zeros((s, wlen, h, w), np.float32)
+                grays = np.zeros((s, wlen, h, w), np.float32)
                 active = np.zeros((s, wlen), bool)
                 seed = np.zeros((s, wlen), bool)
                 for slot, req in batch.items():
                     n = len(req.depths)
                     depths[slot, :n] = req.depths
+                    if req.grays is not None:
+                        grays[slot, :n] = req.grays
                     active[slot, :n] = True
                     seed[slot, 0] = req.seed
-                step = streams.step_streams_masked_window
+                step = (streams.step_streams_masked_rgbd_window if cfg.rgbd
+                        else streams.step_streams_masked_window)
             else:
                 depths = np.zeros((s, h, w), np.float32)
+                grays = np.zeros((s, h, w), np.float32)
                 active = np.zeros((s,), bool)
                 seed = np.zeros((s,), bool)
                 for slot, req in batch.items():
                     depths[slot] = req.depths[0]
+                    if req.grays is not None:
+                        grays[slot] = req.grays[0]
                     active[slot] = True
                     seed[slot] = req.seed
-                step = streams.step_streams_masked
+                step = (streams.step_streams_masked_rgbd if cfg.rgbd
+                        else streams.step_streams_masked)
+            raw = ((depths, grays, active, seed) if cfg.rgbd
+                   else (depths, active, seed))
             if cfg.mesh is not None:
                 # Committed slot-sharded inputs make the jitted step run
                 # sharded over the mesh (state is already sharded). One
@@ -333,16 +381,15 @@ class BatchedExecutor:
                         cfg.mesh,
                         P(cfg.data_axis, *([None] * (x.ndim - 1))),
                     ))
-                    for x in (depths, active, seed)
+                    for x in raw
                 )
             else:
-                inputs = (jnp.asarray(depths), jnp.asarray(active),
-                          jnp.asarray(seed))
+                inputs = tuple(jnp.asarray(x) for x in raw)
             self._state, stats = step(
                 self._state,
                 *inputs,
                 cfg.intrinsics,
-                cfg.icp,
+                cfg.rgbd_icp if cfg.rgbd else cfg.icp,
                 min_inlier_fraction=cfg.min_inlier_fraction,
             )
             rows = np.asarray(stats)  # the batch's ONE host transfer
@@ -411,15 +458,16 @@ class BatchedSessionTracker:
 
     def process(self, depth, timestamp: float | None = None,
                 color=None) -> FrameResult:
-        """One frame in -> FrameResult out (depth-only; `color` is accepted
-        for interface parity and ignored, like method='projective')."""
-        del color
+        """One frame in -> FrameResult out. Depth-only executors accept and
+        ignore `color` (interface parity with method='projective'); rgbd
+        executors require it (gray or RGB, converted like api.Tracker)."""
+        gray = self._gray(color)
         with self._lock:
             self._check_sync()
             ts = float(self._index) if timestamp is None else timestamp
             try:
                 r = self._ex.track(
-                    self._slot, depth, seed=(self._index == 0)
+                    self._slot, depth, seed=(self._index == 0), gray=gray
                 )
             except SessionDesyncError:
                 self._desynced = True
@@ -427,21 +475,31 @@ class BatchedSessionTracker:
             return self._append(r, ts)
 
     def process_window(self, depths, timestamps=None, window: int = 8,
-                       ) -> list[FrameResult]:
+                       grays=None) -> list[FrameResult]:
         """Run a frame batch, `min(window, executor window)` frames per
         device request (TrackingService /track_window plugs in here).
         Per-frame identical to `process` -- each chunk is one executor
         request whose frames batch across sessions AND scan along time
         (streams.step_streams_masked_window)."""
+        if grays is not None:
+            grays = [self._gray(g) for g in grays]
+        elif self._ex.config.rgbd:
+            raise ValueError(
+                "rgbd executor: /track_window bodies need a 'grays' array"
+            )
         with self._lock:
             self._check_sync()
             chunk = max(1, min(window, self._ex.config.window))
             out: list[FrameResult] = []
             for i in range(0, len(depths), chunk):
                 part = np.asarray(depths[i : i + chunk], np.float32)
+                gpart = (np.stack(grays[i : i + chunk])
+                         if grays is not None and self._ex.config.rgbd
+                         else None)
                 try:
                     rs = self._ex.track_window(
-                        self._slot, part, seed=(self._index == 0)
+                        self._slot, part, seed=(self._index == 0),
+                        grays=gpart,
                     )
                 except SessionDesyncError:
                     self._desynced = True
@@ -452,6 +510,17 @@ class BatchedSessionTracker:
                           else float(timestamps[i + j]))
                     out.append(self._append(r, ts))
             return out
+
+    def _gray(self, color):
+        """Color/gray plane -> [0, 1] f32 intensity (api.Tracker rules);
+        None unless the executor is rgbd."""
+        if not self._ex.config.rgbd:
+            return None
+        if color is None:
+            return None  # executor raises its "needs intensity" error
+        from realsensetracker_tpu.api.tracker import _as_gray
+
+        return _as_gray(color)
 
     def _check_sync(self) -> None:
         if self._desynced:

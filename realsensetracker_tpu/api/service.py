@@ -87,9 +87,13 @@ def _plabel(name: str) -> str:
 
 
 def _color_kwarg(tracker) -> str:
-    """api.Tracker.process takes color=, SlamTracker.process takes gray=."""
-    return ("gray" if "gray" in tracker.process.__code__.co_varnames
-            else "color")
+    """api.Tracker.process takes color=, SlamTracker.process takes gray=.
+
+    Inspect only the actual parameters (co_varnames also lists locals, so
+    a local named `gray` in a color-taking process would mislabel it)."""
+    code = tracker.process.__code__
+    params = code.co_varnames[: code.co_argcount + code.co_kwonlyargcount]
+    return "gray" if "gray" in params else "color"
 
 
 def _current_pose(tracker) -> np.ndarray:
@@ -444,7 +448,10 @@ def _process_window(tracker, depths, ts, grays, window: int):
     # api.Tracker only scans method='keyframe'; SlamConfig has no .method.
     method = getattr(cfg, "method", "keyframe")
     if pw is not None and method == "keyframe":
-        takes_grays = "grays" in pw.__code__.co_varnames
+        pw_code = pw.__code__
+        takes_grays = "grays" in pw_code.co_varnames[
+            : pw_code.co_argcount + pw_code.co_kwonlyargcount
+        ]
         if grays is None and not getattr(cfg, "use_rgb", False):
             return pw(list(depths), ts_list, window=window), True
         if grays is not None and takes_grays:

@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cross-session dynamic batching: concurrent "
                         "sessions' /track frames coalesce into ONE device "
                         "dispatch (frame-to-frame odometry semantics; see "
-                        "api/batching.py). Ignores --method.")
+                        "api/batching.py). --method rgbd switches slots to "
+                        "joint depth+photometric odometry (frames must "
+                        "carry color); other --method values are ignored.")
     p.add_argument("--batch-capacity", type=int, default=8,
                    help="max concurrent sessions under --batched")
     p.add_argument("--batch-linger-ms", type=float, default=0.0,
@@ -99,6 +101,7 @@ def main(argv=None) -> int:
             linger_ms=args.batch_linger_ms,
             mesh=batch_mesh,
             window=args.batch_window,
+            rgbd=args.method == "rgbd",
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats
@@ -107,7 +110,10 @@ def main(argv=None) -> int:
         make_tracker, host=args.host, port=args.port,
         max_frames=args.max_frames or None, extra_status=extra_status,
     )
-    mode = "batched" if args.batched else args.method
+    if args.batched:
+        mode = "batched-rgbd" if args.method == "rgbd" else "batched"
+    else:
+        mode = args.method
     print(f"tracking service ({mode}, {args.width}x{args.height}) "
           f"on http://{args.host}:{svc.port}/  -- POST /track", flush=True)
     try:

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.align import projective, rgbd
 from realsensetracker_tpu.geometry import camera, se3
 from realsensetracker_tpu.ops.pyramid import build_pyramid
 
@@ -291,8 +291,162 @@ def step_streams_masked_window(
     return state2, jnp.moveaxis(stats_seq, 0, 1)
 
 
-def shard_streams(state: StreamState, mesh, data_axis: str = "data") -> StreamState:
-    """Shard per-stream state over the mesh's data axis."""
+class RgbdStreamState(NamedTuple):
+    """Per-slot RGB-D state: reference plane tables + intensity pyramids."""
+
+    poses: jnp.ndarray  # (S, 4, 4) world_from_camera
+    ref_levels: tuple  # batched plane-table pyramid (reference frames)
+    ref_grays: tuple  # batched intensity pyramid (reference frames)
+    initialized: jnp.ndarray  # (S,) bool
+    frame_count: jnp.ndarray  # (S,) int32
+
+
+def _build_rgbd_targets(depths, grays, intr, cfg):
+    def one(d, g):
+        lv, gl, _ = rgbd.build_rgbd_target(d, g, intr, cfg)
+        return tuple(lv), tuple(gl)
+
+    levels, gray_levels = jax.vmap(one)(depths, grays)
+    _, _, intrs = rgbd.build_rgbd_target(depths[0], grays[0], intr, cfg)
+    return levels, gray_levels, tuple(intrs)
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "num_streams"))
+def blank_streams_rgbd(
+    intr: camera.Intrinsics,
+    cfg: rgbd.RgbdIcpConfig = rgbd.RgbdIcpConfig(),
+    num_streams: int = 8,
+) -> RgbdStreamState:
+    """Uninitialized S-slot RGB-D state (see blank_streams)."""
+    z = jnp.zeros(
+        (num_streams, int(intr.height), int(intr.width)), jnp.float32
+    )
+    levels, gray_levels, _ = _build_rgbd_targets(z, z, intr, cfg)
+    return RgbdStreamState(
+        poses=jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (num_streams, 4, 4)
+        ),
+        ref_levels=levels,
+        ref_grays=gray_levels,
+        initialized=jnp.zeros((num_streams,), bool),
+        frame_count=jnp.zeros((num_streams,), jnp.int32),
+    )
+
+
+# RGB-D stats row: pose (16) | relative (16) | success | rmse | photo_rmse
+# | inlier_fraction.
+MASKED_RGBD_STATS_WIDTH = 36
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams_masked_rgbd(
+    state: RgbdStreamState,
+    depths: jnp.ndarray,  # (S, H, W)
+    grays: jnp.ndarray,  # (S, H, W) [0, 1] intensities
+    active: jnp.ndarray,  # (S,) bool
+    seed: jnp.ndarray,  # (S,) bool
+    intr: camera.Intrinsics,
+    cfg: rgbd.RgbdIcpConfig = rgbd.RgbdIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[RgbdStreamState, jnp.ndarray]:
+    """RGB-D variant of `step_streams_masked`: each active slot registers
+    its new frame against its reference with the JOINT point-to-plane +
+    photometric objective (align/rgbd.py), pinning the in-plane motion
+    depth-only projective ICP cannot observe on geometry-degenerate scenes.
+
+    Returns (new_state, stats (S, 36)); see MASKED_RGBD_STATS_WIDTH.
+    """
+    return _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
+                             min_inlier_fraction)
+
+
+def _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
+                      min_inlier_fraction):
+    new_levels, new_grays, intrs = _build_rgbd_targets(
+        depths, grays, intr, cfg
+    )
+
+    def one(ref_lv, ref_g, d, g):
+        samples = rgbd.sample_rgbd_source(d, g, intrs, cfg)
+        return rgbd.rgbd_icp_sampled(samples, ref_lv, ref_g, intrs, None, cfg)
+
+    res = jax.vmap(one)(state.ref_levels, state.ref_grays, depths, grays)
+    finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
+    ok = finite & (res.inlier_fraction >= min_inlier_fraction)
+    seeding = active & seed
+    tracking = active & ~seed
+    success = tracking & ok
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
+    poses = jnp.where(success[:, None, None], new_pose, state.poses)
+    poses = jnp.where(seeding[:, None, None], eye, poses)
+    take_new = success | seeding
+
+    def sel(new, old):
+        return jnp.where(
+            take_new.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+
+    new_state = RgbdStreamState(
+        poses=poses,
+        ref_levels=jax.tree.map(sel, new_levels, state.ref_levels),
+        ref_grays=jax.tree.map(sel, new_grays, state.ref_grays),
+        initialized=state.initialized | seeding,
+        frame_count=state.frame_count + active.astype(jnp.int32),
+    )
+    f32 = jnp.float32
+    relative = jnp.where(seeding[:, None, None], eye, res.transform)
+    report_ok = success | seeding
+    rmse = jnp.where(seeding, f32(0.0), res.rmse.astype(f32))
+    photo = jnp.where(seeding, f32(0.0), res.photo_rmse.astype(f32))
+    inlier = jnp.where(
+        seeding, f32(1.0), res.inlier_fraction.astype(f32)
+    )
+    s = depths.shape[0]
+    stats = jnp.concatenate(
+        [
+            poses.reshape(s, 16).astype(f32),
+            relative.reshape(s, 16).astype(f32),
+            report_ok[:, None].astype(f32),
+            rmse[:, None],
+            photo[:, None],
+            inlier[:, None],
+        ],
+        axis=1,
+    )
+    return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+def step_streams_masked_rgbd_window(
+    state: RgbdStreamState,
+    depths: jnp.ndarray,  # (S, W, H, Wd)
+    grays: jnp.ndarray,  # (S, W, H, Wd)
+    active: jnp.ndarray,  # (S, W) bool
+    seed: jnp.ndarray,  # (S, W) bool
+    intr: camera.Intrinsics,
+    cfg: rgbd.RgbdIcpConfig = rgbd.RgbdIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[RgbdStreamState, jnp.ndarray]:
+    """RGB-D variant of `step_streams_masked_window` (one scanned dispatch
+    for S slots x W frames). Returns (new_state, stats (S, W, 36))."""
+    def body(st, xs):
+        d, g, a, sd = xs
+        return _masked_rgbd_impl(st, d, g, a, sd, intr, cfg,
+                                 min_inlier_fraction)
+
+    state2, stats_seq = jax.lax.scan(
+        body,
+        state,
+        tuple(jnp.moveaxis(x, 1, 0) for x in (depths, grays, active, seed)),
+    )
+    return state2, jnp.moveaxis(stats_seq, 0, 1)
+
+
+def shard_streams(state, mesh, data_axis: str = "data"):
+    """Shard per-stream state (StreamState or RgbdStreamState) over the
+    mesh's data axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def put(x):

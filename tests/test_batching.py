@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.align import projective, rgbd as rgbd_align
 from realsensetracker_tpu.api.batching import (
     BatchedExecutor,
     BatchingConfig,
@@ -573,6 +573,141 @@ class TestBatchedService:
                 assert r.status == 200
             rec = post_frame(url, stream_data[0, 1], session="b")
             assert rec["frame"] == 1
+        finally:
+            svc.close()
+            ex.close()
+
+
+RGBD_INTR = camera.Intrinsics(fx=64.0, fy=64.0, cx=31.5, cy=23.5,
+                              width=64, height=48)
+RGBD_CFG = rgbd_align.RgbdIcpConfig(iters=(4, 4), samples=512,
+                                    min_samples=128)
+S2 = 2
+
+
+@pytest.fixture(scope="module")
+def rgbd_stream_data():
+    """(F, S2, H, W) depths + grays: textured scenes per session."""
+    from realsensetracker_tpu.data import synthetic as syn
+
+    depths, grays = [], []
+    for i in range(S2):
+        d, c, _ = syn.render_trajectory_rgbd(
+            RGBD_INTR, F, scene=syn.default_scene(seed=70 + i), seed=i,
+            step_scale=0.01,
+        )
+        depths.append(np.asarray(d, np.float32))
+        grays.append(np.asarray(syn.intensity_from_rgb(c), np.float32))
+    return np.stack(depths, 1), np.stack(grays, 1)
+
+
+class TestRgbdBatched:
+    def _reference_poses(self, depths, grays, frames):
+        """Per-slot sequential register_rgbd_pair chain (the masked step's
+        semantics: success replaces the reference, failure holds)."""
+        rgbd_mod = rgbd_align
+        from realsensetracker_tpu.geometry import se3
+
+        poses = []
+        for i in range(S2):
+            pose = np.eye(4, dtype=np.float32)
+            ref = 0
+            for f in range(1, frames):
+                res = rgbd_mod.register_rgbd_pair(
+                    depths[f, i], grays[f, i], depths[ref, i], grays[ref, i],
+                    RGBD_INTR, RGBD_CFG,
+                )
+                T = np.asarray(res.transform)
+                ok = (np.isfinite(T).all()
+                      and float(res.inlier_fraction) >= 0.2)
+                if ok:
+                    pose = np.asarray(se3.orthonormalize(
+                        se3.compose(jnp.asarray(pose), jnp.asarray(T))
+                    ), np.float32)
+                    ref = f
+            poses.append(pose)
+        return np.stack(poses)
+
+    def test_masked_rgbd_matches_pairwise_chain(self, rgbd_stream_data):
+        depths, grays = rgbd_stream_data
+        state = streams.blank_streams_rgbd(RGBD_INTR, RGBD_CFG,
+                                           num_streams=S2)
+        active = jnp.ones((S2,), bool)
+        for f in range(F):
+            seed = jnp.full((S2,), f == 0)
+            state, stats = streams.step_streams_masked_rgbd(
+                state, jnp.asarray(depths[f]), jnp.asarray(grays[f]),
+                active, seed, RGBD_INTR, RGBD_CFG,
+            )
+        stats = np.asarray(stats)
+        assert stats.shape == (S2, streams.MASKED_RGBD_STATS_WIDTH)
+        assert (stats[:, 32] > 0.5).all()  # tracking succeeded
+        ref_poses = self._reference_poses(depths, grays, F)
+        np.testing.assert_allclose(
+            np.asarray(state.poses), ref_poses, atol=1e-5
+        )
+        # the photometric term actually ran: finite photo rmse reported
+        assert np.isfinite(stats[:, 34]).all()
+
+    def test_rgbd_window_scan_matches_steps(self, rgbd_stream_data):
+        depths, grays = rgbd_stream_data
+        W = F
+        sa = streams.blank_streams_rgbd(RGBD_INTR, RGBD_CFG, num_streams=S2)
+        sb = streams.blank_streams_rgbd(RGBD_INTR, RGBD_CFG, num_streams=S2)
+        d = jnp.asarray(np.moveaxis(depths[:W], 0, 1))  # (S2, W, H, Wd)
+        g = jnp.asarray(np.moveaxis(grays[:W], 0, 1))
+        active = jnp.ones((S2, W), bool)
+        seed = jnp.zeros((S2, W), bool).at[:, 0].set(True)
+        sa, stats_a = streams.step_streams_masked_rgbd_window(
+            sa, d, g, active, seed, RGBD_INTR, RGBD_CFG,
+        )
+        per = []
+        for j in range(W):
+            sb, st = streams.step_streams_masked_rgbd(
+                sb, d[:, j], g[:, j], active[:, j], seed[:, j],
+                RGBD_INTR, RGBD_CFG,
+            )
+            per.append(np.asarray(st))
+        np.testing.assert_allclose(
+            np.asarray(stats_a), np.stack(per, 1), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sa.poses), np.asarray(sb.poses), atol=1e-6
+        )
+
+    def test_rgbd_executor_through_http(self, rgbd_stream_data):
+        depths, grays = rgbd_stream_data
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=RGBD_INTR, rgbd=True, rgbd_icp=RGBD_CFG,
+            capacity=S2, window=2,
+        ))
+        svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            import urllib.error
+
+            # missing color on an rgbd service is a clean 500, not a hang
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post_frame(url, depths[0, 0], session="s0")
+            assert "intensity" in ei.value.read().decode()
+            for f in range(F):
+                rec = post_frame(url, depths[f, 0], ts=float(f),
+                                 color=grays[f, 0], session="s0")
+                assert rec["success"]
+            # windowed rgbd: session s1 posts all frames as one batch
+            out = post_window(url, depths[:, 1], grays=grays[:, 1],
+                              ts=np.arange(F, dtype=np.float64),
+                              session="s1", window=2)
+            assert len(out["frames"]) == F
+            assert all(r["success"] for r in out["frames"])
+            ref_poses = self._reference_poses(depths, grays, F)
+            pose0 = get_json(url, "/pose?session=s0")["pose"]
+            np.testing.assert_allclose(np.asarray(pose0), ref_poses[0],
+                                       atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(out["frames"][-1]["pose"]), ref_poses[1],
+                atol=1e-5,
+            )
         finally:
             svc.close()
             ex.close()
