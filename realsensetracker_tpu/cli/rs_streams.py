@@ -25,8 +25,100 @@ def build_parser() -> argparse.ArgumentParser:
                         "in ONE compiled step; 0 = one dispatch per frame)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
+    p.add_argument("--rgb", action="store_true",
+                   help="RGB-D streams: joint point-to-plane + photometric "
+                        "odometry per stream (parallel/streams "
+                        "step_streams_masked_rgbd[_window])")
     p.add_argument("--print-poses", action="store_true")
     return p
+
+
+def _run_rgbd(args, intr) -> int:
+    """RGB-D multi-stream loop (stats-row based; see MASKED_RGBD layout)."""
+    import jax.numpy as jnp
+
+    from realsensetracker_tpu.data import synthetic
+    from realsensetracker_tpu.parallel import streams
+
+    s = args.streams
+    print(f"rendering {s} x {args.frames} synthetic RGB-D frames ...")
+    all_d, all_g = [], []
+    for i in range(s):
+        scene = synthetic.default_scene(seed=40 + i)
+        d, c, _ = synthetic.render_trajectory_rgbd(
+            intr, args.frames, scene=scene, seed=i, step_scale=0.01
+        )
+        all_d.append(d)
+        all_g.append(synthetic.intensity_from_rgb(c))
+    depths = jnp.stack(all_d, axis=1)  # (F, S, H, W)
+    grays = jnp.stack(all_g, axis=1)
+
+    ones = jnp.ones((s,), bool)
+    zeros = jnp.zeros((s,), bool)
+    state = streams.blank_streams_rgbd(intr, num_streams=s)
+    # Seeding on frame 0 doubles as the single-step compile + warmup
+    # (distinct from every timed frame, so the relay memoizer cannot skip).
+    state, _ = streams.step_streams_masked_rgbd(
+        state, depths[0], grays[0], ones, ones, intr
+    )
+    np.asarray(state.poses)  # warmup fence
+
+    win = max(0, args.window)
+    usable = ((args.frames - 1) // win) * win if win else 0
+    if win:
+        aw = jnp.ones((s, win), bool)
+        sw = jnp.zeros((s, win), bool)
+        warm_d = jnp.repeat(depths[0][:, None], win, axis=1)
+        warm_g = jnp.repeat(grays[0][:, None], win, axis=1)
+        st_w, _ = streams.step_streams_masked_rgbd_window(
+            state, warm_d, warm_g, aw, sw, intr
+        )
+        np.asarray(st_w.poses)  # window-program warmup fence (discarded)
+
+    t0 = time.perf_counter()
+    n_steps = 0
+    stats_log = []  # per-frame (S, 36) rows
+    if win:
+        for k in range(0, usable, win):
+            state, st = streams.step_streams_masked_rgbd_window(
+                state,
+                jnp.moveaxis(depths[1 + k : 1 + k + win], 0, 1),
+                jnp.moveaxis(grays[1 + k : 1 + k + win], 0, 1),
+                aw, sw, intr,
+            )
+            stats_log.extend(st[:, j] for j in range(win))
+            n_steps += win
+        tail = range(1 + usable, args.frames)
+    else:
+        tail = range(1, args.frames)
+    for f in tail:
+        state, st = streams.step_streams_masked_rgbd(
+            state, depths[f], grays[f], ones, zeros, intr
+        )
+        stats_log.append(st)
+        n_steps += 1
+    np.asarray(state.poses)  # timing fence (host materialization)
+    dt = time.perf_counter() - t0
+    for f, st in enumerate(stats_log, start=1):
+        st = np.asarray(st)
+        ok = int((st[:, 32] > 0.5).sum())
+        if args.print_poses:
+            for i in range(s):
+                t = st[i, :16].reshape(4, 4)[:3, 3]
+                print(f"  frame {f} stream {i}: "
+                      f"t=({t[0]:+.3f},{t[1]:+.3f},{t[2]:+.3f})")
+        else:
+            print(f"frame {f}: {ok}/{s} streams tracking")
+    per_stream_fps = n_steps / dt
+    print(
+        f"{s} RGB-D streams x {n_steps} steps in {dt:.2f}s: "
+        f"{per_stream_fps:.1f} FPS/stream "
+        f"({s * per_stream_fps:.0f} frames/s aggregate)"
+    )
+    target = 30.0
+    print(f"config-5 target 30 FPS/stream: "
+          f"{'MET' if per_stream_fps >= target else 'NOT MET'}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -42,6 +134,8 @@ def main(argv=None) -> int:
         cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
         width=args.width, height=args.height,
     )
+    if args.rgb:
+        return _run_rgbd(args, intr)
     s = args.streams
     print(f"rendering {s} x {args.frames} synthetic frames ...")
     all_depths = []

@@ -266,6 +266,18 @@ class TestStreamsCli:
         assert "frame 4: 2/2 streams tracking" in out
         assert "FPS/stream" in out
 
+    def test_streams_rgbd(self, capsys):
+        from realsensetracker_tpu.cli import rs_streams
+
+        rc = rs_streams.main(["--streams", "2", "--frames", "4",
+                              "--width", "64", "--height", "48", "--rgb",
+                              "--window", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "RGB-D streams" in out
+        assert "frame 3: 2/2 streams tracking" in out  # windowed + tail
+        assert "FPS/stream" in out
+
     def test_streams_windowed_tail_not_dropped(self, capsys):
         """(frames-1) % window != 0: the trailing steps run per-frame
         instead of being silently dropped from the run/summary."""
