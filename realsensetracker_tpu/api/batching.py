@@ -151,12 +151,19 @@ class BatchedExecutor:
         self._cond = threading.Condition()
         self._pending: dict[int, deque[_Request]] = {}
         self._free = list(range(config.capacity - 1, -1, -1))
+        self._prefer_singles = True  # mixed-round alternation (see _run)
+        # Per-slot generation: bumped on every acquisition so a STALE
+        # facade (its session was /reset while a request loop was still
+        # running) cannot enqueue into a reacquired slot and corrupt the
+        # new session's device state.
+        self._gen = [0] * config.capacity
         self._stop = False
         self._state = None  # device StreamState, built on first dispatch
         # stats (guarded by _cond)
         self._dispatches = 0
-        self._frames = 0
-        self._max_batch = 0
+        self._frames = 0  # individual frames (window requests count n)
+        self._sessions_served = 0  # per-round session count, summed
+        self._max_batch = 0  # max sessions in one round
         self._errors = 0  # failed dispatch rounds (delivered as 500s)
         self._thread = threading.Thread(
             target=self._run, name="rst-batch-dispatch", daemon=True
@@ -168,9 +175,9 @@ class BatchedExecutor:
     def make_session_tracker(self) -> "BatchedSessionTracker":
         """TrackingService-compatible factory: one tracker facade = one
         slot. Raises RuntimeError when all slots are taken."""
-        return BatchedSessionTracker(self, self._acquire_slot())
+        return BatchedSessionTracker(self, *self._acquire_slot())
 
-    def _acquire_slot(self) -> int:
+    def _acquire_slot(self) -> tuple[int, int]:
         with self._cond:
             if self._stop:
                 raise RuntimeError("executor is closed")
@@ -181,11 +188,14 @@ class BatchedExecutor:
                     "BatchingConfig.capacity"
                 )
             slot = self._free.pop()
+            self._gen[slot] += 1
             self._pending[slot] = deque()
-            return slot
+            return slot, self._gen[slot]
 
-    def _release_slot(self, slot: int) -> None:
+    def _release_slot(self, slot: int, gen: int | None = None) -> None:
         with self._cond:
+            if gen is not None and self._gen[slot] != gen:
+                return  # a stale facade must not free its successor's slot
             q = self._pending.pop(slot, None)
             if q is None:
                 return  # already released
@@ -197,19 +207,23 @@ class BatchedExecutor:
     # -- request path -----------------------------------------------------
 
     def track(self, slot: int, depth: np.ndarray, seed: bool,
-              gray: np.ndarray | None = None) -> SlotResult:
+              gray: np.ndarray | None = None,
+              gen: int | None = None) -> SlotResult:
         """Blocking: enqueue one frame for `slot`, wait for its batch."""
         return self.track_window(
             slot, np.asarray(depth, np.float32)[None], seed,
             grays=None if gray is None
             else np.asarray(gray, np.float32)[None],
+            gen=gen,
         )[0]
 
     def track_window(self, slot: int, depths: np.ndarray, seed: bool,
-                     grays: np.ndarray | None = None) -> list[SlotResult]:
+                     grays: np.ndarray | None = None,
+                     gen: int | None = None) -> list[SlotResult]:
         """Blocking: enqueue up to `config.window` frames for `slot` as ONE
         request, wait for the round that carries them. Returns one
-        SlotResult per frame, in order."""
+        SlotResult per frame, in order. `gen` (from _acquire_slot) guards
+        against a stale facade writing into a reacquired slot."""
         intr = self.config.intrinsics
         shape = (int(intr.height), int(intr.width))
         depths = np.asarray(depths, np.float32)
@@ -240,6 +254,11 @@ class BatchedExecutor:
         with self._cond:
             if self._stop:
                 raise RuntimeError("executor is closed")
+            if gen is not None and self._gen[slot] != gen:
+                raise RuntimeError(
+                    "session was reset/released (its slot belongs to a "
+                    "newer session now)"
+                )
             q = self._pending.get(slot)
             if q is None:
                 raise RuntimeError(f"slot {slot} is not active")
@@ -311,10 +330,24 @@ class BatchedExecutor:
                     if self._stop:
                         continue  # top of loop delivers shutdown errors
                 # One request per slot per round keeps per-session order.
+                # Single-frame and multi-frame (window) requests never
+                # share a round: a mixed round would run EVERY slot through
+                # the full cfg.window scan program, coupling single-frame
+                # sessions' latency to the window length. When both kinds
+                # are pending, alternate so neither starves.
+                heads = {
+                    slot: q[0] for slot, q in self._pending.items() if q
+                }
+                singles = {s for s, r in heads.items()
+                           if len(r.depths) == 1}
+                multis = {s for s, r in heads.items() if len(r.depths) > 1}
+                if singles and multis:
+                    pick = singles if self._prefer_singles else multis
+                    self._prefer_singles = not self._prefer_singles
+                else:
+                    pick = singles or multis
                 batch = {
-                    slot: q.popleft()
-                    for slot, q in self._pending.items()
-                    if q
+                    slot: self._pending[slot].popleft() for slot in pick
                 }
             if batch:
                 self._dispatch(batch)
@@ -403,6 +436,7 @@ class BatchedExecutor:
         with self._cond:
             self._dispatches += 1
             self._frames += n_frames
+            self._sessions_served += len(batch)
             self._max_batch = max(self._max_batch, len(batch))
         for slot, req in batch.items():
             req.rows = (rows[slot, : len(req.depths)] if windowed
@@ -418,8 +452,11 @@ class BatchedExecutor:
                 "capacity": self.config.capacity,
                 "active_sessions": len(self._pending),
                 "dispatches": d,
-                "frames": f,
-                "mean_batch": round(f / d, 3) if d else 0.0,
+                "frames": f,  # individual frames (window requests count n)
+                # sessions coalesced per round -- NOT frames/dispatches,
+                # which would conflate the window and cross-session levers
+                "mean_batch": (round(self._sessions_served / d, 3)
+                               if d else 0.0),
                 "max_batch": self._max_batch,
                 "errors": self._errors,
             }
@@ -443,14 +480,20 @@ class BatchedSessionTracker:
 
     supports_concurrent_process = True
 
-    def __init__(self, executor: BatchedExecutor, slot: int):
+    def __init__(self, executor: BatchedExecutor, slot: int, gen: int):
         self._ex = executor
         self._slot = slot
+        self._gen = gen  # slot generation (stale-facade guard)
         self._lock = threading.Lock()  # per-session frame order
         self._index = 0
         self._desynced = False  # a timed-out frame mutated the slot anyway
         self._pose_np = np.eye(4, dtype=np.float32)
         self.trajectory = Trajectory()
+
+    @property
+    def window_capacity(self) -> int:
+        """Frames one executor request can scan (BatchingConfig.window)."""
+        return self._ex.config.window
 
     @property
     def pose(self) -> np.ndarray:
@@ -467,7 +510,8 @@ class BatchedSessionTracker:
             ts = float(self._index) if timestamp is None else timestamp
             try:
                 r = self._ex.track(
-                    self._slot, depth, seed=(self._index == 0), gray=gray
+                    self._slot, depth, seed=(self._index == 0), gray=gray,
+                    gen=self._gen,
                 )
             except SessionDesyncError:
                 self._desynced = True
@@ -483,9 +527,12 @@ class BatchedSessionTracker:
         (streams.step_streams_masked_window)."""
         if grays is not None:
             grays = [self._gray(g) for g in grays]
-        elif self._ex.config.rgbd:
+        if self._ex.config.rgbd and (
+            grays is None or any(g is None for g in grays)
+        ):
             raise ValueError(
-                "rgbd executor: /track_window bodies need a 'grays' array"
+                "rgbd executor: /track_window bodies need a 'grays' array "
+                "with one intensity plane per frame"
             )
         with self._lock:
             self._check_sync()
@@ -499,7 +546,7 @@ class BatchedSessionTracker:
                 try:
                     rs = self._ex.track_window(
                         self._slot, part, seed=(self._index == 0),
-                        grays=gpart,
+                        grays=gpart, gen=self._gen,
                     )
                 except SessionDesyncError:
                     self._desynced = True
@@ -541,8 +588,8 @@ class BatchedSessionTracker:
         return res
 
     def release(self) -> None:
-        """Free the slot (called on /reset via GC, or explicitly)."""
-        self._ex._release_slot(self._slot)
+        """Free the slot (called on /reset, or by GC as a fallback)."""
+        self._ex._release_slot(self._slot, self._gen)
 
     def __del__(self):
         try:

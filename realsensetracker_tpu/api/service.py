@@ -452,12 +452,16 @@ def _process_window(tracker, depths, ts, grays, window: int):
         takes_grays = "grays" in pw_code.co_varnames[
             : pw_code.co_argcount + pw_code.co_kwonlyargcount
         ]
+        # "windowed" is honest only if frames actually scan together: a
+        # batched facade with BatchingConfig.window=1 (or ?window=1)
+        # dispatches per frame even through its process_window.
+        scans = min(window, getattr(tracker, "window_capacity", window)) > 1
         if grays is None and not getattr(cfg, "use_rgb", False):
-            return pw(list(depths), ts_list, window=window), True
+            return pw(list(depths), ts_list, window=window), scans
         if grays is not None and takes_grays:
             return (
                 pw(list(depths), ts_list, window=window, grays=list(grays)),
-                True,
+                scans,
             )
     out = []
     for i, d in enumerate(depths):

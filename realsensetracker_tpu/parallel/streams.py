@@ -206,50 +206,70 @@ def step_streams_masked(
                         min_inlier_fraction)
 
 
-def _masked_impl(state, depths, active, seed, intr, cfg,
-                 min_inlier_fraction):
-    new_levels, res, ok = _register_all(
-        state.ref_levels, depths, intr, cfg, min_inlier_fraction
-    )
+def _masked_finish(state, transform, ok, active, seed, rmse, inlier,
+                   extra_cols, new_refs, old_refs):
+    """Shared masking/pose/stats core of every masked step (depth-only and
+    RGB-D, single and windowed) -- a semantics fix here lands in all of
+    them. `new_refs`/`old_refs` are parallel tuples of reference pytrees
+    swapped where the slot seeded or tracked successfully; `extra_cols`
+    are (S,) columns packed between rmse and inlier (RGB-D photo_rmse).
+
+    Returns (poses, initialized, frame_count, swapped_refs, stats).
+    """
     seeding = active & seed
     tracking = active & ~seed
     success = tracking & ok
 
     eye = jnp.eye(4, dtype=jnp.float32)
-    new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
+    new_pose = se3.orthonormalize(se3.compose(state.poses, transform))
     poses = jnp.where(success[:, None, None], new_pose, state.poses)
     poses = jnp.where(seeding[:, None, None], eye, poses)
     take_new = success | seeding
-    ref_levels = jax.tree.map(
-        lambda new, old: jnp.where(
+
+    def sel(new, old):
+        return jnp.where(
             take_new.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-        ),
-        new_levels,
-        state.ref_levels,
-    )
-    new_state = StreamState(
-        poses=poses,
-        ref_levels=ref_levels,
-        initialized=state.initialized | seeding,
-        frame_count=state.frame_count + active.astype(jnp.int32),
+        )
+
+    refs = tuple(
+        jax.tree.map(sel, new, old) for new, old in zip(new_refs, old_refs)
     )
     f32 = jnp.float32
-    relative = jnp.where(seeding[:, None, None], eye, res.transform)
+    relative = jnp.where(seeding[:, None, None], eye, transform)
     report_ok = success | seeding
-    rmse = jnp.where(seeding, f32(0.0), res.rmse.astype(f32))
-    inlier = jnp.where(seeding, f32(1.0), res.inlier_fraction.astype(f32))
-    s = depths.shape[0]
+    cols = [jnp.where(seeding, f32(0.0), rmse.astype(f32))]
+    cols += [jnp.where(seeding, f32(0.0), e.astype(f32))
+             for e in extra_cols]
+    cols.append(jnp.where(seeding, f32(1.0), inlier.astype(f32)))
+    s = poses.shape[0]
     stats = jnp.concatenate(
         [
             poses.reshape(s, 16).astype(f32),
             relative.reshape(s, 16).astype(f32),
             report_ok[:, None].astype(f32),
-            rmse[:, None],
-            inlier[:, None],
-        ],
+        ]
+        + [c[:, None] for c in cols],
         axis=1,
     )
-    return new_state, stats
+    return (
+        poses,
+        state.initialized | seeding,
+        state.frame_count + active.astype(jnp.int32),
+        refs,
+        stats,
+    )
+
+
+def _masked_impl(state, depths, active, seed, intr, cfg,
+                 min_inlier_fraction):
+    new_levels, res, ok = _register_all(
+        state.ref_levels, depths, intr, cfg, min_inlier_fraction
+    )
+    poses, initialized, count, (ref_levels,), stats = _masked_finish(
+        state, res.transform, ok, active, seed, res.rmse,
+        res.inlier_fraction, [], (new_levels,), (state.ref_levels,),
+    )
+    return StreamState(poses, ref_levels, initialized, count), stats
 
 
 @partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
@@ -373,49 +393,16 @@ def _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
     res = jax.vmap(one)(state.ref_levels, state.ref_grays, depths, grays)
     finite = jnp.all(jnp.isfinite(res.transform), axis=(-2, -1))
     ok = finite & (res.inlier_fraction >= min_inlier_fraction)
-    seeding = active & seed
-    tracking = active & ~seed
-    success = tracking & ok
-
-    eye = jnp.eye(4, dtype=jnp.float32)
-    new_pose = se3.orthonormalize(se3.compose(state.poses, res.transform))
-    poses = jnp.where(success[:, None, None], new_pose, state.poses)
-    poses = jnp.where(seeding[:, None, None], eye, poses)
-    take_new = success | seeding
-
-    def sel(new, old):
-        return jnp.where(
-            take_new.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-        )
-
-    new_state = RgbdStreamState(
-        poses=poses,
-        ref_levels=jax.tree.map(sel, new_levels, state.ref_levels),
-        ref_grays=jax.tree.map(sel, new_grays, state.ref_grays),
-        initialized=state.initialized | seeding,
-        frame_count=state.frame_count + active.astype(jnp.int32),
+    poses, initialized, count, refs, stats = _masked_finish(
+        state, res.transform, ok, active, seed, res.rmse,
+        res.inlier_fraction, [res.photo_rmse],
+        (new_levels, new_grays), (state.ref_levels, state.ref_grays),
     )
-    f32 = jnp.float32
-    relative = jnp.where(seeding[:, None, None], eye, res.transform)
-    report_ok = success | seeding
-    rmse = jnp.where(seeding, f32(0.0), res.rmse.astype(f32))
-    photo = jnp.where(seeding, f32(0.0), res.photo_rmse.astype(f32))
-    inlier = jnp.where(
-        seeding, f32(1.0), res.inlier_fraction.astype(f32)
+    ref_levels, ref_grays = refs
+    return (
+        RgbdStreamState(poses, ref_levels, ref_grays, initialized, count),
+        stats,
     )
-    s = depths.shape[0]
-    stats = jnp.concatenate(
-        [
-            poses.reshape(s, 16).astype(f32),
-            relative.reshape(s, 16).astype(f32),
-            report_ok[:, None].astype(f32),
-            rmse[:, None],
-            photo[:, None],
-            inlier[:, None],
-        ],
-        axis=1,
-    )
-    return new_state, stats
 
 
 @partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))

@@ -287,6 +287,13 @@ class TestBatchedExecutor:
             t2 = ex.make_session_tracker()  # reuses the freed slot...
             r = t2.process(stream_data[0, 1], 0.0)
             np.testing.assert_array_equal(r.pose, np.eye(4))  # ...reseeded
+            # The STALE facade must not write into the reacquired slot
+            # (generation guard), nor release its successor's slot.
+            with pytest.raises(RuntimeError, match="reset|released"):
+                t1.process(stream_data[2, 0], 2.0)
+            t1.release()
+            r2 = t2.process(stream_data[1, 1], 1.0)
+            assert r2.success  # t2's slot survived t1's stale release
         finally:
             ex.close()
         with pytest.raises(RuntimeError, match="closed"):
@@ -544,6 +551,26 @@ class TestBatchedService:
             st = get_json(url, "/status")
             assert st["batching"]["frames"] == F
             assert st["batching"]["dispatches"] == 1  # one window dispatch
+            # mean_batch counts SESSIONS per round, not frames: one session
+            # posting a window must not read as F co-batched sessions.
+            assert st["batching"]["mean_batch"] == 1.0
+        finally:
+            svc.close()
+            ex.close()
+
+    def test_track_window_honest_windowed_flag(self, stream_data):
+        """A batched service whose executor window is 1 dispatches
+        /track_window frames one by one -- the response must say so."""
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=1,
+        ))
+        svc = TrackingService(ex.make_session_tracker, extra_status=ex.stats)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            out = post_window(url, stream_data[:2, 0], window=4)
+            assert out["windowed"] is False
+            assert len(out["frames"]) == 2
+            assert all(r["success"] for r in out["frames"])
         finally:
             svc.close()
             ex.close()
