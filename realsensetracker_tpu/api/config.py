@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
 from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
 from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.mapping.tsdf import TsdfConfig
 
 
 @dataclass
@@ -53,9 +54,11 @@ class TrackerConfig:
     """Streaming tracker settings (ref RsViewerSettings + replay loop)."""
 
     intrinsics: camera.Intrinsics = camera.TUM_DEFAULT
-    method: str = "projective"  # projective | rgbd | keyframe | model | icp | gicp
+    method: str = "projective"  # projective | rgbd | keyframe | model |
+    # tsdf | icp | gicp
     projective: ProjectiveIcpConfig = ProjectiveIcpConfig()
     rgbd: RgbdIcpConfig = RgbdIcpConfig()
+    tsdf: TsdfConfig = TsdfConfig()  # method="tsdf" volume/raycast settings
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
     min_inlier_fraction: float = 0.2

@@ -56,6 +56,15 @@ class Tracker:
                 icp_max_iter=self.config.align.icp_max_iter,
                 **kw,
             )
+        elif method == "tsdf":
+            from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+            self._impl = TsdfTracker(
+                self.config.intrinsics,
+                volume=self.config.tsdf,
+                icp=self.config.projective,
+                min_inlier_fraction=self.config.min_inlier_fraction,
+            )
         elif method == "rgbd":
             from realsensetracker_tpu.tracking.rgbd import RgbdTracker
 

@@ -28,8 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Frame interval in ms (reference default 1000; 0 = as fast as possible)",
     )
     p.add_argument("--method", default="projective",
-                   choices=["projective", "rgbd", "keyframe", "model", "icp",
-                            "gicp", "slam"])
+                   choices=["projective", "rgbd", "keyframe", "model",
+                            "tsdf", "icp", "gicp", "slam"])
     p.add_argument("--max-frames", type=int, default=0,
                    help="process at most this many frames (counted from "
                         "--start-frame); 0 = all")

@@ -1,0 +1,313 @@
+"""Truncated signed distance function (TSDF) volume on a dense grid.
+
+KinectFusion-style dense fusion as the TPU-native completion of the
+reference's mapping plan: the reference fuses a sparse first-point-wins
+voxel point map (rs_replay_app.cpp:76-129) and leaves frame-to-model
+tracking in a compiled-out branch (:274-287). A TSDF volume is the
+classic dense upgrade -- every depth frame carves free space and refines
+the zero-level surface by a weighted running average, and raycasting the
+volume renders a SYNTHETIC low-noise depth frame to track against
+(tracking/tsdf_tracker.py), which drifts less than either frame-to-frame
+or point-map frame-to-model.
+
+TPU shape of the three operations:
+
+* ``integrate`` -- all V^3 voxel centers project into the depth frame at
+  once. The camera coordinates of an axis-aligned grid are AFFINE in the
+  grid indices, so they assemble from three broadcast (V,) vectors
+  (zero-FLOP rank-3 broadcast add, no (V^3, 3) matmul or coordinate
+  tensor needed); the only real cost is ONE (V, V, V) advanced-index
+  gather of the depth map plus elementwise updates -- exactly one pass
+  over HBM at ~16 bytes/voxel.
+* ``raycast`` -- a fixed-trip-count ``lax.fori_loop`` marching all H*W
+  rays in lockstep, one nearest-neighbor (H, W) volume gather per step;
+  the zero crossing is refined by linear interpolation between the two
+  straddling samples. No per-ray control flow, no early exit: every ray
+  pays the same fixed step budget, which is what keeps the program one
+  static XLA loop.
+* ``extract_surface`` -- zero crossings between axis-adjacent voxel
+  pairs, linearly interpolated, emitted as a fixed-capacity masked Cloud
+  (ops.cloud semantics) for PLY export / downstream registration.
+
+Distances are PROJECTIVE (along the camera z axis), the standard
+KinectFusion approximation: sdf = depth(pixel) - z_cam, truncated to
+[-trunc, +trunc] and scaled to [-1, 1].
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.ops import cloud as cloud_mod
+
+
+class TsdfConfig(NamedTuple):
+    """Static volume + raycast configuration (hashable -> jit static arg).
+
+    The default 128^3 x 4 cm grid spans a 5.12 m cube centered on x/y
+    with the camera (world origin, looking down +z) near the z=0 face --
+    the geometry of a seated/handheld RealSense scan.
+    """
+
+    resolution: int = 128  # voxels per axis (V)
+    voxel_size: float = 0.04  # meters
+    origin: tuple[float, float, float] = (-2.56, -2.56, -0.56)
+    trunc: float = 0.12  # truncation band (meters); >= 2-3 voxels
+    max_weight: float = 64.0  # running-average cap (bounds update inertia)
+    min_depth: float = 0.05
+    max_depth: float = 10.0
+    max_range: float = 4.5  # raycast march range (meters)
+    step_frac: float = 0.5  # march step = step_frac * trunc (< 1: no
+    # crossing can be stepped over -- the truncation band is 2*trunc wide)
+
+    @property
+    def num_steps(self) -> int:
+        # Pure Python math: this runs INSIDE jit traces (fori_loop trip
+        # count), where a jnp op would become an abstract tracer.
+        step = self.step_frac * self.trunc
+        return int(math.ceil((self.max_range - self.min_depth) / step))
+
+
+class TsdfVolume(NamedTuple):
+    """Device-resident dense TSDF grid.
+
+    ``tsdf`` holds the truncated signed distance in units of
+    ``cfg.trunc`` (so [-1, 1]); unobserved voxels stay at +1 with weight
+    0, which the raycaster reads as free/unknown space for free.
+    """
+
+    tsdf: jnp.ndarray  # (V, V, V) float32 in [-1, 1]
+    weight: jnp.ndarray  # (V, V, V) float32 >= 0
+
+    @property
+    def resolution(self) -> int:
+        return self.tsdf.shape[-1]
+
+
+def init_volume(cfg: TsdfConfig) -> TsdfVolume:
+    v = cfg.resolution
+    return TsdfVolume(
+        tsdf=jnp.ones((v, v, v), jnp.float32),
+        weight=jnp.zeros((v, v, v), jnp.float32),
+    )
+
+
+def _grid_cam_coords(pose_cam_from_world: jnp.ndarray, cfg: TsdfConfig):
+    """Camera-frame coordinates of every voxel center, as three (V, V, V)
+    arrays assembled from broadcast (V,) vectors.
+
+    cam = R @ world + t with world[i,j,k] = origin + (idx + 0.5) * vs is
+    affine per grid axis: cam_a[i,j,k] = X_a[i] + Y_a[j] + Z_a[k] + t_a.
+    """
+    v = cfg.resolution
+    R = pose_cam_from_world[:3, :3].astype(jnp.float32)
+    t = pose_cam_from_world[:3, 3].astype(jnp.float32)
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    line = (jnp.arange(v, dtype=jnp.float32) + 0.5) * jnp.float32(cfg.voxel_size)
+    # world axis 0 -> x, axis 1 -> y, axis 2 -> z
+    wx = o[0] + line
+    wy = o[1] + line
+    wz = o[2] + line
+
+    def axis_coord(a):
+        return (
+            (R[a, 0] * wx)[:, None, None]
+            + (R[a, 1] * wy)[None, :, None]
+            + (R[a, 2] * wz)[None, None, :]
+            + t[a]
+        )
+
+    return axis_coord(0), axis_coord(1), axis_coord(2)
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def integrate(
+    vol: TsdfVolume,
+    depth: jnp.ndarray,
+    pose_world_from_cam: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: TsdfConfig = TsdfConfig(),
+) -> TsdfVolume:
+    """Fuse one depth frame taken at ``pose_world_from_cam`` into the
+    volume (weighted running average, KinectFusion eq. 11-13).
+
+    Only voxels with sdf >= -trunc update (in front of or just behind the
+    observed surface); voxels occluded deeper than the truncation band
+    keep their state, so surfaces seen from the other side later are not
+    destroyed.
+    """
+    depth = jnp.asarray(depth, jnp.float32)
+    h, w = depth.shape
+    cx_, cy_, cz_ = _grid_cam_coords(se3.inverse(pose_world_from_cam), cfg)
+
+    z_safe = jnp.where(cz_ > 1e-6, cz_, 1e-6)
+    u = intr.fx * cx_ / z_safe + intr.cx
+    v_ = intr.fy * cy_ / z_safe + intr.cy
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(jnp.round(v_).astype(jnp.int32), 0, h - 1)
+    inb = (
+        (cz_ > cfg.min_depth)
+        & (u >= -0.5) & (u < w - 0.5)
+        & (v_ >= -0.5) & (v_ < h - 0.5)
+    )
+    d = depth[vi, ui]  # the ONE (V, V, V) gather
+    d_ok = jnp.isfinite(d) & (d > cfg.min_depth) & (d < cfg.max_depth)
+    d = jnp.where(d_ok, d, 0.0)
+
+    sdf = d - cz_  # projective signed distance (meters)
+    upd = inb & d_ok & (sdf >= -cfg.trunc)
+    obs = jnp.minimum(sdf / jnp.float32(cfg.trunc), 1.0)  # [-1, 1]
+
+    m = upd.astype(jnp.float32)
+    w_new = vol.weight + m
+    tsdf = jnp.where(
+        upd,
+        (vol.tsdf * vol.weight + obs * m) / jnp.maximum(w_new, 1.0),
+        vol.tsdf,
+    )
+    return TsdfVolume(tsdf=tsdf, weight=jnp.minimum(w_new, cfg.max_weight))
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def raycast(
+    vol: TsdfVolume,
+    pose_world_from_cam: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: TsdfConfig = TsdfConfig(),
+) -> jnp.ndarray:
+    """Render a synthetic (H, W) depth map of the zero-level surface as
+    seen from ``pose_world_from_cam``.
+
+    Marches all rays in z-lockstep (projective: the sample at "distance"
+    z is the camera-frame point z * [(u-cx)/fx, (v-cy)/fy, 1], matching
+    integrate's projective sdf), sampling the volume nearest-neighbor
+    once per step; the first +/- crossing is refined by linear
+    interpolation of the straddling tsdf samples. Pixels whose ray never
+    crosses inside the observed (weight > 0) region return 0 (invalid --
+    the convention camera.valid_mask / build_pyramid already treat as
+    missing depth).
+    """
+    h, w = int(intr.height), int(intr.width)
+    v = cfg.resolution
+    R = pose_world_from_cam[:3, :3].astype(jnp.float32)
+    t = pose_world_from_cam[:3, 3].astype(jnp.float32)
+
+    uu = (jnp.arange(w, dtype=jnp.float32) - intr.cx) / intr.fx  # (W,)
+    vv = (jnp.arange(h, dtype=jnp.float32) - intr.cy) / intr.fy  # (H,)
+    # World-frame ray direction per unit z: R @ [uu, vv, 1].
+    dir_x = R[0, 0] * uu[None, :] + R[0, 1] * vv[:, None] + R[0, 2]
+    dir_y = R[1, 0] * uu[None, :] + R[1, 1] * vv[:, None] + R[1, 2]
+    dir_z = R[2, 0] * uu[None, :] + R[2, 1] * vv[:, None] + R[2, 2]
+
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
+    step = jnp.float32(cfg.step_frac * cfg.trunc)
+    z0 = jnp.float32(cfg.min_depth)
+
+    def sample(z):
+        """Nearest-neighbor tsdf at ray depth z; outside volume -> +1."""
+        px = t[0] + z * dir_x
+        py = t[1] + z * dir_y
+        pz = t[2] + z * dir_z
+        gx = (px - o[0]) * inv_vs - 0.5
+        gy = (py - o[1]) * inv_vs - 0.5
+        gz = (pz - o[2]) * inv_vs - 0.5
+        ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, v - 1)
+        iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, v - 1)
+        iz = jnp.clip(jnp.round(gz).astype(jnp.int32), 0, v - 1)
+        inside = (
+            (gx > -0.5) & (gx < v - 0.5)
+            & (gy > -0.5) & (gy < v - 0.5)
+            & (gz > -0.5) & (gz < v - 0.5)
+        )
+        val = vol.tsdf[ix, iy, iz]  # the per-step (H, W) gather
+        seen = vol.weight[ix, iy, iz] > 0
+        return jnp.where(inside, val, 1.0), inside & seen
+
+    def body(k, carry):
+        prev_val, prev_seen, z_hit, found = carry
+        z = z0 + (k.astype(jnp.float32) + 1.0) * step
+        val, seen = sample(z)
+        # First crossing from observed-positive to observed-negative.
+        cross = (~found) & prev_seen & seen & (prev_val > 0) & (val <= 0)
+        denom = prev_val - val
+        frac = prev_val / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        z_cross = (z - step) + step * jnp.clip(frac, 0.0, 1.0)
+        z_hit = jnp.where(cross, z_cross, z_hit)
+        return val, seen, z_hit, found | cross
+
+    val0, seen0 = sample(jnp.float32(z0))
+    init = (
+        val0,
+        seen0,
+        jnp.zeros((h, w), jnp.float32),
+        jnp.zeros((h, w), bool),
+    )
+    _, _, z_hit, found = jax.lax.fori_loop(0, cfg.num_steps, body, init)
+    return jnp.where(found, z_hit, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def extract_surface(
+    vol: TsdfVolume, cfg: TsdfConfig = TsdfConfig(), capacity: int = 65536
+) -> cloud_mod.Cloud:
+    """Zero-level surface as a fixed-capacity masked point cloud.
+
+    For each of the 3 grid axes, adjacent-voxel pairs whose observed tsdf
+    values straddle zero emit one linearly-interpolated point. Purely
+    dense elementwise work + one capacity reduction; the analog of the
+    reference's ExtractPointCloud (rs_replay_app.cpp:113-122) on the
+    dense map.
+    """
+    v = cfg.resolution
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    vs = jnp.float32(cfg.voxel_size)
+    base = (jnp.arange(v, dtype=jnp.float32) + 0.5) * vs
+    xs = (o[0] + base)[:, None, None]
+    ys = (o[1] + base)[None, :, None]
+    zs = (o[2] + base)[None, None, :]
+    centers = (
+        jnp.broadcast_to(xs, (v, v, v)),
+        jnp.broadcast_to(ys, (v, v, v)),
+        jnp.broadcast_to(zs, (v, v, v)),
+    )
+    seen = vol.weight > 0
+
+    pts_parts, mask_parts = [], []
+    for axis in range(3):
+        sl_a = [slice(None)] * 3
+        sl_b = [slice(None)] * 3
+        sl_a[axis] = slice(0, v - 1)
+        sl_b[axis] = slice(1, v)
+        a = vol.tsdf[tuple(sl_a)]
+        b = vol.tsdf[tuple(sl_b)]
+        ok = (
+            seen[tuple(sl_a)]
+            & seen[tuple(sl_b)]
+            & (jnp.sign(a) != jnp.sign(b))
+        )
+        denom = a - b
+        frac = jnp.clip(
+            a / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12), 0.0, 1.0
+        )
+        coords = [c[tuple(sl_a)] for c in centers]
+        coords[axis] = coords[axis] + frac * vs
+        pts_parts.append(
+            jnp.stack([c.reshape(-1) for c in coords], axis=-1)
+        )
+        mask_parts.append(ok.reshape(-1))
+
+    pts = jnp.concatenate(pts_parts, axis=0)
+    mask = jnp.concatenate(mask_parts, axis=0)
+    # subsample_to_capacity requires valid rows compacted to the front
+    # (ops/cloud.py contract); crossings are scattered across the grid, so
+    # compact via a stable sort on the mask (original order preserved).
+    order = jnp.argsort(~mask, stable=True)
+    c = cloud_mod.Cloud(points=pts[order], mask=mask[order])
+    return cloud_mod.subsample_to_capacity(c, capacity)

@@ -1,0 +1,162 @@
+"""TSDF frame-to-model tracking: register every frame against a raycast
+render of the fused dense volume (KinectFusion tracking loop).
+
+The reference's compiled-out frame-to-model branch
+(rs_replay_app.cpp:274-287) registers the frame cloud against the sparse
+accumulated point map; tracking/frame_to_model.py realizes that design.
+This tracker is the dense upgrade: the model is a TSDF volume
+(mapping/tsdf.py), and the reference surface for registration is a
+SYNTHETIC depth frame raycast from the volume at the previous pose. The
+render averages away per-frame sensor noise, so the pose feedback loop
+tracks against a cleaner, globally-fused surface -- the property that
+made KinectFusion drift-free enough to scan rooms.
+
+TPU shape: one frame = ONE jitted program (raycast -> projective
+point-to-plane GN -> gated volume integration), with the volume and pose
+living on device across the whole sequence; the host sees only a packed
+(19,) stats row per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realsensetracker_tpu.align import projective
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
+from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def _fused_tsdf_step(vol, depth, pose, *, intr, vol_cfg, icp_cfg,
+                     min_inlier_fraction):
+    """One frame-to-model step as a single XLA program.
+
+    Raycasts the model at the previous pose, registers the incoming
+    frame onto the render (the render plays the `dst`/reference role, so
+    the solved transform is render_cam_from_curr_cam -- composing right
+    onto the previous world_from_cam pose), then integrates the frame at
+    the new pose. Tracking failure (non-finite transform or inlier
+    fraction below the gate) holds BOTH the pose and the volume -- a
+    misregistered frame must not corrupt the map it will be tracked
+    against next (reference failure-holds-pose semantics,
+    rs_replay_app.cpp:257-267, extended to the model).
+
+    Returns (new_vol, new_pose_device, relative, stats (19,)) with
+    stats = [rmse, inlier_fraction, ok, new_pose(16)].
+    """
+    model_depth = tsdf_mod.raycast(vol, pose, intr, vol_cfg)
+    res = projective.register_depth_pair(depth, model_depth, intr, icp_cfg)
+    ok = (
+        jnp.all(jnp.isfinite(res.transform))
+        & (res.inlier_fraction >= min_inlier_fraction)
+    )
+    new_pose = se3.orthonormalize(se3.compose(pose, res.transform))
+    new_pose = jnp.where(ok, new_pose, pose)
+    # cond, not select: on failure the integration pass (the volume's
+    # full-HBM traversal) is skipped entirely, not computed-and-discarded.
+    new_vol = jax.lax.cond(
+        ok,
+        lambda v: tsdf_mod.integrate(v, depth, new_pose, intr, vol_cfg),
+        lambda v: v,
+        vol,
+    )
+    f32 = jnp.float32
+    stats = jnp.concatenate([
+        jnp.stack([
+            res.rmse.astype(f32),
+            res.inlier_fraction.astype(f32),
+            ok.astype(f32),
+        ]),
+        new_pose.reshape(-1).astype(f32),
+    ])
+    relative = jnp.where(ok, res.transform, jnp.eye(4, dtype=f32))
+    return new_vol, new_pose, relative, stats
+
+
+@partial(jax.jit, static_argnames=("intr", "vol_cfg"))
+def _seed_volume(depth, intr, vol_cfg):
+    vol = tsdf_mod.init_volume(vol_cfg)
+    return tsdf_mod.integrate(vol, depth, se3.identity(), intr, vol_cfg)
+
+
+@dataclass
+class TsdfTracker:
+    """Streaming dense frame-to-model tracker (KinectFusion loop)."""
+
+    intr: camera.Intrinsics
+    volume: tsdf_mod.TsdfConfig = tsdf_mod.TsdfConfig()
+    icp: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
+    min_inlier_fraction: float = 0.2
+    surface_capacity: int = 65536  # extract_surface output size
+
+    _vol: object = field(default=None, repr=False)
+    _pose: object = field(default=None, repr=False)  # device copy
+    _pose_np: object = field(default=None, repr=False)  # host mirror
+    _index: int = 0
+    trajectory: Trajectory = field(default_factory=Trajectory)
+
+    @property
+    def pose(self):
+        return self._pose_np
+
+    @property
+    def tsdf_volume(self):
+        """The raw device-resident TsdfVolume (None before the seed)."""
+        return self._vol
+
+    @property
+    def world_map(self):
+        """Zero-level surface as a masked Cloud (extracted on access)."""
+        if self._vol is None:
+            return None
+        return tsdf_mod.extract_surface(
+            self._vol, self.volume, self.surface_capacity
+        )
+
+    def process(self, depth, timestamp: float | None = None) -> FrameResult:
+        if timestamp is None:
+            timestamp = float(self._index)
+
+        if self._vol is None:
+            self._vol = _seed_volume(
+                jnp.asarray(depth, jnp.float32), self.intr, self.volume
+            )
+            self._pose = se3.identity()
+            self._pose_np = np.eye(4, dtype=np.float32)
+            self.trajectory.append(timestamp, self._pose_np)
+            res = FrameResult(
+                self._pose_np, se3.identity(), True, 0.0, 1.0, self._index
+            )
+            self._index += 1
+            return res
+
+        new_vol, new_pose_dev, relative, stats = _fused_tsdf_step(
+            self._vol, jnp.asarray(depth, jnp.float32), self._pose,
+            intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
+            min_inlier_fraction=float(self.min_inlier_fraction),
+        )
+        s = np.asarray(stats)  # the frame's one host transfer
+        rmse, inlier, ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
+        self._vol = new_vol
+        self._pose = new_pose_dev
+        if ok:
+            self._pose_np = s[3:19].reshape(4, 4)
+        self.trajectory.append(timestamp, self._pose_np)
+        res = FrameResult(
+            pose=self._pose_np,
+            relative=relative,
+            success=ok,
+            rmse=rmse,
+            inlier_fraction=inlier,
+            frame_index=self._index,
+        )
+        self._index += 1
+        return res

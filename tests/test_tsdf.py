@@ -1,0 +1,228 @@
+"""TSDF volume fusion + raycast frame-to-model tracking (mapping/tsdf.py,
+tracking/tsdf_tracker.py).
+
+Geometry oracle: the analytic synthetic renderer (data/synthetic.py) --
+a wall at known z gives exact expected depths/signed distances, and
+rendered trajectories carry exact ground-truth poses.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.mapping import tsdf
+
+W, H = 80, 60
+INTR = camera.Intrinsics(
+    fx=64.0, fy=64.0, cx=(W - 1) / 2, cy=(H - 1) / 2, width=W, height=H
+)
+
+# Wall-only scene: a plane at z = WALL_Z, floor pushed out of range.
+WALL_Z = 3.0
+WALL_SCENE = synthetic.Scene(
+    sphere_centers=jnp.zeros((0, 3), jnp.float32),
+    sphere_radii=jnp.zeros((0,), jnp.float32),
+    floor_y=100.0,
+    wall_z=WALL_Z,
+)
+
+CFG = tsdf.TsdfConfig(
+    resolution=64,
+    voxel_size=0.1,
+    origin=(-3.2, -2.4, -0.3),
+    trunc=0.3,
+    max_range=5.0,
+)
+
+
+def _wall_depth(pose=None):
+    pose = se3.identity() if pose is None else pose
+    return synthetic.render_depth(INTR, pose, WALL_SCENE)
+
+
+def _voxel_index(cfg, p):
+    return tuple(
+        int(round((p[a] - cfg.origin[a]) / cfg.voxel_size - 0.5))
+        for a in range(3)
+    )
+
+
+class TestIntegrate:
+    def test_wall_signs(self):
+        """After fusing one wall frame: free space in front of the wall is
+        positive, the truncation band straddles zero, behind-the-band
+        voxels stay unobserved."""
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG), _wall_depth(), se3.identity(), INTR, CFG
+        )
+        t = np.asarray(vol.tsdf)
+        w = np.asarray(vol.weight)
+
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, 2.0))  # 1 m in front
+        assert w[ix, iy, iz] > 0
+        assert t[ix, iy, iz] == pytest.approx(1.0)
+
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, WALL_Z - 0.15))  # band -
+        assert w[ix, iy, iz] > 0
+        assert 0.0 < t[ix, iy, iz] < 1.0
+
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, WALL_Z + 0.15))  # band +
+        assert w[ix, iy, iz] > 0
+        assert -1.0 < t[ix, iy, iz] < 0.0
+
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, WALL_Z + 1.0))  # occluded
+        assert w[ix, iy, iz] == 0
+        assert t[ix, iy, iz] == pytest.approx(1.0)
+
+    def test_zero_crossing_at_wall(self):
+        """The sign change along +z happens at the wall plane (within one
+        voxel)."""
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG), _wall_depth(), se3.identity(), INTR, CFG
+        )
+        t = np.asarray(vol.tsdf)
+        ix, iy, _ = _voxel_index(CFG, (0.0, 0.0, WALL_Z))
+        line = t[ix, iy, :]
+        zc = CFG.origin[2] + (np.arange(CFG.resolution) + 0.5) * CFG.voxel_size
+        neg = np.where(line < 0)[0]
+        assert neg.size > 0
+        first_neg = neg[0]
+        assert abs(zc[first_neg] - WALL_Z) < CFG.voxel_size + 1e-6
+
+    def test_repeat_integration_converges(self):
+        """Fusing the same frame twice leaves tsdf unchanged (running
+        average of identical observations) and doubles the weight up to
+        the cap."""
+        v1 = tsdf.integrate(
+            tsdf.init_volume(CFG), _wall_depth(), se3.identity(), INTR, CFG
+        )
+        v2 = tsdf.integrate(v1, _wall_depth(), se3.identity(), INTR, CFG)
+        np.testing.assert_allclose(
+            np.asarray(v2.tsdf), np.asarray(v1.tsdf), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2.weight), np.minimum(
+                2 * np.asarray(v1.weight), CFG.max_weight
+            ), atol=1e-6,
+        )
+
+
+class TestRaycast:
+    def test_wall_roundtrip(self):
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG), _wall_depth(), se3.identity(), INTR, CFG
+        )
+        d = np.asarray(tsdf.raycast(vol, se3.identity(), INTR, CFG))
+        center = d[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4]
+        assert (center > 0).all()  # every central ray hits
+        # Interpolated crossing on a nearest-sampled grid: errors bounded
+        # by ~1 voxel; central rays are near-axial so much tighter.
+        assert np.abs(center - WALL_Z).max() < CFG.voxel_size
+
+    def test_miss_is_zero(self):
+        """Rays through unobserved space return 0 (invalid-depth code)."""
+        vol = tsdf.init_volume(CFG)
+        d = np.asarray(tsdf.raycast(vol, se3.identity(), INTR, CFG))
+        assert (d == 0).all()
+
+    def test_novel_view(self):
+        """Raycast from a pose the volume was NOT integrated from matches
+        the analytic render from that pose (the model is world-frame)."""
+        vol = tsdf.init_volume(CFG)
+        vol = tsdf.integrate(vol, _wall_depth(), se3.identity(), INTR, CFG)
+        pose2 = se3.exp(
+            jnp.asarray([0.05, -0.03, 0.1, 0.02, -0.015, 0.01], jnp.float32)
+        )
+        vol = tsdf.integrate(
+            vol, _wall_depth(pose2), pose2, INTR, CFG
+        )
+        pose3 = se3.exp(
+            jnp.asarray([0.02, 0.02, 0.05, -0.01, 0.01, 0.0], jnp.float32)
+        )
+        d = np.asarray(tsdf.raycast(vol, pose3, INTR, CFG))
+        ref = np.asarray(_wall_depth(pose3))
+        center = np.s_[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4]
+        assert (d[center] > 0).all()
+        assert np.abs(d[center] - ref[center]).max() < 2 * CFG.voxel_size
+
+
+class TestExtractSurface:
+    def test_wall_surface(self):
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG), _wall_depth(), se3.identity(), INTR, CFG
+        )
+        c = tsdf.extract_surface(vol, CFG, capacity=4096)
+        pts = np.asarray(c.points)[np.asarray(c.mask)]
+        assert len(pts) > 100
+        # Every surface point sits on the wall plane, within a voxel.
+        assert np.abs(pts[:, 2] - WALL_Z).max() < CFG.voxel_size
+
+    def test_empty_volume(self):
+        c = tsdf.extract_surface(tsdf.init_volume(CFG), CFG, capacity=1024)
+        assert not bool(np.asarray(c.mask).any())
+
+
+class TestTsdfTracker:
+    def _tracker(self):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        icp = ProjectiveIcpConfig(
+            iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+        )
+        return TsdfTracker(INTR, volume=CFG, icp=icp)
+
+    def test_tracks_synthetic_trajectory(self):
+        scene = synthetic.default_scene(seed=3)
+        depths, gt = synthetic.render_trajectory(
+            INTR, 6, scene=scene, seed=1, step_scale=0.01
+        )
+        tr = self._tracker()
+        for i in range(6):
+            res = tr.process(depths[i], float(i))
+            assert res.success, f"frame {i} lost tracking"
+        gt = np.asarray(gt)
+        rel_gt = np.linalg.inv(gt[0]) @ gt[5]
+        err = np.linalg.norm(
+            np.asarray(tr.pose)[:3, 3] - rel_gt[:3, 3]
+        )
+        assert err < 0.02, f"ATE {err:.4f} m"
+
+    def test_world_map_surface(self):
+        depths, _ = synthetic.render_trajectory(
+            INTR, 3, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        tr = self._tracker()
+        for i in range(3):
+            tr.process(depths[i], float(i))
+        m = tr.world_map
+        pts = np.asarray(m.points)[np.asarray(m.mask)]
+        assert len(pts) > 200  # a fused surface exists
+        # Surface points live inside the configured volume.
+        lo = np.asarray(CFG.origin)
+        hi = lo + CFG.resolution * CFG.voxel_size
+        assert (pts >= lo - 1e-5).all() and (pts <= hi + 1e-5).all()
+
+    def test_api_tracker_method(self):
+        from realsensetracker_tpu.api.config import TrackerConfig
+        from realsensetracker_tpu.api.tracker import Tracker
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+
+        depths, _ = synthetic.render_trajectory(
+            INTR, 3, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        t = Tracker(TrackerConfig(
+            intrinsics=INTR, method="tsdf", tsdf=CFG,
+            projective=ProjectiveIcpConfig(
+                iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+            ),
+        ))
+        for i in range(3):
+            res = t.process(depths[i], float(i))
+            assert res.success
+        assert t.world_map is not None
+        assert len(t.trajectory) == 3
