@@ -16,4 +16,6 @@ from realsensetracker_tpu.mapping.tsdf import (  # noqa: F401
     init_volume,
     integrate,
     raycast,
+    raycast_coarse_to_fine,
+    render_model_depth,
 )

@@ -65,6 +65,10 @@ class TsdfConfig(NamedTuple):
     max_range: float = 4.5  # raycast march range (meters)
     step_frac: float = 0.5  # march step = step_frac * trunc (< 1: no
     # crossing can be stepped over -- the truncation band is 2*trunc wide)
+    raycast_coarse: int = 1  # >1: coarse-to-fine raycast (the tracker's
+    # render path); cuts the gather-bound march cost ~coarse^2-fold on
+    # the full-budget phase at the cost of sub-coarse-cell structures
+    refine_steps: int = 12  # full-res refinement steps when coarse > 1
 
     @property
     def num_steps(self) -> int:
@@ -174,6 +178,75 @@ def integrate(
     return TsdfVolume(tsdf=tsdf, weight=jnp.minimum(w_new, cfg.max_weight))
 
 
+def _ray_dirs(pose_world_from_cam: jnp.ndarray, intr: camera.Intrinsics):
+    """World-frame ray direction per unit z-depth for every pixel:
+    R @ [(u-cx)/fx, (v-cy)/fy, 1], as three (H, W) planes."""
+    h, w = int(intr.height), int(intr.width)
+    R = pose_world_from_cam[:3, :3].astype(jnp.float32)
+    uu = (jnp.arange(w, dtype=jnp.float32) - intr.cx) / intr.fx  # (W,)
+    vv = (jnp.arange(h, dtype=jnp.float32) - intr.cy) / intr.fy  # (H,)
+    return tuple(
+        R[a, 0] * uu[None, :] + R[a, 1] * vv[:, None] + R[a, 2]
+        for a in range(3)
+    )
+
+
+def _march(vol, t, dirs, z_start, n_steps: int, cfg: TsdfConfig):
+    """Lockstep ray march from per-pixel depth ``z_start`` for ``n_steps``
+    fixed steps; nearest-neighbor volume sampling, interpolated zero
+    crossing. Returns (z_hit, found), both shaped like ``dirs[0]``."""
+    dir_x, dir_y, dir_z = dirs
+    v = cfg.resolution
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
+    step = jnp.float32(cfg.step_frac * cfg.trunc)
+    z_start = jnp.broadcast_to(
+        jnp.asarray(z_start, jnp.float32), dir_x.shape
+    )
+
+    def sample(z):
+        """Nearest-neighbor tsdf at ray depth z; outside volume -> +1."""
+        px = t[0] + z * dir_x
+        py = t[1] + z * dir_y
+        pz = t[2] + z * dir_z
+        gx = (px - o[0]) * inv_vs - 0.5
+        gy = (py - o[1]) * inv_vs - 0.5
+        gz = (pz - o[2]) * inv_vs - 0.5
+        ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, v - 1)
+        iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, v - 1)
+        iz = jnp.clip(jnp.round(gz).astype(jnp.int32), 0, v - 1)
+        inside = (
+            (gx > -0.5) & (gx < v - 0.5)
+            & (gy > -0.5) & (gy < v - 0.5)
+            & (gz > -0.5) & (gz < v - 0.5)
+        )
+        val = vol.tsdf[ix, iy, iz]  # the per-step gather
+        seen = vol.weight[ix, iy, iz] > 0
+        return jnp.where(inside, val, 1.0), inside & seen
+
+    def body(k, carry):
+        prev_val, prev_seen, z_hit, found = carry
+        z = z_start + (k.astype(jnp.float32) + 1.0) * step
+        val, seen = sample(z)
+        # First crossing from observed-positive to observed-negative.
+        cross = (~found) & prev_seen & seen & (prev_val > 0) & (val <= 0)
+        denom = prev_val - val
+        frac = prev_val / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        z_cross = (z - step) + step * jnp.clip(frac, 0.0, 1.0)
+        z_hit = jnp.where(cross, z_cross, z_hit)
+        return val, seen, z_hit, found | cross
+
+    val0, seen0 = sample(z_start)
+    init = (
+        val0,
+        seen0,
+        jnp.zeros(dir_x.shape, jnp.float32),
+        jnp.zeros(dir_x.shape, bool),
+    )
+    _, _, z_hit, found = jax.lax.fori_loop(0, n_steps, body, init)
+    return z_hit, found
+
+
 @partial(jax.jit, static_argnames=("intr", "cfg"))
 def raycast(
     vol: TsdfVolume,
@@ -193,64 +266,93 @@ def raycast(
     the convention camera.valid_mask / build_pyramid already treat as
     missing depth).
     """
-    h, w = int(intr.height), int(intr.width)
-    v = cfg.resolution
-    R = pose_world_from_cam[:3, :3].astype(jnp.float32)
     t = pose_world_from_cam[:3, 3].astype(jnp.float32)
-
-    uu = (jnp.arange(w, dtype=jnp.float32) - intr.cx) / intr.fx  # (W,)
-    vv = (jnp.arange(h, dtype=jnp.float32) - intr.cy) / intr.fy  # (H,)
-    # World-frame ray direction per unit z: R @ [uu, vv, 1].
-    dir_x = R[0, 0] * uu[None, :] + R[0, 1] * vv[:, None] + R[0, 2]
-    dir_y = R[1, 0] * uu[None, :] + R[1, 1] * vv[:, None] + R[1, 2]
-    dir_z = R[2, 0] * uu[None, :] + R[2, 1] * vv[:, None] + R[2, 2]
-
-    o = jnp.asarray(cfg.origin, jnp.float32)
-    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
-    step = jnp.float32(cfg.step_frac * cfg.trunc)
-    z0 = jnp.float32(cfg.min_depth)
-
-    def sample(z):
-        """Nearest-neighbor tsdf at ray depth z; outside volume -> +1."""
-        px = t[0] + z * dir_x
-        py = t[1] + z * dir_y
-        pz = t[2] + z * dir_z
-        gx = (px - o[0]) * inv_vs - 0.5
-        gy = (py - o[1]) * inv_vs - 0.5
-        gz = (pz - o[2]) * inv_vs - 0.5
-        ix = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, v - 1)
-        iy = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, v - 1)
-        iz = jnp.clip(jnp.round(gz).astype(jnp.int32), 0, v - 1)
-        inside = (
-            (gx > -0.5) & (gx < v - 0.5)
-            & (gy > -0.5) & (gy < v - 0.5)
-            & (gz > -0.5) & (gz < v - 0.5)
-        )
-        val = vol.tsdf[ix, iy, iz]  # the per-step (H, W) gather
-        seen = vol.weight[ix, iy, iz] > 0
-        return jnp.where(inside, val, 1.0), inside & seen
-
-    def body(k, carry):
-        prev_val, prev_seen, z_hit, found = carry
-        z = z0 + (k.astype(jnp.float32) + 1.0) * step
-        val, seen = sample(z)
-        # First crossing from observed-positive to observed-negative.
-        cross = (~found) & prev_seen & seen & (prev_val > 0) & (val <= 0)
-        denom = prev_val - val
-        frac = prev_val / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-        z_cross = (z - step) + step * jnp.clip(frac, 0.0, 1.0)
-        z_hit = jnp.where(cross, z_cross, z_hit)
-        return val, seen, z_hit, found | cross
-
-    val0, seen0 = sample(jnp.float32(z0))
-    init = (
-        val0,
-        seen0,
-        jnp.zeros((h, w), jnp.float32),
-        jnp.zeros((h, w), bool),
+    dirs = _ray_dirs(pose_world_from_cam, intr)
+    z_hit, found = _march(
+        vol, t, dirs, jnp.float32(cfg.min_depth), cfg.num_steps, cfg
     )
-    _, _, z_hit, found = jax.lax.fori_loop(0, cfg.num_steps, body, init)
     return jnp.where(found, z_hit, 0.0)
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "coarse", "refine_steps"))
+def raycast_coarse_to_fine(
+    vol: TsdfVolume,
+    pose_world_from_cam: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: TsdfConfig = TsdfConfig(),
+    coarse: int = 4,
+    refine_steps: int = 12,
+) -> jnp.ndarray:
+    """Two-phase raycast: full march at 1/coarse resolution, then a short
+    full-resolution refinement march seeded near the coarse surface.
+
+    The full-resolution lockstep march is gather-issue-rate bound
+    (H * W * num_steps volume gathers); this cuts the gather count by
+    ~num_steps / (num_steps/coarse^2 + refine_steps) -- ~5.7x at 640x480
+    with the defaults -- at the cost of missing structures thinner than a
+    coarse cell. Each full-res ray starts 2 steps before the MINIMUM
+    coarse hit in its 3x3 coarse neighborhood (min, not bilinear: depth
+    at silhouettes is a step function, and interpolating across one
+    would seed the refinement behind the foreground surface). Pixels
+    with no coarse hit anywhere in the neighborhood are invalid.
+
+    Requires intr.height/width divisible by ``coarse``.
+    """
+    h, w = int(intr.height), int(intr.width)
+    if h % coarse or w % coarse:
+        raise ValueError(f"{h}x{w} not divisible by coarse={coarse}")
+    t = pose_world_from_cam[:3, 3].astype(jnp.float32)
+    step = jnp.float32(cfg.step_frac * cfg.trunc)
+
+    intr_c = camera.Intrinsics(
+        fx=intr.fx / coarse,
+        fy=intr.fy / coarse,
+        cx=(intr.cx + 0.5) / coarse - 0.5,
+        cy=(intr.cy + 0.5) / coarse - 0.5,
+        width=w // coarse,
+        height=h // coarse,
+    )
+    dirs_c = _ray_dirs(pose_world_from_cam, intr_c)
+    z_c, found_c = _march(
+        vol, t, dirs_c, jnp.float32(cfg.min_depth), cfg.num_steps, cfg
+    )
+
+    # 3x3 neighborhood MIN of coarse hits (misses -> +inf).
+    z_inf = jnp.where(found_c, z_c, jnp.float32(jnp.inf))
+    pooled = jax.lax.reduce_window(
+        z_inf, jnp.float32(jnp.inf), jax.lax.min,
+        (3, 3), (1, 1), "SAME",
+    )
+    seeded = jnp.isfinite(pooled)
+
+    up = jnp.repeat(jnp.repeat(pooled, coarse, axis=0), coarse, axis=1)
+    seeded_up = jnp.repeat(
+        jnp.repeat(seeded, coarse, axis=0), coarse, axis=1
+    )
+    z_start = jnp.maximum(
+        jnp.where(seeded_up, up, jnp.float32(cfg.min_depth)) - 2.0 * step,
+        jnp.float32(cfg.min_depth),
+    )
+
+    dirs = _ray_dirs(pose_world_from_cam, intr)
+    z_hit, found = _march(vol, t, dirs, z_start, refine_steps, cfg)
+    return jnp.where(found & seeded_up, z_hit, 0.0)
+
+
+def render_model_depth(
+    vol: TsdfVolume,
+    pose_world_from_cam: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: TsdfConfig = TsdfConfig(),
+) -> jnp.ndarray:
+    """Config-dispatched model render: exact full march, or coarse-to-fine
+    when cfg.raycast_coarse > 1 (the tracker's hot path)."""
+    if cfg.raycast_coarse > 1:
+        return raycast_coarse_to_fine(
+            vol, pose_world_from_cam, intr, cfg,
+            coarse=cfg.raycast_coarse, refine_steps=cfg.refine_steps,
+        )
+    return raycast(vol, pose_world_from_cam, intr, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "capacity"))

@@ -52,7 +52,7 @@ def _fused_tsdf_step(vol, depth, pose, *, intr, vol_cfg, icp_cfg,
     Returns (new_vol, new_pose_device, relative, stats (19,)) with
     stats = [rmse, inlier_fraction, ok, new_pose(16)].
     """
-    model_depth = tsdf_mod.raycast(vol, pose, intr, vol_cfg)
+    model_depth = tsdf_mod.render_model_depth(vol, pose, intr, vol_cfg)
     res = projective.register_depth_pair(depth, model_depth, intr, icp_cfg)
     ok = (
         jnp.all(jnp.isfinite(res.transform))
