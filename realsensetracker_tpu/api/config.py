@@ -59,6 +59,7 @@ class TrackerConfig:
     projective: ProjectiveIcpConfig = ProjectiveIcpConfig()
     rgbd: RgbdIcpConfig = RgbdIcpConfig()
     tsdf: TsdfConfig = TsdfConfig()  # method="tsdf" volume/raycast settings
+    tsdf_color: bool = False  # method="tsdf": fuse per-voxel RGB too
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
     min_inlier_fraction: float = 0.2

@@ -64,6 +64,7 @@ class Tracker:
                 volume=self.config.tsdf,
                 icp=self.config.projective,
                 min_inlier_fraction=self.config.min_inlier_fraction,
+                use_color=self.config.tsdf_color,
             )
         elif method == "rgbd":
             from realsensetracker_tpu.tracking.rgbd import RgbdTracker
@@ -89,6 +90,9 @@ class Tracker:
             if color is None:
                 raise ValueError("method='rgbd' requires a color/gray frame")
             return self._impl.process(depth, _as_gray(color), timestamp)
+        if self.config.method == "tsdf" and self.config.tsdf_color:
+            # Raw RGB (not luma): the volume fuses per-voxel color.
+            return self._impl.process(depth, timestamp, color=color)
         return self._impl.process(depth, timestamp)
 
     def process_window(self, depths, timestamps=None, window: int = 8):
@@ -125,6 +129,12 @@ class Tracker:
     @property
     def world_map(self):
         return getattr(self._impl, "world_map", None)
+
+    @property
+    def world_map_colored(self):
+        """(Cloud, colors) for color-fusing backends (tsdf_color), else
+        None."""
+        return getattr(self._impl, "world_map_colored", None)
 
     def save_trajectory(self, path: str) -> None:
         self.trajectory.save_tum(path)

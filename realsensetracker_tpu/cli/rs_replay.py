@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-state", default="", metavar="NPZ",
                    help="SLAM only: restore a --save-state snapshot "
                         "before processing frames")
+    p.add_argument("--tsdf-color", action="store_true",
+                   help="method=tsdf: fuse per-voxel RGB from the color "
+                        "stream (colored --save-map export)")
+    p.add_argument("--save-map", default="", metavar="PLY",
+                   help="export the final world map as a PLY point cloud "
+                        "(methods with a map: model, tsdf; colored with "
+                        "--tsdf-color)")
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
@@ -92,7 +99,10 @@ def main(argv=None) -> int:
         print("--window requires --method slam or keyframe",
               file=sys.stderr)
         return 1
-    wants_color = args.method == "rgbd" or args.slam_rgb
+    if args.tsdf_color and args.method != "tsdf":
+        print("--tsdf-color requires --method tsdf", file=sys.stderr)
+        return 1
+    wants_color = args.method == "rgbd" or args.slam_rgb or args.tsdf_color
 
     gt = None
     if args.tum:
@@ -114,11 +124,21 @@ def main(argv=None) -> int:
                 print(f"{args.tum}: no rgb.txt (required by --method rgbd "
                       "/ --slam-rgb)", file=sys.stderr)
                 return 1
-            frames = (
-                (ts, d, g)
-                for ts, d, g in seq.frames_rgbd(start=args.start_frame,
-                                                stop=_stop(args))
-            )
+            if args.tsdf_color:
+                # Full RGB (the volume fuses color), not the luma plane
+                # frames_rgbd yields for the photometric term.
+                stop_i = min(_stop(args) or len(seq), len(seq))
+                frames = (
+                    (seq.depth_index[i][0], seq.depth(i),
+                     seq.rgb_for_depth(i))
+                    for i in range(args.start_frame, stop_i)
+                )
+            else:
+                frames = (
+                    (ts, d, g)
+                    for ts, d, g in seq.frames_rgbd(start=args.start_frame,
+                                                    stop=_stop(args))
+                )
         else:
             frames = stream_mod.stream_tum(seq, stop=_stop(args),
                                            start=args.start_frame)
@@ -135,7 +155,8 @@ def main(argv=None) -> int:
                       "rs-viewer --color for --method rgbd / --slam-rgb)",
                       file=sys.stderr)
                 return 1
-            frames = ((clip.timestamps[i], clip.depths[i], clip.gray(i))
+            frames = ((clip.timestamps[i], clip.depths[i],
+                       clip.colors[i] if args.tsdf_color else clip.gray(i))
                       for i in range(start, stop))
         else:
             frames = ((clip.timestamps[i], clip.depths[i]) for i in range(start, stop))
@@ -162,7 +183,8 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
-                            map_capacity=args.map_capacity)
+                            map_capacity=args.map_capacity,
+                            tsdf_color=args.tsdf_color)
         tracker = Tracker(cfg)
 
     server = None
@@ -296,6 +318,26 @@ def main(argv=None) -> int:
 
             checkpoint.save_slam(args.save_state, tracker)
             print(f"state -> {args.save_state}")
+
+    if args.save_map:
+        import numpy as np
+
+        from realsensetracker_tpu.vis.render import export_ply
+
+        m = getattr(tracker, "world_map", None)
+        if m is None:
+            print("--save-map: this method has no world map", file=sys.stderr)
+        else:
+            colors = None
+            if args.tsdf_color:
+                cm = tracker.world_map_colored
+                if cm is not None:
+                    m, colors = cm
+                    colors = np.asarray(colors)[np.asarray(m.mask)]
+            pts = np.asarray(m.points)[np.asarray(m.mask)]
+            export_ply(args.save_map, pts, colors)
+            print(f"map ({len(pts)} pts{', colored' if colors is not None else ''}) "
+                  f"-> {args.save_map}")
 
     if args.trajectory_out:
         tracker.trajectory.save_tum(args.trajectory_out)

@@ -84,21 +84,30 @@ class TsdfVolume(NamedTuple):
     ``tsdf`` holds the truncated signed distance in units of
     ``cfg.trunc`` (so [-1, 1]); unobserved voxels stay at +1 with weight
     0, which the raycaster reads as free/unknown space for free.
+    ``color``/``color_weight`` are present only on colored volumes
+    (init_volume(with_color=True)): RGB in [0, 1] fused by its own
+    running average over the near-surface band.
     """
 
     tsdf: jnp.ndarray  # (V, V, V) float32 in [-1, 1]
     weight: jnp.ndarray  # (V, V, V) float32 >= 0
+    color: jnp.ndarray | None = None  # (V, V, V, 3) float32 in [0, 1]
+    color_weight: jnp.ndarray | None = None  # (V, V, V) float32 >= 0
 
     @property
     def resolution(self) -> int:
         return self.tsdf.shape[-1]
 
 
-def init_volume(cfg: TsdfConfig) -> TsdfVolume:
+def init_volume(cfg: TsdfConfig, with_color: bool = False) -> TsdfVolume:
     v = cfg.resolution
     return TsdfVolume(
         tsdf=jnp.ones((v, v, v), jnp.float32),
         weight=jnp.zeros((v, v, v), jnp.float32),
+        color=jnp.zeros((v, v, v, 3), jnp.float32) if with_color else None,
+        color_weight=(
+            jnp.zeros((v, v, v), jnp.float32) if with_color else None
+        ),
     )
 
 
@@ -137,6 +146,7 @@ def integrate(
     pose_world_from_cam: jnp.ndarray,
     intr: camera.Intrinsics,
     cfg: TsdfConfig = TsdfConfig(),
+    color: jnp.ndarray | None = None,
 ) -> TsdfVolume:
     """Fuse one depth frame taken at ``pose_world_from_cam`` into the
     volume (weighted running average, KinectFusion eq. 11-13).
@@ -145,7 +155,18 @@ def integrate(
     observed surface); voxels occluded deeper than the truncation band
     keep their state, so surfaces seen from the other side later are not
     destroyed.
+
+    ``color`` ((H, W, 3) RGB in [0, 1]) is required iff the volume was
+    created with_color: it fuses by its own running average, restricted
+    to the near-surface band |sdf| <= trunc (free-space voxels must not
+    absorb surface color).
     """
+    if (vol.color is not None) != (color is not None):
+        raise ValueError(
+            "colored volume needs a color frame (and vice versa): "
+            f"vol.color={'set' if vol.color is not None else 'None'}, "
+            f"color={'set' if color is not None else 'None'}"
+        )
     depth = jnp.asarray(depth, jnp.float32)
     h, w = depth.shape
     cx_, cy_, cz_ = _grid_cam_coords(se3.inverse(pose_world_from_cam), cfg)
@@ -175,7 +196,25 @@ def integrate(
         (vol.tsdf * vol.weight + obs * m) / jnp.maximum(w_new, 1.0),
         vol.tsdf,
     )
-    return TsdfVolume(tsdf=tsdf, weight=jnp.minimum(w_new, cfg.max_weight))
+    new_color, new_cw = vol.color, vol.color_weight
+    if vol.color is not None:
+        band = upd & (sdf <= cfg.trunc)  # |sdf| <= trunc with upd's floor
+        mc = band.astype(jnp.float32)
+        cw_new = vol.color_weight + mc
+        rgb = jnp.asarray(color, jnp.float32)[vi, ui]  # (V, V, V, 3)
+        new_color = jnp.where(
+            band[..., None],
+            (vol.color * vol.color_weight[..., None] + rgb * mc[..., None])
+            / jnp.maximum(cw_new, 1.0)[..., None],
+            vol.color,
+        )
+        new_cw = jnp.minimum(cw_new, cfg.max_weight)
+    return TsdfVolume(
+        tsdf=tsdf,
+        weight=jnp.minimum(w_new, cfg.max_weight),
+        color=new_color,
+        color_weight=new_cw,
+    )
 
 
 def _ray_dirs(pose_world_from_cam: jnp.ndarray, intr: camera.Intrinsics):
@@ -355,18 +394,9 @@ def render_model_depth(
     return raycast(vol, pose_world_from_cam, intr, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity"))
-def extract_surface(
-    vol: TsdfVolume, cfg: TsdfConfig = TsdfConfig(), capacity: int = 65536
-) -> cloud_mod.Cloud:
-    """Zero-level surface as a fixed-capacity masked point cloud.
-
-    For each of the 3 grid axes, adjacent-voxel pairs whose observed tsdf
-    values straddle zero emit one linearly-interpolated point. Purely
-    dense elementwise work + one capacity reduction; the analog of the
-    reference's ExtractPointCloud (rs_replay_app.cpp:113-122) on the
-    dense map.
-    """
+def _surface_candidates(vol: TsdfVolume, cfg: TsdfConfig):
+    """Zero crossings between axis-adjacent voxel pairs: (pts (M, 3),
+    mask (M,), colors (M, 3) | None), M = 3 * V^2 * (V-1)."""
     v = cfg.resolution
     o = jnp.asarray(cfg.origin, jnp.float32)
     vs = jnp.float32(cfg.voxel_size)
@@ -381,7 +411,7 @@ def extract_surface(
     )
     seen = vol.weight > 0
 
-    pts_parts, mask_parts = [], []
+    pts_parts, mask_parts, col_parts = [], [], []
     for axis in range(3):
         sl_a = [slice(None)] * 3
         sl_b = [slice(None)] * 3
@@ -404,12 +434,64 @@ def extract_surface(
             jnp.stack([c.reshape(-1) for c in coords], axis=-1)
         )
         mask_parts.append(ok.reshape(-1))
+        if vol.color is not None:
+            ca = vol.color[tuple(sl_a)]
+            cb = vol.color[tuple(sl_b)]
+            col = ca + frac[..., None] * (cb - ca)
+            col_parts.append(col.reshape(-1, 3))
 
     pts = jnp.concatenate(pts_parts, axis=0)
     mask = jnp.concatenate(mask_parts, axis=0)
+    cols = (
+        jnp.concatenate(col_parts, axis=0) if vol.color is not None else None
+    )
+    return pts, mask, cols
+
+
+def _compact_to_capacity(pts, mask, capacity: int) -> cloud_mod.Cloud:
     # subsample_to_capacity requires valid rows compacted to the front
     # (ops/cloud.py contract); crossings are scattered across the grid, so
     # compact via a stable sort on the mask (original order preserved).
     order = jnp.argsort(~mask, stable=True)
     c = cloud_mod.Cloud(points=pts[order], mask=mask[order])
     return cloud_mod.subsample_to_capacity(c, capacity)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def extract_surface(
+    vol: TsdfVolume, cfg: TsdfConfig = TsdfConfig(), capacity: int = 65536
+) -> cloud_mod.Cloud:
+    """Zero-level surface as a fixed-capacity masked point cloud.
+
+    For each of the 3 grid axes, adjacent-voxel pairs whose observed tsdf
+    values straddle zero emit one linearly-interpolated point. Purely
+    dense elementwise work + one capacity reduction; the analog of the
+    reference's ExtractPointCloud (rs_replay_app.cpp:113-122) on the
+    dense map.
+    """
+    pts, mask, _ = _surface_candidates(vol, cfg)
+    return _compact_to_capacity(pts, mask, capacity)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def extract_surface_colored(
+    vol: TsdfVolume, cfg: TsdfConfig = TsdfConfig(), capacity: int = 65536
+) -> tuple[cloud_mod.Cloud, jnp.ndarray]:
+    """Colored zero-level surface: (Cloud, colors (capacity, 3) in [0, 1]).
+
+    Crossing colors interpolate between the two straddling voxels' fused
+    RGB (same lerp fraction as the point). Colors ride through the
+    capacity reduction as extra row columns so the point<->color pairing
+    survives the compaction reorder. Requires a with_color volume.
+    """
+    pts, mask, cols = _surface_candidates(vol, cfg)
+    if cols is None:
+        raise ValueError("extract_surface_colored needs a colored volume "
+                         "(init_volume(with_color=True))")
+    joint = _compact_to_capacity(
+        jnp.concatenate([pts, cols], axis=-1), mask, capacity
+    )
+    return (
+        cloud_mod.Cloud(points=joint.points[:, :3], mask=joint.mask),
+        joint.points[:, 3:],
+    )

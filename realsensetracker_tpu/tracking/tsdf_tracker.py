@@ -35,8 +35,8 @@ from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 @partial(jax.jit, static_argnames=(
     "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
-def _fused_tsdf_step(vol, depth, pose, *, intr, vol_cfg, icp_cfg,
-                     min_inlier_fraction):
+def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
+                     icp_cfg, min_inlier_fraction):
     """One frame-to-model step as a single XLA program.
 
     Raycasts the model at the previous pose, registers the incoming
@@ -64,7 +64,9 @@ def _fused_tsdf_step(vol, depth, pose, *, intr, vol_cfg, icp_cfg,
     # full-HBM traversal) is skipped entirely, not computed-and-discarded.
     new_vol = jax.lax.cond(
         ok,
-        lambda v: tsdf_mod.integrate(v, depth, new_pose, intr, vol_cfg),
+        lambda v: tsdf_mod.integrate(
+            v, depth, new_pose, intr, vol_cfg, color=color
+        ),
         lambda v: v,
         vol,
     )
@@ -81,10 +83,12 @@ def _fused_tsdf_step(vol, depth, pose, *, intr, vol_cfg, icp_cfg,
     return new_vol, new_pose, relative, stats
 
 
-@partial(jax.jit, static_argnames=("intr", "vol_cfg"))
-def _seed_volume(depth, intr, vol_cfg):
-    vol = tsdf_mod.init_volume(vol_cfg)
-    return tsdf_mod.integrate(vol, depth, se3.identity(), intr, vol_cfg)
+@partial(jax.jit, static_argnames=("intr", "vol_cfg", "with_color"))
+def _seed_volume(depth, intr, vol_cfg, color=None, with_color=False):
+    vol = tsdf_mod.init_volume(vol_cfg, with_color=with_color)
+    return tsdf_mod.integrate(
+        vol, depth, se3.identity(), intr, vol_cfg, color=color
+    )
 
 
 @dataclass
@@ -96,6 +100,8 @@ class TsdfTracker:
     icp: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
     min_inlier_fraction: float = 0.2
     surface_capacity: int = 65536  # extract_surface output size
+    use_color: bool = False  # fuse per-voxel RGB (registration stays
+    # geometric); process() then requires a color frame per call
 
     _vol: object = field(default=None, repr=False)
     _pose: object = field(default=None, repr=False)  # device copy
@@ -121,13 +127,40 @@ class TsdfTracker:
             self._vol, self.volume, self.surface_capacity
         )
 
-    def process(self, depth, timestamp: float | None = None) -> FrameResult:
+    @property
+    def world_map_colored(self):
+        """(Cloud, colors (C, 3) in [0, 1]); None unless use_color."""
+        if self._vol is None or not self.use_color:
+            return None
+        return tsdf_mod.extract_surface_colored(
+            self._vol, self.volume, self.surface_capacity
+        )
+
+    def _color_frame(self, color):
+        if not self.use_color:
+            return None
+        if color is None:
+            raise ValueError(
+                "use_color tracker: process() needs an (H, W, 3) color "
+                "frame per call"
+            )
+        arr = np.asarray(color)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        if arr.ndim == 2:  # gray sources fuse as a gray-shaded map
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        return jnp.asarray(arr, jnp.float32)
+
+    def process(self, depth, timestamp: float | None = None,
+                color=None) -> FrameResult:
         if timestamp is None:
             timestamp = float(self._index)
+        color = self._color_frame(color)
 
         if self._vol is None:
             self._vol = _seed_volume(
-                jnp.asarray(depth, jnp.float32), self.intr, self.volume
+                jnp.asarray(depth, jnp.float32), self.intr, self.volume,
+                color=color, with_color=self.use_color,
             )
             self._pose = se3.identity()
             self._pose_np = np.eye(4, dtype=np.float32)
@@ -139,7 +172,7 @@ class TsdfTracker:
             return res
 
         new_vol, new_pose_dev, relative, stats = _fused_tsdf_step(
-            self._vol, jnp.asarray(depth, jnp.float32), self._pose,
+            self._vol, jnp.asarray(depth, jnp.float32), self._pose, color,
             intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
             min_inlier_fraction=float(self.min_inlier_fraction),
         )

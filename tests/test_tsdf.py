@@ -196,6 +196,91 @@ class TestExtractSurface:
         assert not bool(np.asarray(c.mask).any())
 
 
+class TestColoredTsdf:
+    def test_color_fuses_in_band_only(self):
+        """A uniform red frame colors the near-surface band; free-space
+        voxels keep zero color weight."""
+        import jax.numpy as jnp
+
+        red = jnp.zeros((H, W, 3), jnp.float32).at[..., 0].set(1.0)
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG, with_color=True), _wall_depth(),
+            se3.identity(), INTR, CFG, color=red,
+        )
+        cw = np.asarray(vol.color_weight)
+        col = np.asarray(vol.color)
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, WALL_Z - 0.15))  # band
+        assert cw[ix, iy, iz] > 0
+        np.testing.assert_allclose(col[ix, iy, iz], [1, 0, 0], atol=1e-6)
+        ix, iy, iz = _voxel_index(CFG, (0.0, 0.0, 1.0))  # free space
+        assert cw[ix, iy, iz] == 0
+
+    def test_color_mismatch_raises(self):
+        with pytest.raises(ValueError, match="color"):
+            tsdf.integrate(
+                tsdf.init_volume(CFG, with_color=True), _wall_depth(),
+                se3.identity(), INTR, CFG,
+            )
+        with pytest.raises(ValueError, match="color"):
+            tsdf.integrate(
+                tsdf.init_volume(CFG), _wall_depth(),
+                se3.identity(), INTR, CFG,
+                color=np.zeros((H, W, 3), np.float32),
+            )
+
+    def test_colored_surface_extraction(self):
+        import jax.numpy as jnp
+
+        green = jnp.zeros((H, W, 3), jnp.float32).at[..., 1].set(0.8)
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG, with_color=True), _wall_depth(),
+            se3.identity(), INTR, CFG, color=green,
+        )
+        c, cols = tsdf.extract_surface_colored(vol, CFG, capacity=2048)
+        mask = np.asarray(c.mask)
+        assert mask.sum() > 100
+        got = np.asarray(cols)[mask]
+        np.testing.assert_allclose(
+            got, np.tile([0.0, 0.8, 0.0], (len(got), 1)), atol=1e-5
+        )
+        # Plain extraction still works on a colored volume.
+        plain = tsdf.extract_surface(vol, CFG, capacity=2048)
+        assert np.asarray(plain.mask).sum() == mask.sum()
+
+    def test_tracker_colored_map(self):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        scene = synthetic.default_scene(seed=3)
+        depths, colors, _ = synthetic.render_trajectory_rgbd(
+            INTR, 3, scene=scene, seed=1, step_scale=0.01
+        )
+        tr = TsdfTracker(
+            INTR, volume=CFG,
+            icp=ProjectiveIcpConfig(iters=(3, 3), inner_iters=2,
+                                    samples=768, min_samples=192),
+            use_color=True,
+        )
+        for i in range(3):
+            res = tr.process(depths[i], float(i), color=colors[i])
+            assert res.success
+        cm = tr.world_map_colored
+        assert cm is not None
+        c, cols = cm
+        mask = np.asarray(c.mask)
+        assert mask.sum() > 100
+        got = np.asarray(cols)[mask]
+        assert (got >= 0).all() and (got <= 1).all()
+        assert got.std() > 0.01  # a real scene is not uniformly colored
+
+    def test_tracker_color_required(self):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        tr = TsdfTracker(INTR, volume=CFG, use_color=True)
+        with pytest.raises(ValueError, match="color"):
+            tr.process(np.asarray(_wall_depth()), 0.0)
+
+
 class TestTsdfTracker:
     def _tracker(self):
         from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
