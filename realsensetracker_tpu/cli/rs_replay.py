@@ -52,14 +52,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N keyframes, feeding the correction back "
                         "into tracking (0 = only once at the end)")
     p.add_argument("--save-state", default="", metavar="NPZ",
-                   help="SLAM only: snapshot the tracker state (VO + "
-                        "keyframe store + loop edges) after the run")
+                   help="slam: snapshot the tracker state (VO + keyframe "
+                        "store + loop edges) after the run; tsdf: snapshot "
+                        "pose + trajectory + dense volume")
     p.add_argument("--resume-state", default="", metavar="NPZ",
-                   help="SLAM only: restore a --save-state snapshot "
-                        "before processing frames")
+                   help="restore a --save-state snapshot before processing "
+                        "frames (methods: slam, tsdf)")
     p.add_argument("--tsdf-color", action="store_true",
                    help="method=tsdf: fuse per-voxel RGB from the color "
                         "stream (colored --save-map export)")
+    p.add_argument("--tsdf-resolution", type=int, default=0, metavar="V",
+                   help="method=tsdf: voxels per axis (0 = default 128); "
+                        "a resumed run must match its snapshot")
+    p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
+                   help="method=tsdf: voxel edge length in meters "
+                        "(0 = default 0.04); the volume stays centered")
     p.add_argument("--save-map", default="", metavar="PLY",
                    help="export the final world map as a PLY point cloud "
                         "(methods with a map: model, tsdf; colored with "
@@ -101,6 +108,10 @@ def main(argv=None) -> int:
         return 1
     if args.tsdf_color and args.method != "tsdf":
         print("--tsdf-color requires --method tsdf", file=sys.stderr)
+        return 1
+    if (args.tsdf_resolution or args.tsdf_voxel) and args.method != "tsdf":
+        print("--tsdf-resolution/--tsdf-voxel require --method tsdf",
+              file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb or args.tsdf_color
 
@@ -178,14 +189,35 @@ def main(argv=None) -> int:
             print(f"resumed {tracker.keyframe_count} keyframes, "
                   f"{len(tracker.trajectory)} frames from {args.resume_state}")
     else:
-        if args.resume_state or args.save_state:
-            print("--save-state/--resume-state require --method slam",
+        if (args.resume_state or args.save_state) and args.method != "tsdf":
+            print("--save-state/--resume-state require --method slam or tsdf",
                   file=sys.stderr)
             return 1
+        tsdf_kw = {}
+        if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel):
+            from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+            base = TsdfConfig()
+            res = args.tsdf_resolution or base.resolution
+            vox = args.tsdf_voxel or base.voxel_size
+            # Keep the default layout at the new extent: x/y centered on the
+            # camera, the z=0 face at the same fractional inset.
+            extent = res * vox
+            z_frac = base.origin[2] / (base.resolution * base.voxel_size)
+            tsdf_kw["tsdf"] = base._replace(
+                resolution=res, voxel_size=vox,
+                origin=(-extent / 2, -extent / 2, z_frac * extent),
+            )
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity,
-                            tsdf_color=args.tsdf_color)
+                            tsdf_color=args.tsdf_color, **tsdf_kw)
         tracker = Tracker(cfg)
+        if args.resume_state:
+            from realsensetracker_tpu.tracking import checkpoint
+
+            checkpoint.load_tsdf(args.resume_state, tracker)
+            print(f"resumed frame {tracker._impl._index}, "
+                  f"{len(tracker.trajectory)} poses from {args.resume_state}")
 
     server = None
     if args.serve >= 0 or args.live_latest:
@@ -318,6 +350,11 @@ def main(argv=None) -> int:
 
             checkpoint.save_slam(args.save_state, tracker)
             print(f"state -> {args.save_state}")
+    elif args.method == "tsdf" and args.save_state:
+        from realsensetracker_tpu.tracking import checkpoint
+
+        checkpoint.save_tsdf(args.save_state, tracker)
+        print(f"state -> {args.save_state}")
 
     if args.save_map:
         import numpy as np

@@ -244,6 +244,33 @@ class TestReplayTumAte:
         assert rc == 0
         assert "keyframes=" in capsys.readouterr().out
 
+    def test_tsdf_save_resume_state(self, tmp_path, capsys):
+        """A --method tsdf run snapshots its dense volume and a second
+        invocation continues from it (the dense analog of SLAM
+        --save-state; reference restart semantics have no analog -- the
+        C++ app always restarts from scratch)."""
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data import recorded
+
+        clip_path = os.path.join(tmp_path, "c.rsc")
+        recorded.record_synthetic_clip(clip_path, num_frames=6, width=64,
+                                       height=48)
+        state = os.path.join(tmp_path, "tsdf.npz")
+        vol = ["--tsdf-resolution", "48", "--tsdf-voxel", "0.08"]
+        rc = rs_replay.main(["--record", clip_path, "--method", "tsdf",
+                             "--max-frames", "4", "--save-state", state]
+                            + vol)
+        assert rc == 0
+        assert "state ->" in capsys.readouterr().out
+        assert os.path.exists(state)
+        rc = rs_replay.main(["--record", clip_path, "--method", "tsdf",
+                             "--start-frame", "4", "--resume-state", state]
+                            + vol)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "resumed frame 4" in out
+        assert "processed 2 frames" in out
+
 
 class TestStreamsCli:
     def test_streams_demo_runs(self, capsys):

@@ -366,3 +366,100 @@ class TestTsdfTracker:
             assert res.success
         assert t.world_map is not None
         assert len(t.trajectory) == 3
+
+
+class TestTsdfCheckpoint:
+    """save_tsdf/load_tsdf: a resumed tracker must continue exactly as if
+    the run had never stopped (pose, volume, and trajectory all restored)."""
+
+    def _tracker(self, use_color=False):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        icp = ProjectiveIcpConfig(
+            iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+        )
+        return TsdfTracker(INTR, volume=CFG, icp=icp, use_color=use_color)
+
+    def test_roundtrip_continues_identically(self, tmp_path):
+        from realsensetracker_tpu.tracking import checkpoint
+
+        depths, _ = synthetic.render_trajectory(
+            INTR, 6, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        # Uninterrupted reference run.
+        ref = self._tracker()
+        for i in range(6):
+            ref.process(depths[i], float(i))
+
+        # Interrupted run: 4 frames, snapshot, fresh tracker, resume, 2 more.
+        a = self._tracker()
+        for i in range(4):
+            a.process(depths[i], float(i))
+        path = str(tmp_path / "tsdf_state.npz")
+        checkpoint.save_tsdf(path, a)
+
+        b = self._tracker()
+        checkpoint.load_tsdf(path, b)
+        assert b._index == 4
+        assert len(b.trajectory) == 4
+        np.testing.assert_allclose(np.asarray(b.pose), np.asarray(a.pose))
+        np.testing.assert_array_equal(
+            np.asarray(b._vol.tsdf), np.asarray(a._vol.tsdf)
+        )
+        for i in range(4, 6):
+            res = b.process(depths[i], float(i))
+            assert res.success
+        np.testing.assert_allclose(
+            np.asarray(b.pose), np.asarray(ref.pose), atol=1e-6
+        )
+        assert len(b.trajectory) == len(ref.trajectory)
+
+    def test_roundtrip_color_volume(self, tmp_path):
+        from realsensetracker_tpu.tracking import checkpoint
+
+        depth = _wall_depth()
+        color = np.full((H, W, 3), 0.5, np.float32)
+        a = self._tracker(use_color=True)
+        a.process(depth, 0.0, color=color)
+        path = str(tmp_path / "tsdf_color.npz")
+        checkpoint.save_tsdf(path, a)
+        b = self._tracker(use_color=True)
+        checkpoint.load_tsdf(path, b)
+        np.testing.assert_array_equal(
+            np.asarray(b._vol.color), np.asarray(a._vol.color)
+        )
+        # Color mismatch is rejected, not silently dropped.
+        c = self._tracker(use_color=False)
+        with pytest.raises(ValueError, match="color"):
+            checkpoint.load_tsdf(path, c)
+
+    def test_resolution_mismatch_rejected(self, tmp_path):
+        from realsensetracker_tpu.tracking import checkpoint
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        a = self._tracker()
+        a.process(_wall_depth(), 0.0)
+        path = str(tmp_path / "tsdf_res.npz")
+        checkpoint.save_tsdf(path, a)
+        b = TsdfTracker(INTR, volume=CFG._replace(resolution=32))
+        with pytest.raises(ValueError, match="volume"):
+            checkpoint.load_tsdf(path, b)
+
+    def test_facade_unwrap(self, tmp_path):
+        from realsensetracker_tpu.api.config import TrackerConfig
+        from realsensetracker_tpu.api.tracker import Tracker
+        from realsensetracker_tpu.tracking import checkpoint
+
+        t = Tracker(TrackerConfig(intrinsics=INTR, method="tsdf", tsdf=CFG))
+        t.process(_wall_depth(), 0.0)
+        path = str(tmp_path / "tsdf_facade.npz")
+        checkpoint.save_tsdf(path, t)
+        t2 = Tracker(TrackerConfig(intrinsics=INTR, method="tsdf", tsdf=CFG))
+        checkpoint.load_tsdf(path, t2)
+        np.testing.assert_allclose(np.asarray(t2.pose), np.asarray(t.pose))
+        # Non-TSDF trackers are rejected with a clear error.
+        t3 = Tracker(TrackerConfig(intrinsics=INTR, method="projective"))
+        with pytest.raises(ValueError, match="TSDF"):
+            checkpoint.save_tsdf(str(tmp_path / "x.npz"), t3)
