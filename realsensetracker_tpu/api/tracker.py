@@ -130,6 +130,11 @@ class Tracker:
     def world_map(self):
         return getattr(self._impl, "world_map", None)
 
+    def world_mesh(self, capacity: int = 131072):
+        """TriangleMesh of the dense model (method='tsdf'), else None."""
+        fn = getattr(self._impl, "world_mesh", None)
+        return fn(capacity) if fn is not None else None
+
     @property
     def world_map_colored(self):
         """(Cloud, colors) for color-fusing backends (tsdf_color), else

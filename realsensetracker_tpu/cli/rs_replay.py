@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the final world map as a PLY point cloud "
                         "(methods with a map: model, tsdf; colored with "
                         "--tsdf-color)")
+    p.add_argument("--save-mesh", default="", metavar="PLY",
+                   help="method=tsdf: export the fused surface as a welded "
+                        "PLY TRIANGLE mesh (marching tetrahedra; "
+                        "per-vertex color with --tsdf-color)")
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
@@ -375,6 +379,28 @@ def main(argv=None) -> int:
             export_ply(args.save_map, pts, colors)
             print(f"map ({len(pts)} pts{', colored' if colors is not None else ''}) "
                   f"-> {args.save_map}")
+
+    if args.save_mesh:
+        import numpy as np
+
+        from realsensetracker_tpu.vis.render import export_mesh_ply
+
+        mesh_fn = getattr(tracker, "world_mesh", None)
+        mesh = mesh_fn() if mesh_fn is not None else None
+        if mesh is None:
+            print("--save-mesh: this method has no dense model "
+                  "(use --method tsdf)", file=sys.stderr)
+        else:
+            keep = np.asarray(mesh.mask)
+            tris = np.asarray(mesh.vertices)[keep]
+            cols = (
+                np.asarray(mesh.colors)[keep]
+                if mesh.colors is not None else None
+            )
+            export_mesh_ply(args.save_mesh, tris, cols)
+            print(f"mesh ({len(tris)} triangles"
+                  f"{', colored' if cols is not None else ''}) "
+                  f"-> {args.save_mesh}")
 
     if args.trajectory_out:
         tracker.trajectory.save_tum(args.trajectory_out)

@@ -9,6 +9,10 @@ over all voxels, and raycasting is a fixed-trip-count lax.fori_loop of
 (H, W) gathers -- no trees, no sparse hashing, no dynamic shapes.
 """
 
+from realsensetracker_tpu.mapping.mesh import (  # noqa: F401
+    TriangleMesh,
+    extract_mesh,
+)
 from realsensetracker_tpu.mapping.tsdf import (  # noqa: F401
     TsdfConfig,
     TsdfVolume,

@@ -127,6 +127,18 @@ class TsdfTracker:
             self._vol, self.volume, self.surface_capacity
         )
 
+    def world_mesh(self, capacity: int = 131072):
+        """Zero-level surface as a TriangleMesh (marching tetrahedra over
+        the fused volume; colored vertices iff use_color). None before
+        the seed frame."""
+        if self._vol is None:
+            return None
+        from realsensetracker_tpu.mapping.mesh import extract_mesh
+
+        return extract_mesh(
+            self._vol, self.volume, capacity, with_color=self.use_color
+        )
+
     @property
     def world_map_colored(self):
         """(Cloud, colors (C, 3) in [0, 1]); None unless use_color."""

@@ -120,6 +120,74 @@ def export_ply(path: str, points, colors=None) -> None:
                 f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
 
 
+def weld_mesh(triangles, colors=None, decimals: int = 6):
+    """Merge a triangle soup's shared vertices into an indexed mesh.
+
+    ``triangles`` is (T, 3, 3); adjacent cells' marching-tetrahedra
+    output computes shared edge vertices from the same two voxel values,
+    so welding on coordinates rounded to ``decimals`` reconnects the
+    surface exactly (the rounding only absorbs float association noise,
+    orders of magnitude below a voxel). Returns (vertices (N, 3),
+    faces (T, 3) int32[, vertex_colors (N, 3)]) -- last-writer-wins on
+    per-vertex color, which agree across triangles anyway (same lerp).
+    """
+    tris = np.asarray(triangles, np.float64).reshape(-1, 3)
+    keys = np.round(tris, decimals)
+    uniq, index, inverse = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
+    vertices = tris[index].astype(np.float32)
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+    if colors is None:
+        return vertices, faces
+    vcol = np.zeros((len(vertices), 3), np.float32)
+    vcol[inverse] = np.asarray(colors, np.float32).reshape(-1, 3)
+    return vertices, faces, vcol
+
+
+def export_mesh_ply(path: str, triangles, colors=None,
+                    weld: bool = True) -> None:
+    """ASCII PLY TRIANGLE-MESH export (vertices + faces).
+
+    ``triangles`` is a (T, 3, 3) soup (already mask-filtered);
+    ``colors`` an optional matching (T, 3, 3) per-vertex RGB in [0, 1].
+    With ``weld`` (default) shared vertices are merged so the file is a
+    connected mesh, not 3T duplicated points.
+    """
+    triangles = np.asarray(triangles)
+    if weld:
+        out = weld_mesh(triangles, colors)
+        vertices, faces = out[0], out[1]
+        vcol = out[2] if colors is not None else None
+    else:
+        vertices = triangles.reshape(-1, 3)
+        faces = np.arange(vertices.shape[0], dtype=np.int32).reshape(-1, 3)
+        vcol = (
+            np.asarray(colors, np.float32).reshape(-1, 3)
+            if colors is not None else None
+        )
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if vcol is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        if vcol is None:
+            for p in vertices:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        else:
+            c8 = np.clip(vcol * 255, 0, 255).astype(np.uint8)
+            for p, c in zip(vertices, c8):
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
 def save_xyzrgb(path: str, points, colors) -> None:
     """xyzrgb text format writer (counterpart of view_xyzrgb.cpp:14-39)."""
     points = np.asarray(points)

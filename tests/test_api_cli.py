@@ -263,13 +263,15 @@ class TestReplayTumAte:
         assert rc == 0
         assert "state ->" in capsys.readouterr().out
         assert os.path.exists(state)
+        mesh_out = os.path.join(tmp_path, "mesh.ply")
         rc = rs_replay.main(["--record", clip_path, "--method", "tsdf",
-                             "--start-frame", "4", "--resume-state", state]
-                            + vol)
+                             "--start-frame", "4", "--resume-state", state,
+                             "--save-mesh", mesh_out] + vol)
         assert rc == 0
         out = capsys.readouterr().out
         assert "resumed frame 4" in out
         assert "processed 2 frames" in out
+        assert "mesh (" in out and os.path.exists(mesh_out)
 
 
 class TestStreamsCli:
