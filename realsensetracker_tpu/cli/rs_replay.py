@@ -72,9 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(methods with a map: model, tsdf; colored with "
                         "--tsdf-color)")
     p.add_argument("--save-mesh", default="", metavar="PLY",
-                   help="method=tsdf: export the fused surface as a welded "
-                        "PLY TRIANGLE mesh (marching tetrahedra; "
-                        "per-vertex color with --tsdf-color)")
+                   help="export the dense surface as a welded PLY TRIANGLE "
+                        "mesh (marching tetrahedra). method=tsdf: the live "
+                        "fused volume (per-vertex color with --tsdf-color); "
+                        "method=slam: keyframe depths re-fused at the "
+                        "loop-optimized poses (auto-sized volume)")
     p.add_argument("--map-capacity", type=int, default=0)
     p.add_argument("--render-dir", default="", help="Write per-frame model PNGs here")
     p.add_argument("--ate", action="store_true", help="Report ATE vs groundtruth (TUM)")
@@ -184,7 +186,10 @@ def main(argv=None) -> int:
 
         tracker = SlamTracker(
             SlamConfig(intrinsics=intr, optimize_every=args.optimize_every,
-                       use_rgb=args.slam_rgb)
+                       use_rgb=args.slam_rgb,
+                       # Dense re-fusion after optimization needs the raw
+                       # keyframe depths kept on host.
+                       keep_depths=bool(args.save_mesh))
         )
         if args.resume_state:
             from realsensetracker_tpu.tracking import checkpoint
@@ -386,10 +391,15 @@ def main(argv=None) -> int:
         from realsensetracker_tpu.vis.render import export_mesh_ply
 
         mesh_fn = getattr(tracker, "world_mesh", None)
-        mesh = mesh_fn() if mesh_fn is not None else None
+        try:
+            mesh = mesh_fn() if mesh_fn is not None else None
+        except ValueError as e:
+            # e.g. a resumed SLAM state whose keyframes carry no depths
+            print(f"--save-mesh: {e}", file=sys.stderr)
+            mesh = None
         if mesh is None:
             print("--save-mesh: this method has no dense model "
-                  "(use --method tsdf)", file=sys.stderr)
+                  "(use --method tsdf or slam)", file=sys.stderr)
         else:
             keep = np.asarray(mesh.mask)
             tris = np.asarray(mesh.vertices)[keep]

@@ -146,6 +146,13 @@ class SlamConfig:
     # unchanged.
     use_rgb: bool = False
     rgbd: "object" = None  # align.rgbd.RgbdIcpConfig; None -> defaults
+    # Retain each keyframe's raw depth frame (host-side float32) so the
+    # loop-consistent trajectory can be re-fused into a DENSE model after
+    # optimization (build_dense/world_mesh): the classic
+    # offline-reconstruction step KinectFusion-style trackers cannot do
+    # (their volume is fused at drifted poses and never corrected).
+    # Off by default: ~H*W*4 bytes per keyframe of host memory.
+    keep_depths: bool = False
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -194,6 +201,9 @@ class _Keyframe:
     # Confidence of that edge: 1.0 for a clean tracked span, reduced when
     # the span contained tracking failures (held pose misses real motion).
     odom_weight: float = 1.0
+    # Raw (H, W) float32 depth, kept only under SlamConfig.keep_depths
+    # (post-optimization dense re-fusion).
+    depth: np.ndarray | None = None
 
 
 class SlamTracker:
@@ -438,6 +448,9 @@ class SlamTracker:
                 else None
             ),
             odom_weight=float(odom_weight),
+            depth=(
+                np.asarray(depth, np.float32) if cfg.keep_depths else None
+            ),
         )
         # Query BEFORE adding (never match self). All candidates of this
         # query verify in ONE vmapped device dispatch (verify_batch), so
@@ -563,3 +576,80 @@ class SlamTracker:
                 acc, jnp.asarray(kf.pose, jnp.float32), kf.cloud, voxel_size
             )
         return acc
+
+    @property
+    def world_map(self):
+        """Sparse voxel world map (masked Cloud) at the CURRENT keyframe
+        poses -- call after optimize() for the loop-consistent model."""
+        if not self._keyframes:
+            return None
+        return self.build_map().extract_cloud()
+
+    def build_dense(self, voxel_size: float = 0.04, resolution: int = 128,
+                    margin: float = 0.3):
+        """Re-fuse the kept keyframe depths into a TSDF volume at the
+        CURRENT (post-optimization) keyframe poses.
+
+        This is the offline-reconstruction step a live frame-to-model
+        volume cannot have: its fusion happened at drifted odometry poses
+        and is never corrected, while this one integrates every keyframe
+        at its loop-closed pose. The volume is AUTO-SIZED: origin centers
+        the world-frame bounding box of the keyframe clouds (+ margin),
+        and the voxel edge grows above ``voxel_size`` if needed so the
+        fixed ``resolution``^3 grid covers the whole box (resolution must
+        stay static -- it shapes the XLA program). Returns
+        (TsdfVolume, TsdfConfig); requires SlamConfig.keep_depths.
+        """
+        from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+        if not self._keyframes:
+            return None
+        if any(kf.depth is None for kf in self._keyframes):
+            raise ValueError(
+                "dense re-fusion needs the keyframe depth frames: "
+                "construct the tracker with SlamConfig(keep_depths=True)"
+            )
+        mins, maxs = [], []
+        for kf in self._keyframes:
+            pts = np.asarray(kf.cloud.points)[np.asarray(kf.cloud.mask)]
+            if not len(pts):
+                continue
+            pose = kf.pose.astype(np.float64)
+            w = pts.astype(np.float64) @ pose[:3, :3].T + pose[:3, 3]
+            mins.append(w.min(axis=0))
+            maxs.append(w.max(axis=0))
+        if not mins:
+            return None
+        lo = np.min(mins, axis=0) - margin
+        hi = np.max(maxs, axis=0) + margin
+        vs = max(float(voxel_size), float((hi - lo).max()) / resolution)
+        center = (lo + hi) / 2
+        half = resolution * vs / 2
+        cfg = tsdf_mod.TsdfConfig(
+            resolution=resolution,
+            voxel_size=vs,
+            origin=tuple(float(c - half) for c in center),
+            trunc=max(3.0 * vs, 0.1),
+        )
+        vol = tsdf_mod.init_volume(cfg)
+        for kf in self._keyframes:
+            vol = tsdf_mod.integrate(
+                vol, jnp.asarray(kf.depth), jnp.asarray(kf.pose, jnp.float32),
+                self.config.intrinsics, cfg,
+            )
+        return vol, cfg
+
+    def world_mesh(self, capacity: int = 131072, voxel_size: float = 0.04,
+                   resolution: int = 128, margin: float = 0.3):
+        """Loop-consistent dense surface as a TriangleMesh (build_dense +
+        marching tetrahedra); None without keyframes, raises without
+        keep_depths."""
+        from realsensetracker_tpu.mapping.mesh import extract_mesh
+
+        out = self.build_dense(
+            voxel_size=voxel_size, resolution=resolution, margin=margin
+        )
+        if out is None:
+            return None
+        vol, cfg = out
+        return extract_mesh(vol, cfg, capacity)

@@ -214,3 +214,71 @@ class TestTrackerIntegration:
         # Non-dense methods return None, not an error.
         t2 = Tracker(TrackerConfig(intrinsics=INTR, method="projective"))
         assert t2.world_mesh() is None
+
+
+class TestSlamDenseRefusion:
+    """Post-optimization dense re-fusion (SlamTracker.build_dense /
+    world_mesh): keyframe depths re-integrate at loop-consistent poses."""
+
+    def _run_slam(self, keep_depths=True, n=6):
+        from realsensetracker_tpu.align import projective
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        intr = camera.Intrinsics(
+            fx=100.0, fy=100.0, cx=49.5, cy=37.0, width=100, height=75
+        )
+        scene = synthetic.default_scene(seed=21)
+        poses = [se3.identity()]
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        for _ in range(n - 1):
+            poses.append(se3.compose(poses[-1], se3.exp(step)))
+        depths = [synthetic.render_depth(intr, T, scene) for T in poses]
+        cfg = SlamConfig(
+            intrinsics=intr,
+            icp=projective.ProjectiveIcpConfig(iters=(5, 5, 6), samples=1024),
+            loop_min_separation=3,
+            keyframe_cloud_capacity=1024,
+            keep_depths=keep_depths,
+        )
+        cfg.align.fpfh_max_neighbors = 32
+        tracker = SlamTracker(cfg)
+        tracker._vo.max_translation = 1e-6  # every frame a keyframe
+        tracker._vo.max_rotation = 1e-6
+        for i, d in enumerate(depths):
+            tracker.process(d, float(i))
+        return tracker
+
+    def test_dense_mesh_after_optimize(self):
+        tracker = self._run_slam(keep_depths=True)
+        tracker.optimize()
+        out = tracker.build_dense(voxel_size=0.08, resolution=64)
+        assert out is not None
+        vol, cfg = out
+        # Auto-sizing covers every keyframe cloud point (with margin).
+        lo = np.asarray(cfg.origin)
+        hi = lo + cfg.resolution * cfg.voxel_size
+        for kf in tracker._keyframes:
+            pts = np.asarray(kf.cloud.points)[np.asarray(kf.cloud.mask)]
+            w = pts @ kf.pose[:3, :3].T + kf.pose[:3, 3]
+            assert (w >= lo - 1e-5).all() and (w <= hi + 1e-5).all()
+        m = tracker.world_mesh(capacity=32768, voxel_size=0.08, resolution=64)
+        tris = _valid_tris(m)
+        assert len(tris) > 500
+        # The re-fused surface agrees with the sparse world map: every
+        # mesh vertex lies near some accumulated map point.
+        wm = tracker.world_map
+        mp = np.asarray(wm.points)[np.asarray(wm.mask)]
+        verts = tris.reshape(-1, 3)[::7]
+        d = np.linalg.norm(verts[:, None, :] - mp[None, :, :], axis=-1)
+        assert np.percentile(d.min(axis=1), 95) < 3 * cfg.voxel_size
+
+    def test_requires_keep_depths(self):
+        tracker = self._run_slam(keep_depths=False)
+        with pytest.raises(ValueError, match="keep_depths"):
+            tracker.build_dense(voxel_size=0.08, resolution=64)
+
+    def test_world_map_property(self):
+        tracker = self._run_slam(keep_depths=False)
+        wm = tracker.world_map
+        pts = np.asarray(wm.points)[np.asarray(wm.mask)]
+        assert len(pts) > 200
