@@ -95,14 +95,22 @@ class Tracker:
             return self._impl.process(depth, timestamp, color=color)
         return self._impl.process(depth, timestamp)
 
-    def process_window(self, depths, timestamps=None, window: int = 8):
+    def process_window(self, depths, timestamps=None, window: int = 8,
+                       grays=None):
         """Process a batch of frames, scanning up to `window` frames per
-        device dispatch (method='keyframe' only; see
-        tracking/keyframe.py process_window). Identical results to
-        per-frame process(); one result per frame."""
+        device dispatch (methods 'keyframe' and 'tsdf'; see
+        tracking/keyframe.py and tracking/tsdf_tracker.py
+        process_window). Identical results to per-frame process(); one
+        result per frame. For method='tsdf' with tsdf_color, `grays`
+        carries the per-frame RGB color images."""
+        if self.config.method == "tsdf":
+            return self._impl.process_window(
+                depths, timestamps, window=window,
+                colors=grays if self.config.tsdf_color else None,
+            )
         if self.config.method != "keyframe":
             raise ValueError(
-                "process_window() requires method='keyframe' "
+                "process_window() requires method='keyframe' or 'tsdf' "
                 f"(got {self.config.method!r})"
             )
         if timestamps is None:

@@ -42,11 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "RGB-D odometry (requires a color stream); loop "
                         "closure stays geometric")
     p.add_argument("--window", type=int, default=0, metavar="W",
-                   help="slam/keyframe methods (incl. --slam-rgb): scan up "
-                        "to W frames per device dispatch (amortizes the "
-                        "per-dispatch overhead; identical trajectory to "
-                        "per-frame mode -- the scan truncates at every "
-                        "keyframe event)")
+                   help="slam/keyframe/tsdf methods (incl. --slam-rgb, "
+                        "--tsdf-color): scan up to W frames per device "
+                        "dispatch (amortizes the per-dispatch overhead; "
+                        "identical trajectory to per-frame mode -- "
+                        "slam/keyframe scans truncate at keyframe events)")
     p.add_argument("--optimize-every", type=int, default=0,
                    help="SLAM only: run pose-graph optimization in-stream "
                         "every N keyframes, feeding the correction back "
@@ -108,8 +108,8 @@ def main(argv=None) -> int:
     if args.slam_rgb and args.method != "slam":
         print("--slam-rgb requires --method slam", file=sys.stderr)
         return 1
-    if args.window > 0 and args.method not in ("slam", "keyframe"):
-        print("--window requires --method slam or keyframe",
+    if args.window > 0 and args.method not in ("slam", "keyframe", "tsdf"):
+        print("--window requires --method slam, keyframe, or tsdf",
               file=sys.stderr)
         return 1
     if args.tsdf_color and args.method != "tsdf":

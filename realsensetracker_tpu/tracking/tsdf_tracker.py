@@ -33,11 +33,10 @@ from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 
-@partial(jax.jit, static_argnames=(
-    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
-def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
-                     icp_cfg, min_inlier_fraction):
-    """One frame-to-model step as a single XLA program.
+def _tsdf_step_math(vol, depth, pose, color, valid, *, intr, vol_cfg,
+                    icp_cfg, min_inlier_fraction):
+    """One frame-to-model step (traced body, shared by the per-frame jit
+    and the windowed lax.scan).
 
     Raycasts the model at the previous pose, registers the incoming
     frame onto the render (the render plays the `dst`/reference role, so
@@ -47,7 +46,9 @@ def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
     fraction below the gate) holds BOTH the pose and the volume -- a
     misregistered frame must not corrupt the map it will be tracked
     against next (reference failure-holds-pose semantics,
-    rs_replay_app.cpp:257-267, extended to the model).
+    rs_replay_app.cpp:257-267, extended to the model). ``valid`` False
+    (window tail padding) behaves exactly like a failed frame: state
+    holds, stats row is discarded by the host.
 
     Returns (new_vol, new_pose_device, relative, stats (19,)) with
     stats = [rmse, inlier_fraction, ok, new_pose(16)].
@@ -57,6 +58,7 @@ def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
     ok = (
         jnp.all(jnp.isfinite(res.transform))
         & (res.inlier_fraction >= min_inlier_fraction)
+        & valid
     )
     new_pose = se3.orthonormalize(se3.compose(pose, res.transform))
     new_pose = jnp.where(ok, new_pose, pose)
@@ -81,6 +83,50 @@ def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
     ])
     relative = jnp.where(ok, res.transform, jnp.eye(4, dtype=f32))
     return new_vol, new_pose, relative, stats
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def _fused_tsdf_step(vol, depth, pose, color=None, *, intr, vol_cfg,
+                     icp_cfg, min_inlier_fraction):
+    """One frame-to-model step as a single XLA program (see
+    _tsdf_step_math)."""
+    return _tsdf_step_math(
+        vol, depth, pose, color, jnp.bool_(True), intr=intr,
+        vol_cfg=vol_cfg, icp_cfg=icp_cfg,
+        min_inlier_fraction=min_inlier_fraction,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "with_color"))
+def _fused_tsdf_window(vol, depths, pose, valids, colors=None, *, intr,
+                       vol_cfg, icp_cfg, min_inlier_fraction, with_color):
+    """W frame-to-model steps as ONE lax.scan dispatch.
+
+    The volume and pose ride the scan carry (they never leave the
+    device mid-window), so a window costs one relay dispatch instead of
+    W -- the same amortization the windowed SLAM/keyframe paths use
+    (tracking/keyframe.py process_window). Per-frame results are
+    IDENTICAL to W process() calls: the body is the same traced step
+    math, and padded tail frames (valids False) hold state exactly like
+    failed frames. Returns (vol, pose, relatives (W,4,4), stats (W,19)).
+    """
+    def body(carry, x):
+        vol, pose = carry
+        if with_color:
+            depth, color, valid = x
+        else:
+            (depth, valid), color = x, None
+        new_vol, new_pose, relative, stats = _tsdf_step_math(
+            vol, depth, pose, color, valid, intr=intr, vol_cfg=vol_cfg,
+            icp_cfg=icp_cfg, min_inlier_fraction=min_inlier_fraction,
+        )
+        return (new_vol, new_pose), (relative, stats)
+
+    xs = (depths, colors, valids) if with_color else (depths, valids)
+    (vol, pose), (rels, stats) = jax.lax.scan(body, (vol, pose), xs)
+    return vol, pose, rels, stats
 
 
 @partial(jax.jit, static_argnames=("intr", "vol_cfg", "with_color"))
@@ -205,3 +251,68 @@ class TsdfTracker:
         )
         self._index += 1
         return res
+
+    def process_window(self, depths, timestamps=None, window: int = 8,
+                       colors=None) -> list[FrameResult]:
+        """Process a batch of frames, scanning up to ``window`` frames
+        per device dispatch. Identical per-frame results to process()
+        (the scan body is the same step math); short tails pad to the
+        fixed window shape with hold-state frames so every chunk reuses
+        one compiled program. Seeding (the first frame ever) happens
+        per-frame, outside the scan."""
+        n = len(depths)
+        if timestamps is None:
+            timestamps = [None] * n
+        if self.use_color:
+            if colors is None or len(colors) != n:
+                raise ValueError(
+                    "use_color tracker: process_window() needs one color "
+                    "frame per depth frame"
+                )
+        results: list[FrameResult] = []
+        i = 0
+        if self._vol is None and n:
+            results.append(self.process(
+                depths[0], timestamps[0],
+                color=colors[0] if colors is not None else None,
+            ))
+            i = 1
+        while i < n:
+            chunk = [jnp.asarray(d, jnp.float32) for d in depths[i:i + window]]
+            k = len(chunk)
+            pad = window - k
+            d = jnp.stack(chunk + [chunk[-1]] * pad)
+            valids = jnp.arange(window) < k
+            cols = None
+            if self.use_color:
+                cc = [self._color_frame(c) for c in colors[i:i + k]]
+                cols = jnp.stack(cc + [cc[-1]] * pad)
+            new_vol, new_pose_dev, rels, stats = _fused_tsdf_window(
+                self._vol, d, self._pose, valids, cols,
+                intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
+                min_inlier_fraction=float(self.min_inlier_fraction),
+                with_color=self.use_color,
+            )
+            s = np.asarray(stats)  # the window's one host transfer
+            r = np.asarray(rels)
+            self._vol = new_vol
+            self._pose = new_pose_dev
+            for j in range(k):
+                ok = bool(s[j, 2] > 0.5)
+                if ok:
+                    self._pose_np = s[j, 3:19].reshape(4, 4)
+                ts = timestamps[i + j]
+                if ts is None:
+                    ts = float(self._index)
+                self.trajectory.append(ts, self._pose_np)
+                results.append(FrameResult(
+                    pose=self._pose_np,
+                    relative=r[j],
+                    success=ok,
+                    rmse=float(s[j, 0]),
+                    inlier_fraction=float(s[j, 1]),
+                    frame_index=self._index,
+                ))
+                self._index += 1
+            i += k
+        return results

@@ -6,6 +6,7 @@ at every keyframe event so host-side SLAM logic runs unchanged)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.data import synthetic
@@ -217,3 +218,126 @@ class TestWindowedSlam:
         except ValueError:
             return
         raise AssertionError("use_rgb process_window without grays should raise")
+
+
+class TestWindowedTsdf:
+    """tracking/tsdf_tracker.py process_window: the lax.scan window must
+    be per-frame-identical to sequential process() calls (same traced
+    step math; padded tails hold state like failed frames)."""
+
+    def _pair(self, use_color=False):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.data import synthetic
+        from realsensetracker_tpu.geometry import camera
+        from realsensetracker_tpu.mapping import tsdf
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        W, H = 80, 60
+        intr = camera.Intrinsics(
+            fx=64.0, fy=64.0, cx=(W - 1) / 2, cy=(H - 1) / 2,
+            width=W, height=H,
+        )
+        cfg = tsdf.TsdfConfig(
+            resolution=64, voxel_size=0.1, origin=(-3.2, -2.4, -0.3),
+            trunc=0.3, max_range=5.0,
+        )
+        icp = ProjectiveIcpConfig(
+            iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+        )
+        mk = lambda: TsdfTracker(  # noqa: E731
+            intr, volume=cfg, icp=icp, use_color=use_color
+        )
+        depths, _ = synthetic.render_trajectory(
+            intr, 7, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        return mk(), mk(), [np.asarray(d) for d in depths]
+
+    def test_matches_per_frame(self):
+        a, b, depths = self._pair()
+        ra = [a.process(d, float(i)) for i, d in enumerate(depths)]
+        # 7 frames, window 3: seed + chunks of 3/3 -> exercises the
+        # padded tail (last chunk is a single real frame + 2 pad rows).
+        rb = b.process_window(depths, [float(i) for i in range(7)], window=3)
+        assert len(rb) == len(ra)
+        for x, y in zip(ra, rb):
+            assert x.success == y.success
+            np.testing.assert_allclose(x.pose, y.pose, atol=1e-5)
+            np.testing.assert_allclose(x.relative, y.relative, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a._vol.tsdf), np.asarray(b._vol.tsdf), atol=1e-5
+        )
+        assert len(a.trajectory) == len(b.trajectory)
+
+    def test_color_window_matches_per_frame(self):
+        a, b, depths = self._pair(use_color=True)
+        colors = [
+            np.full(depths[0].shape + (3,), 0.3 + 0.05 * i, np.float32)
+            for i in range(len(depths))
+        ]
+        ra = [
+            a.process(d, float(i), color=c)
+            for i, (d, c) in enumerate(zip(depths, colors))
+        ]
+        rb = b.process_window(
+            depths, [float(i) for i in range(len(depths))],
+            window=4, colors=colors,
+        )
+        for x, y in zip(ra, rb):
+            np.testing.assert_allclose(x.pose, y.pose, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a._vol.color), np.asarray(b._vol.color), atol=1e-5
+        )
+
+    def test_color_required(self):
+        _, b, depths = self._pair(use_color=True)
+        with pytest.raises(ValueError, match="color"):
+            b.process_window(depths, window=4)
+
+    def test_facade_window(self):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.api.config import TrackerConfig
+        from realsensetracker_tpu.api.tracker import Tracker
+        from realsensetracker_tpu.data import synthetic
+        from realsensetracker_tpu.geometry import camera
+        from realsensetracker_tpu.mapping import tsdf
+
+        W, H = 80, 60
+        intr = camera.Intrinsics(
+            fx=64.0, fy=64.0, cx=(W - 1) / 2, cy=(H - 1) / 2,
+            width=W, height=H,
+        )
+        depths, _ = synthetic.render_trajectory(
+            intr, 5, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        t = Tracker(TrackerConfig(
+            intrinsics=intr, method="tsdf",
+            tsdf=tsdf.TsdfConfig(
+                resolution=64, voxel_size=0.1, origin=(-3.2, -2.4, -0.3),
+                trunc=0.3, max_range=5.0,
+            ),
+            projective=ProjectiveIcpConfig(
+                iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+            ),
+        ))
+        res = t.process_window([np.asarray(d) for d in depths], window=2)
+        assert len(res) == 5
+        assert all(r.success for r in res)
+
+    def test_cli_window_flag(self, tmp_path, capsys):
+        import os
+
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data import recorded
+
+        clip_path = os.path.join(tmp_path, "c.rsc")
+        recorded.record_synthetic_clip(
+            clip_path, num_frames=5, width=64, height=48
+        )
+        rc = rs_replay.main([
+            "--record", clip_path, "--method", "tsdf", "--window", "3",
+            "--tsdf-resolution", "48", "--tsdf-voxel", "0.08",
+        ])
+        assert rc == 0
+        assert "processed 5 frames" in capsys.readouterr().out
