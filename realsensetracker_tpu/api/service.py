@@ -445,9 +445,10 @@ def _process_window(tracker, depths, ts, grays, window: int):
     ts_list = list(ts) if ts is not None else [None] * len(depths)
     pw = getattr(tracker, "process_window", None)
     cfg = getattr(tracker, "config", None)
-    # api.Tracker only scans method='keyframe'; SlamConfig has no .method.
+    # api.Tracker scans methods 'keyframe' and 'tsdf'; SlamConfig has no
+    # .method (SlamTracker.process_window handles its own truncation).
     method = getattr(cfg, "method", "keyframe")
-    if pw is not None and method == "keyframe":
+    if pw is not None and method in ("keyframe", "tsdf"):
         pw_code = pw.__code__
         takes_grays = "grays" in pw_code.co_varnames[
             : pw_code.co_argcount + pw_code.co_kwonlyargcount

@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rs-serve", description=__doc__)
     p.add_argument("--method", default="keyframe",
                    choices=["projective", "keyframe", "rgbd", "model",
-                            "icp", "gicp", "slam"])
+                            "tsdf", "icp", "gicp", "slam"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=0, help="0 = auto")
     p.add_argument("--width", type=int, default=640)

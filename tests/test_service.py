@@ -398,3 +398,49 @@ class TestServeCli:
         t.join(timeout=60)
         assert not t.is_alive() and rc_holder["rc"] == 0
         assert "served 2 frames" in capsys.readouterr().out
+
+
+class TestTsdfService:
+    """method='tsdf' through the service: dense frame-to-model tracking
+    as an endpoint, per-frame and scanned-window, same trajectory."""
+
+    def _mk(self):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+        return lambda: Tracker(TrackerConfig(
+            intrinsics=INTR, method="tsdf",
+            tsdf=TsdfConfig(
+                resolution=64, voxel_size=0.1, origin=(-3.2, -2.4, -0.3),
+                trunc=0.3, max_range=5.0,
+            ),
+            projective=ProjectiveIcpConfig(
+                iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+            ),
+        ))
+
+    def test_tsdf_window_matches_per_frame(self):
+        depths, _ = synthetic.render_trajectory(
+            INTR, 7, scene=synthetic.default_scene(seed=3), seed=1,
+            step_scale=0.01,
+        )
+        depths = [np.asarray(d) for d in depths]
+        mk = self._mk()
+        svc_a, svc_b = TrackingService(mk), TrackingService(mk)
+        try:
+            ua = f"http://127.0.0.1:{svc_a.port}"
+            ub = f"http://127.0.0.1:{svc_b.port}"
+            recs_a = [post_frame(ua, d, ts=i / 30.0)
+                      for i, d in enumerate(depths)]
+            out = post_window(ub, np.stack(depths),
+                              ts=np.arange(7) / 30.0, window=3)
+            assert out["windowed"] is True
+            recs_b = out["frames"]
+            assert all(r["success"] for r in recs_b)
+            np.testing.assert_allclose(
+                np.asarray(recs_a[-1]["pose"]),
+                np.asarray(recs_b[-1]["pose"]), atol=1e-5,
+            )
+        finally:
+            svc_a.close()
+            svc_b.close()
