@@ -13,6 +13,11 @@ from realsensetracker_tpu.mapping.mesh import (  # noqa: F401
     TriangleMesh,
     extract_mesh,
 )
+from realsensetracker_tpu.mapping.sharded import (  # noqa: F401
+    init_volume_sharded,
+    shard_volume,
+    volume_sharding,
+)
 from realsensetracker_tpu.mapping.tsdf import (  # noqa: F401
     TsdfConfig,
     TsdfVolume,
