@@ -67,6 +67,15 @@ class TestBenchmarkCli:
         assert rec["frames_per_sec_per_chip"] > 0
         assert rec["keyframes"] >= 1
 
+    def test_tsdf_window_pipeline(self, capsys):
+        rec = self._run(capsys, [
+            "--pipeline", "tsdf-window", "--batch", "6", "--window", "2",
+            "--width", "80", "--height", "60",
+        ])
+        assert rec["pipeline"] == "tsdf-window" and rec["window"] == 2
+        assert rec["frames_per_sec_per_chip"] > 0
+        assert rec["volume"] == "128^3"
+
     def test_profile_writes_trace(self, capsys, tmp_path):
         trace_dir = str(tmp_path / "trace")
         rec = self._run(capsys, [
