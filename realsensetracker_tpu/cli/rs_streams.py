@@ -31,6 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RGB-D streams: joint point-to-plane + photometric "
                         "odometry per stream (parallel/streams "
                         "step_streams_masked_rgbd[_window])")
+    p.add_argument("--tsdf", action="store_true",
+                   help="dense streams: each slot is a KinectFusion "
+                        "frame-to-model tracker with its own TSDF volume "
+                        "(parallel/streams step_tsdf_streams[_window])")
+    p.add_argument("--tsdf-resolution", type=int, default=128,
+                   help="--tsdf: voxels per axis per stream volume "
+                        "(HBM = streams * 2 * V^3 * 4 bytes)")
+    p.add_argument("--tsdf-voxel", type=float, default=0.04,
+                   help="--tsdf: voxel edge length in meters")
     p.add_argument("--print-poses", action="store_true")
     return p
 
@@ -185,17 +194,95 @@ class _RgbdMode:
         return rec[:, :16].reshape(len(rec), 4, 4)
 
 
+class _TsdfMode:
+    """Dense streams: S per-slot TSDF volumes advanced by
+    step_tsdf_streams[_window]; records are StreamStepResult."""
+
+    label = "dense (TSDF) streams"
+
+    def __init__(self, args, intr):
+        import jax.numpy as jnp
+
+        from realsensetracker_tpu.data import synthetic
+        from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+        from realsensetracker_tpu.parallel import streams
+
+        self._jnp, self._streams, self._intr = jnp, streams, intr
+        res, vox = args.tsdf_resolution, args.tsdf_voxel
+        extent = res * vox
+        self._cfg = TsdfConfig(
+            resolution=res, voxel_size=vox,
+            origin=(-extent / 2, -extent / 2, -0.109375 * extent),
+            trunc=max(3.0 * vox, 0.1),
+            raycast_coarse=4 if (intr.height % 4 == 0
+                                 and intr.width % 4 == 0) else 1,
+        )
+        s = args.streams
+        print(f"rendering {s} x {args.frames} synthetic frames "
+              f"({res}^3 volume per stream) ...")
+        all_depths = []
+        for i in range(s):
+            scene = synthetic.default_scene(seed=40 + i)
+            d, _ = synthetic.render_trajectory(
+                intr, args.frames, scene=scene, seed=i, step_scale=0.01
+            )
+            all_depths.append(d)
+        self.depths = jnp.stack(all_depths, axis=1)  # (F, S, H, W)
+        self.state = streams.init_tsdf_streams(
+            self.depths[0], intr, self._cfg
+        )
+
+    def warm(self, win: int) -> None:
+        jnp, st = self._jnp, self._streams
+        if win:
+            self._windows = _slice_windows(self.depths, win)
+            warm = jnp.repeat(self.depths[0][:, None], win, axis=1)
+            state_w, _ = st.step_tsdf_streams_window(
+                self.state, warm, self._intr, self._cfg
+            )
+        else:
+            state_w, _ = st.step_tsdf_streams(
+                self.state, self.depths[0], self._intr, self._cfg
+            )
+        np.asarray(state_w.poses)  # warmup fence (compile + execute)
+
+    def step(self, f: int):
+        self.state, res = self._streams.step_tsdf_streams(
+            self.state, self.depths[f], self._intr, self._cfg
+        )
+        return res
+
+    def step_window(self, k: int, win: int) -> list:
+        self.state, res = self._streams.step_tsdf_streams_window(
+            self.state, self._windows[k // win], self._intr, self._cfg
+        )
+        return [
+            self._streams.StreamStepResult(*(x[:, j] for x in res))
+            for j in range(win)
+        ]
+
+    success_of = staticmethod(_DepthMode.success_of)
+    poses_of = staticmethod(_DepthMode.poses_of)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import sys
+
     from realsensetracker_tpu.geometry import camera
 
+    if args.rgb and args.tsdf:
+        print("--rgb and --tsdf are mutually exclusive", file=sys.stderr)
+        return 1
     intr = camera.Intrinsics(
         fx=args.width * 0.8, fy=args.width * 0.8,
         cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
         width=args.width, height=args.height,
     )
     s = args.streams
-    mode = (_RgbdMode if args.rgb else _DepthMode)(args, intr)
+    mode_cls = (_RgbdMode if args.rgb
+                else _TsdfMode if args.tsdf else _DepthMode)
+    mode = mode_cls(args, intr)
     win = max(0, args.window)
     # The trailing (frames-1) % W steps fall back to per-frame stepping --
     # silently dropping them would misreport the run (and a short tail

@@ -432,8 +432,8 @@ def step_streams_masked_rgbd_window(
 
 
 def shard_streams(state, mesh, data_axis: str = "data"):
-    """Shard per-stream state (StreamState or RgbdStreamState) over the
-    mesh's data axis."""
+    """Shard per-stream state (StreamState, RgbdStreamState, or
+    TsdfStreamState) over the mesh's data axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def put(x):
@@ -442,3 +442,117 @@ def shard_streams(state, mesh, data_axis: str = "data"):
         )
 
     return jax.tree.map(put, state)
+
+
+# --- dense (TSDF frame-to-model) streams -----------------------------------
+
+
+class TsdfStreamState(NamedTuple):
+    """S concurrent KinectFusion trackers as batched device state: each
+    slot carries its own dense volume ((S, V, V, V) tsdf/weight planes)
+    and pose. HBM budget is S * 2 * V^3 * 4 bytes (128 MB at S=8,
+    V=128) -- the slot axis shards over the mesh data axis
+    (shard_streams), which also splits the volumes."""
+
+    poses: jnp.ndarray  # (S, 4, 4) world_from_camera
+    volume: object  # mapping.tsdf.TsdfVolume with (S, V, V, V) planes
+    frame_count: jnp.ndarray  # (S,) int32
+
+
+@partial(jax.jit, static_argnames=("intr", "vol_cfg"))
+def init_tsdf_streams(
+    first_depths: jnp.ndarray,  # (S, H, W)
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+):
+    """Seed S dense streams: each slot's volume integrates its first
+    frame at identity."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+
+    def seed(d):
+        v = tsdf_mod.init_volume(vol_cfg)
+        return tsdf_mod.integrate(v, d, se3.identity(), intr, vol_cfg)
+
+    s = first_depths.shape[0]
+    return TsdfStreamState(
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (s, 4, 4)),
+        volume=jax.vmap(seed)(first_depths),
+        frame_count=jnp.ones((s,), jnp.int32),
+    )
+
+
+def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
+                       min_inlier_fraction):
+    from realsensetracker_tpu.tracking.tsdf_tracker import _tsdf_step_math
+
+    def one(vol, d, pose):
+        return _tsdf_step_math(
+            vol, d, pose, None, jnp.bool_(True), intr=intr,
+            vol_cfg=vol_cfg, icp_cfg=icp_cfg,
+            min_inlier_fraction=min_inlier_fraction,
+        )
+
+    new_vol, new_pose, _rel, stats = jax.vmap(one)(
+        state.volume, depths, state.poses
+    )
+    new_state = TsdfStreamState(
+        poses=new_pose,
+        volume=new_vol,
+        frame_count=state.frame_count + 1,
+    )
+    return new_state, StreamStepResult(
+        poses=new_pose,
+        success=stats[:, 2] > 0.5,
+        rmse=stats[:, 0],
+        inlier_fraction=stats[:, 1],
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def step_tsdf_streams(
+    state: TsdfStreamState,
+    depths: jnp.ndarray,  # (S, H, W) one new frame per stream
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+    icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[TsdfStreamState, StreamStepResult]:
+    """Advance S dense frame-to-model trackers one frame in ONE compiled
+    step (vmapped raycast -> register -> gated integrate; under vmap the
+    failure-gate cond becomes a select, so integration cost is paid per
+    slot regardless -- batch semantics, same results as per-slot
+    tracking)."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+    return _tsdf_streams_impl(
+        state, depths, intr, vol_cfg, icp_cfg, min_inlier_fraction
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def step_tsdf_streams_window(
+    state: TsdfStreamState,
+    depths: jnp.ndarray,  # (S, W, H, Wd): W new frames per stream
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+    icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[TsdfStreamState, StreamStepResult]:
+    """Advance S dense streams by W frames in ONE dispatch (lax.scan of
+    step_tsdf_streams over the window axis; S volumes ride the carry)."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+
+    def body(st, frame_batch):
+        return _tsdf_streams_impl(
+            st, frame_batch, intr, vol_cfg, icp_cfg, min_inlier_fraction
+        )
+
+    state2, seq = jax.lax.scan(body, state, jnp.moveaxis(depths, 1, 0))
+    return state2, StreamStepResult(*(jnp.moveaxis(x, 0, 1) for x in seq))

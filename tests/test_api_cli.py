@@ -307,6 +307,22 @@ class TestStreamsCli:
         assert "frame 3: 2/2 streams tracking" in out  # windowed + tail
         assert "FPS/stream" in out
 
+    def test_streams_tsdf(self, capsys):
+        from realsensetracker_tpu.cli import rs_streams
+
+        # 80x60 with 12 cm voxels: the coarsest scale where all synthetic
+        # streams keep tracking (64x48/8 cm drops one stream's inliers
+        # below the 0.2 gate -- a scale artifact, not a regression signal).
+        rc = rs_streams.main(["--streams", "2", "--frames", "4",
+                              "--width", "80", "--height", "60", "--tsdf",
+                              "--tsdf-resolution", "48", "--tsdf-voxel",
+                              "0.12", "--window", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "dense (TSDF) streams" in out
+        assert "frame 3: 2/2 streams tracking" in out
+        assert "FPS/stream" in out
+
     def test_streams_windowed_tail_not_dropped(self, capsys):
         """(frames-1) % window != 0: the trailing steps run per-frame
         instead of being silently dropped from the run/summary."""

@@ -228,3 +228,91 @@ class TestSlamCheckpoint:
             assert False
         except ValueError:
             pass
+
+
+class TestTsdfStreams:
+    """Dense (TSDF frame-to-model) multi-stream steps: parity with the
+    single-stream TsdfTracker, window scan, and mesh sharding."""
+
+    VOL = None  # built lazily (TsdfConfig import at module scope is fine
+    # but keep the test-local config near its tests)
+
+    @classmethod
+    def _cfg(cls):
+        from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+        return TsdfConfig(
+            resolution=48, voxel_size=0.12, origin=(-2.88, -2.16, -0.4),
+            trunc=0.36, max_range=5.0,
+        )
+
+    @classmethod
+    def _icp(cls):
+        return projective.ProjectiveIcpConfig(
+            iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+        )
+
+    def test_matches_single_stream_tracker(self):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        depths, _ = _stream_data(s=2, frames=4)
+        cfg, icp = self._cfg(), self._icp()
+        state = streams.init_tsdf_streams(depths[0], INTR, cfg)
+        for f in range(1, 4):
+            state, res = streams.step_tsdf_streams(
+                state, depths[f], INTR, cfg, icp
+            )
+            assert bool(res.success.all()), f"frame {f}"
+        for i in range(2):
+            tr = TsdfTracker(INTR, volume=cfg, icp=icp)
+            for f in range(4):
+                tr.process(np.asarray(depths[f, i]), float(f))
+            np.testing.assert_allclose(
+                np.asarray(state.poses[i]), np.asarray(tr.pose), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.volume.tsdf[i]),
+                np.asarray(tr._vol.tsdf), atol=1e-5,
+            )
+
+    def test_window_matches_per_frame(self):
+        depths, _ = _stream_data(s=2, frames=5)
+        cfg, icp = self._cfg(), self._icp()
+        a = streams.init_tsdf_streams(depths[0], INTR, cfg)
+        b = streams.init_tsdf_streams(depths[0], INTR, cfg)
+        per = []
+        for f in range(1, 5):
+            a, res = streams.step_tsdf_streams(a, depths[f], INTR, cfg, icp)
+            per.append(np.asarray(res.poses))
+        b, resw = streams.step_tsdf_streams_window(
+            b, jnp.moveaxis(depths[1:5], 0, 1), INTR, cfg, icp
+        )
+        for f in range(4):
+            np.testing.assert_allclose(
+                np.asarray(resw.poses[:, f]), per[f], atol=1e-5
+            )
+        np.testing.assert_allclose(
+            np.asarray(a.volume.tsdf), np.asarray(b.volume.tsdf), atol=1e-5
+        )
+
+    def test_sharded_slots_on_mesh(self):
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs multiple devices")
+        from realsensetracker_tpu.parallel.mesh import make_mesh
+
+        depths, _ = _stream_data(s=2, frames=3)
+        cfg, icp = self._cfg(), self._icp()
+        mesh = make_mesh(2)
+        ref = streams.init_tsdf_streams(depths[0], INTR, cfg)
+        state = streams.shard_streams(ref, mesh)
+        assert len(state.volume.tsdf.sharding.device_set) == 2
+        for f in range(1, 3):
+            ref, _ = streams.step_tsdf_streams(ref, depths[f], INTR, cfg, icp)
+            state, _ = streams.step_tsdf_streams(
+                state, depths[f], INTR, cfg, icp
+            )
+        np.testing.assert_allclose(
+            np.asarray(state.poses), np.asarray(ref.poses), atol=1e-5
+        )
