@@ -149,6 +149,12 @@ class Tracker:
         None."""
         return getattr(self._impl, "world_map_colored", None)
 
+    @property
+    def world_map_oriented(self):
+        """(Cloud, normals) for dense backends (method='tsdf'), else
+        None."""
+        return getattr(self._impl, "world_map_oriented", None)
+
     def save_trajectory(self, path: str) -> None:
         self.trajectory.save_tum(path)
 

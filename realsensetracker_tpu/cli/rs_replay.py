@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the final world map as a PLY point cloud "
                         "(methods with a map: model, tsdf; colored with "
                         "--tsdf-color)")
+    p.add_argument("--map-normals", action="store_true",
+                   help="method=tsdf --save-map: export TSDF-gradient "
+                        "normals per point (oriented PLY)")
     p.add_argument("--save-mesh", default="", metavar="PLY",
                    help="export the dense surface as a welded PLY TRIANGLE "
                         "mesh (marching tetrahedra). method=tsdf: the live "
@@ -374,16 +377,27 @@ def main(argv=None) -> int:
         if m is None:
             print("--save-map: this method has no world map", file=sys.stderr)
         else:
-            colors = None
+            colors = normals = None
             if args.tsdf_color:
                 cm = tracker.world_map_colored
                 if cm is not None:
                     m, colors = cm
                     colors = np.asarray(colors)[np.asarray(m.mask)]
+            elif args.map_normals:
+                om = getattr(tracker, "world_map_oriented", None)
+                if om is None:
+                    print("--map-normals: this method has no oriented map "
+                          "(use --method tsdf)", file=sys.stderr)
+                else:
+                    m, normals = om
+                    normals = np.asarray(normals)[np.asarray(m.mask)]
             pts = np.asarray(m.points)[np.asarray(m.mask)]
-            export_ply(args.save_map, pts, colors)
-            print(f"map ({len(pts)} pts{', colored' if colors is not None else ''}) "
-                  f"-> {args.save_map}")
+            export_ply(args.save_map, pts, colors, normals=normals)
+            tags = "".join([
+                ", colored" if colors is not None else "",
+                ", oriented" if normals is not None else "",
+            ])
+            print(f"map ({len(pts)} pts{tags}) -> {args.save_map}")
 
     if args.save_mesh:
         import numpy as np

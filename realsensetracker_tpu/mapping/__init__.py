@@ -22,6 +22,7 @@ from realsensetracker_tpu.mapping.tsdf import (  # noqa: F401
     TsdfConfig,
     TsdfVolume,
     extract_surface,
+    extract_surface_oriented,
     init_volume,
     integrate,
     raycast,

@@ -173,6 +173,16 @@ class TsdfTracker:
             self._vol, self.volume, self.surface_capacity
         )
 
+    @property
+    def world_map_oriented(self):
+        """(Cloud, normals (C, 3)) -- surface with TSDF-gradient normals
+        (free-space orientation); None before the seed."""
+        if self._vol is None:
+            return None
+        return tsdf_mod.extract_surface_oriented(
+            self._vol, self.volume, self.surface_capacity
+        )
+
     def world_mesh(self, capacity: int = 131072):
         """Zero-level surface as a TriangleMesh (marching tetrahedra over
         the fused volume; colored vertices iff use_color). None before

@@ -100,24 +100,34 @@ def fpfh_pca_colors(fpfh: np.ndarray) -> np.ndarray:
     return np.clip((coords + 2.0) / 4.0, 0.0, 1.0)
 
 
-def export_ply(path: str, points, colors=None) -> None:
-    """ASCII PLY export (basic_capture.cpp:45 export_to_ply analog)."""
+def export_ply(path: str, points, colors=None, normals=None) -> None:
+    """ASCII PLY export (basic_capture.cpp:45 export_to_ply analog).
+    Optional per-point ``normals`` (N, 3) emit nx/ny/nz properties
+    (oriented clouds, e.g. tsdf.extract_surface_oriented)."""
     points = np.asarray(points)
     n = len(points)
+    nrm = np.asarray(normals, np.float32) if normals is not None else None
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {n}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
+        if nrm is not None:
+            f.write("property float nx\nproperty float ny\n"
+                    "property float nz\n")
         if colors is not None:
             f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
         f.write("end_header\n")
-        if colors is None:
-            for p in points:
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        else:
-            c8 = np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
-            for p, c in zip(points, c8):
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+        c8 = (
+            np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+            if colors is not None else None
+        )
+        for i, p in enumerate(points):
+            row = f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+            if nrm is not None:
+                row += f" {nrm[i][0]:.6f} {nrm[i][1]:.6f} {nrm[i][2]:.6f}"
+            if c8 is not None:
+                row += f" {c8[i][0]} {c8[i][1]} {c8[i][2]}"
+            f.write(row + "\n")
 
 
 def weld_mesh(triangles, colors=None, decimals: int = 6):

@@ -463,3 +463,67 @@ class TestTsdfCheckpoint:
         t3 = Tracker(TrackerConfig(intrinsics=INTR, method="projective"))
         with pytest.raises(ValueError, match="TSDF"):
             checkpoint.save_tsdf(str(tmp_path / "x.npz"), t3)
+
+
+class TestOrientedSurface:
+    """extract_surface_oriented: TSDF-gradient normals at the crossings."""
+
+    def test_wall_normals_face_camera(self):
+        depth = _wall_depth()
+        vol = tsdf.integrate(
+            tsdf.init_volume(CFG), depth, se3.identity(), INTR, CFG
+        )
+        cloud, normals = tsdf.extract_surface_oriented(vol, CFG, 16384)
+        keep = np.asarray(cloud.mask)
+        pts = np.asarray(cloud.points)[keep]
+        nrm = np.asarray(normals)[keep]
+        assert len(pts) > 500
+        np.testing.assert_allclose(pts[:, 2], WALL_Z, atol=1e-3)
+        # Unit length, pointing into free space (toward the camera, -z).
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0,
+                                   atol=1e-5)
+        assert (nrm[:, 2] < -0.9).all()
+
+    def test_sphere_normals_radial(self):
+        scene = synthetic.Scene(
+            sphere_centers=jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+            sphere_radii=jnp.asarray([0.6], jnp.float32),
+            floor_y=100.0, wall_z=100.0,
+        )
+        cfg = tsdf.TsdfConfig(
+            resolution=64, voxel_size=0.05, origin=(-1.6, -1.6, 0.4),
+            trunc=0.15, max_range=5.0,
+        )
+        depth = synthetic.render_depth(INTR, se3.identity(), scene)
+        vol = tsdf.integrate(
+            tsdf.init_volume(cfg), depth, se3.identity(), INTR, cfg
+        )
+        cloud, normals = tsdf.extract_surface_oriented(vol, cfg, 16384)
+        keep = np.asarray(cloud.mask)
+        pts = np.asarray(cloud.points)[keep]
+        nrm = np.asarray(normals)[keep]
+        out = pts - np.asarray([0.0, 0.0, 2.0])
+        out /= np.linalg.norm(out, axis=1, keepdims=True)
+        cos = (nrm * out).sum(axis=1)
+        # Gradient normals on a carved sphere are outward almost
+        # everywhere; the tail is silhouette voxels with one-sided
+        # observations.
+        assert (cos > 0.8).mean() > 0.95
+
+    def test_tracker_property_and_ply(self, tmp_path):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+        from realsensetracker_tpu.vis.render import export_ply
+
+        tr = TsdfTracker(INTR, volume=CFG)
+        assert tr.world_map_oriented is None
+        tr.process(_wall_depth(), 0.0)
+        cloud, normals = tr.world_map_oriented
+        keep = np.asarray(cloud.mask)
+        path = str(tmp_path / "oriented.ply")
+        export_ply(path, np.asarray(cloud.points)[keep],
+                   normals=np.asarray(normals)[keep])
+        head = open(path).read(400).splitlines()
+        assert "property float nx" in head
+        row = open(path).read().splitlines()[
+            head.index("end_header") + 1].split()
+        assert len(row) == 6  # xyz + nxnynz
