@@ -80,6 +80,11 @@ class BatchingConfig:
     # plane. Use for geometry-degenerate scenes (flat walls) where
     # depth-only projective ICP cannot observe in-plane motion.
     rgbd_icp: rgbd_mod.RgbdIcpConfig = rgbd_mod.RgbdIcpConfig()
+    tsdf: bool = False  # dense frame-to-model slots: each session owns a
+    # device-resident TSDF volume (KinectFusion loop per slot,
+    # streams.step_tsdf_streams_masked). HBM = capacity * 2 * V^3 * 4
+    # bytes -- size capacity accordingly. Mutually exclusive with rgbd.
+    tsdf_cfg: object = None  # mapping.tsdf.TsdfConfig | None (defaults)
 
 
 class SessionDesyncError(RuntimeError):
@@ -139,6 +144,9 @@ class BatchedExecutor:
             raise ValueError(f"capacity must be >= 1, got {config.capacity}")
         if config.window < 1:
             raise ValueError(f"window must be >= 1, got {config.window}")
+        if config.rgbd and config.tsdf:
+            raise ValueError("rgbd and tsdf slot modes are mutually "
+                             "exclusive")
         if config.mesh is not None:
             n_data = config.mesh.shape[config.data_axis]
             if config.capacity % n_data != 0:
@@ -364,6 +372,10 @@ class BatchedExecutor:
                     self._state = streams.blank_streams_rgbd(
                         cfg.intrinsics, cfg.rgbd_icp, num_streams=s
                     )
+                elif cfg.tsdf:
+                    self._state = streams.blank_tsdf_streams(
+                        cfg.intrinsics, cfg.tsdf_cfg, num_streams=s
+                    )
                 else:
                     self._state = streams.blank_streams(
                         cfg.intrinsics, cfg.icp, num_streams=s
@@ -386,6 +398,8 @@ class BatchedExecutor:
                     active[slot, :n] = True
                     seed[slot, 0] = req.seed
                 step = (streams.step_streams_masked_rgbd_window if cfg.rgbd
+                        else streams.step_tsdf_streams_masked_window
+                        if cfg.tsdf
                         else streams.step_streams_masked_window)
             else:
                 depths = np.zeros((s, h, w), np.float32)
@@ -399,6 +413,7 @@ class BatchedExecutor:
                     active[slot] = True
                     seed[slot] = req.seed
                 step = (streams.step_streams_masked_rgbd if cfg.rgbd
+                        else streams.step_tsdf_streams_masked if cfg.tsdf
                         else streams.step_streams_masked)
             raw = ((depths, grays, active, seed) if cfg.rgbd
                    else (depths, active, seed))
@@ -418,11 +433,14 @@ class BatchedExecutor:
                 )
             else:
                 inputs = tuple(jnp.asarray(x) for x in raw)
+            tail = ((cfg.rgbd_icp,) if cfg.rgbd
+                    else (cfg.tsdf_cfg, cfg.icp) if cfg.tsdf
+                    else (cfg.icp,))
             self._state, stats = step(
                 self._state,
                 *inputs,
                 cfg.intrinsics,
-                cfg.rgbd_icp if cfg.rgbd else cfg.icp,
+                *tail,
                 min_inlier_fraction=cfg.min_inlier_fraction,
             )
             rows = np.asarray(stats)  # the batch's ONE host transfer

@@ -207,19 +207,10 @@ def main(argv=None) -> int:
             return 1
         tsdf_kw = {}
         if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel):
-            from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+            from realsensetracker_tpu.mapping.tsdf import sized_config
 
-            base = TsdfConfig()
-            res = args.tsdf_resolution or base.resolution
-            vox = args.tsdf_voxel or base.voxel_size
-            # Keep the default layout at the new extent: x/y centered on the
-            # camera, the z=0 face at the same fractional inset.
-            extent = res * vox
-            z_frac = base.origin[2] / (base.resolution * base.voxel_size)
-            tsdf_kw["tsdf"] = base._replace(
-                resolution=res, voxel_size=vox,
-                origin=(-extent / 2, -extent / 2, z_frac * extent),
-            )
+            tsdf_kw["tsdf"] = sized_config(args.tsdf_resolution,
+                                           args.tsdf_voxel)
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity,
                             tsdf_color=args.tsdf_color, **tsdf_kw)

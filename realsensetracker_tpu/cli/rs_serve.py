@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fx", type=float, default=0.0,
                    help="focal length (default 0.8 * width)")
     p.add_argument("--fy", type=float, default=0.0)
+    p.add_argument("--tsdf-resolution", type=int, default=0, metavar="V",
+                   help="--method tsdf: volume resolution (voxels/axis, "
+                        "0 = default 128); HBM/host RAM per session scales "
+                        "as V^3")
+    p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
+                   help="--method tsdf: voxel size in meters (0 = default "
+                        "0.04)")
     p.add_argument("--max-frames", type=int, default=0,
                    help="exit after this many tracked frames (0 = serve "
                         "forever); used by tests/smoke runs")
@@ -42,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dispatch (frame-to-frame odometry semantics; see "
                         "api/batching.py). --method rgbd switches slots to "
                         "joint depth+photometric odometry (frames must "
-                        "carry color); other --method values are ignored.")
+                        "carry color); --method tsdf gives every session "
+                        "its own dense frame-to-model volume; other "
+                        "--method values are ignored.")
     p.add_argument("--batch-capacity", type=int, default=8,
                    help="max concurrent sessions under --batched")
     p.add_argument("--batch-linger-ms", type=float, default=0.0,
@@ -73,6 +82,18 @@ def main(argv=None) -> int:
         width=args.width, height=args.height,
     )
 
+    tsdf_cfg = None
+    if args.tsdf_resolution or args.tsdf_voxel:
+        if args.method != "tsdf":
+            import sys
+
+            print("--tsdf-resolution/--tsdf-voxel require --method tsdf",
+                  file=sys.stderr)
+            return 1
+        from realsensetracker_tpu.mapping.tsdf import sized_config
+
+        tsdf_cfg = sized_config(args.tsdf_resolution, args.tsdf_voxel)
+
     def make_tracker():
         if args.method == "slam":
             from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
@@ -80,7 +101,9 @@ def main(argv=None) -> int:
             return SlamTracker(SlamConfig(intrinsics=intr))
         from realsensetracker_tpu.api import Tracker, TrackerConfig
 
-        return Tracker(TrackerConfig(intrinsics=intr, method=args.method))
+        tsdf_kw = {"tsdf": tsdf_cfg} if tsdf_cfg is not None else {}
+        return Tracker(TrackerConfig(intrinsics=intr, method=args.method,
+                                     **tsdf_kw))
 
     executor = None
     extra_status = None
@@ -102,6 +125,8 @@ def main(argv=None) -> int:
             mesh=batch_mesh,
             window=args.batch_window,
             rgbd=args.method == "rgbd",
+            tsdf=args.method == "tsdf",
+            tsdf_cfg=tsdf_cfg,
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats
@@ -111,7 +136,9 @@ def main(argv=None) -> int:
         max_frames=args.max_frames or None, extra_status=extra_status,
     )
     if args.batched:
-        mode = "batched-rgbd" if args.method == "rgbd" else "batched"
+        mode = ("batched-rgbd" if args.method == "rgbd"
+                else "batched-tsdf" if args.method == "tsdf"
+                else "batched")
     else:
         mode = args.method
     print(f"tracking service ({mode}, {args.width}x{args.height}) "

@@ -78,6 +78,23 @@ class TsdfConfig(NamedTuple):
         return int(math.ceil((self.max_range - self.min_depth) / step))
 
 
+def sized_config(resolution: int = 0, voxel_size: float = 0.0,
+                 base: TsdfConfig | None = None) -> TsdfConfig:
+    """A TsdfConfig resized to ``resolution``/``voxel_size`` (0 keeps the
+    base value) while preserving the default layout: x/y centered on the
+    camera, the z=0 face at the same fractional inset. Shared by the CLI
+    --tsdf-resolution/--tsdf-voxel flags (rs_replay, rs_serve)."""
+    base = base or TsdfConfig()
+    res = resolution or base.resolution
+    vox = voxel_size or base.voxel_size
+    extent = res * vox
+    z_frac = base.origin[2] / (base.resolution * base.voxel_size)
+    return base._replace(
+        resolution=res, voxel_size=vox,
+        origin=(-extent / 2, -extent / 2, z_frac * extent),
+    )
+
+
 class TsdfVolume(NamedTuple):
     """Device-resident dense TSDF grid.
 

@@ -456,6 +456,7 @@ class TsdfStreamState(NamedTuple):
 
     poses: jnp.ndarray  # (S, 4, 4) world_from_camera
     volume: object  # mapping.tsdf.TsdfVolume with (S, V, V, V) planes
+    initialized: jnp.ndarray  # (S,) bool (seeded at least once)
     frame_count: jnp.ndarray  # (S,) int32
 
 
@@ -479,6 +480,7 @@ def init_tsdf_streams(
     return TsdfStreamState(
         poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (s, 4, 4)),
         volume=jax.vmap(seed)(first_depths),
+        initialized=jnp.ones((s,), bool),
         frame_count=jnp.ones((s,), jnp.int32),
     )
 
@@ -500,6 +502,7 @@ def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
     new_state = TsdfStreamState(
         poses=new_pose,
         volume=new_vol,
+        initialized=state.initialized,
         frame_count=state.frame_count + 1,
     )
     return new_state, StreamStepResult(
@@ -556,3 +559,133 @@ def step_tsdf_streams_window(
 
     state2, seq = jax.lax.scan(body, state, jnp.moveaxis(depths, 1, 0))
     return state2, StreamStepResult(*(jnp.moveaxis(x, 0, 1) for x in seq))
+
+
+@partial(jax.jit, static_argnames=("intr", "vol_cfg", "num_streams"))
+def blank_tsdf_streams(
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+    num_streams: int = 8,
+) -> TsdfStreamState:
+    """Uninitialized S-slot dense state (empty volumes, identity poses);
+    slots come alive through step_tsdf_streams_masked's seed mask (the
+    serving executor's allocation pattern, api/batching.py)."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+    empty = tsdf_mod.init_volume(vol_cfg)
+    s = num_streams
+    return TsdfStreamState(
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (s, 4, 4)),
+        volume=jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (s,) + x.shape), empty
+        ),
+        initialized=jnp.zeros((s,), bool),
+        frame_count=jnp.zeros((s,), jnp.int32),
+    )
+
+
+def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
+                      min_inlier_fraction):
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    empty = tsdf_mod.init_volume(vol_cfg)
+
+    def one(vol, d, pose, act, sd):
+        # A seeding slot restarts from an EMPTY volume at identity; its
+        # registration (against the empty render) fails by construction
+        # and is discarded by _masked_finish's seeding branch, so seed +
+        # track share ONE raycast/register/integrate program.
+        base_vol = jax.tree.map(
+            lambda e, v: jnp.where(sd, e, v), empty, vol
+        )
+        base_pose = jnp.where(sd, eye, pose)
+        render = tsdf_mod.render_model_depth(base_vol, base_pose, intr,
+                                             vol_cfg)
+        res = projective.register_depth_pair(d, render, intr, icp_cfg)
+        ok = (
+            jnp.all(jnp.isfinite(res.transform))
+            & (res.inlier_fraction >= min_inlier_fraction)
+        )
+        pose_cand = jnp.where(
+            sd, eye, se3.orthonormalize(se3.compose(pose, res.transform))
+        )
+        # Integrate unconditionally (vmap turns cond into select anyway);
+        # _masked_finish keeps the OLD volume wherever the slot neither
+        # seeded nor tracked.
+        vol_new = tsdf_mod.integrate(base_vol, d, pose_cand, intr, vol_cfg)
+        safe_t = jnp.where(jnp.isfinite(res.transform), res.transform, eye)
+        return vol_new, safe_t, ok, res.rmse, res.inlier_fraction
+
+    vol_new, transform, ok, rmse, inlier = jax.vmap(one)(
+        state.volume, depths, state.poses, active, seed
+    )
+    poses, initialized, count, (volume,), stats = _masked_finish(
+        state, transform, ok, active, seed, rmse, inlier, [],
+        (vol_new,), (state.volume,),
+    )
+    return TsdfStreamState(poses, volume, initialized, count), stats
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def step_tsdf_streams_masked(
+    state: TsdfStreamState,
+    depths: jnp.ndarray,  # (S, H, W) one new frame per slot
+    active: jnp.ndarray,  # (S,) bool: slots with a request this round
+    seed: jnp.ndarray,  # (S,) bool: active slot's FIRST frame (re)seeds it
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+    icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[TsdfStreamState, jnp.ndarray]:
+    """Masked dense (KinectFusion) multi-stream step: active slots
+    raycast their own volume, register, and integrate at the new pose;
+    seed slots restart from an empty volume at identity; inactive slots
+    stay bit-identical. Returns (state, stats (S, 35)) with the
+    step_streams_masked row layout (MASKED_STATS_WIDTH)."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+    return _tsdf_masked_impl(
+        state, depths, active, seed, intr, vol_cfg, icp_cfg,
+        min_inlier_fraction,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+def step_tsdf_streams_masked_window(
+    state: TsdfStreamState,
+    depths: jnp.ndarray,  # (S, W, H, Wd)
+    active: jnp.ndarray,  # (S, W) bool
+    seed: jnp.ndarray,  # (S, W) bool
+    intr: camera.Intrinsics,
+    vol_cfg=None,
+    icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
+    min_inlier_fraction: float = 0.2,
+) -> tuple[TsdfStreamState, jnp.ndarray]:
+    """Masked dense multi-stream step over a W-frame window in ONE
+    dispatch (lax.scan; S volumes ride the carry). Returns
+    (state, stats (S, W, 35)) identical to W sequential masked steps."""
+    from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+
+    def body(st, xs):
+        d, a, sd = xs
+        return _tsdf_masked_impl(
+            st, d, a, sd, intr, vol_cfg, icp_cfg, min_inlier_fraction
+        )
+
+    state2, stats_seq = jax.lax.scan(
+        body,
+        state,
+        (
+            jnp.moveaxis(depths, 1, 0),
+            jnp.moveaxis(active, 1, 0),
+            jnp.moveaxis(seed, 1, 0),
+        ),
+    )
+    return state2, jnp.moveaxis(stats_seq, 0, 1)

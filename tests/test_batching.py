@@ -780,3 +780,203 @@ class TestServeCliBatched:
         t.join(timeout=120)
         assert not t.is_alive() and rc_holder["rc"] == 0
         assert "served 2 frames" in capsys.readouterr().out
+
+
+# --- dense (TSDF) slots ------------------------------------------------------
+
+TSDF_INTR = camera.Intrinsics(fx=64.0, fy=64.0, cx=39.5, cy=29.5,
+                              width=80, height=60)
+TSDF_ICP = projective.ProjectiveIcpConfig(
+    iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+)
+S3 = 2
+
+
+@pytest.fixture(scope="module")
+def tsdf_stream_data():
+    all_depths = []
+    for i in range(S3):
+        scene = synthetic.default_scene(seed=30 + i)
+        d, _ = synthetic.render_trajectory(TSDF_INTR, F, scene=scene,
+                                           seed=i, step_scale=0.01)
+        all_depths.append(np.asarray(d, np.float32))
+    return np.stack(all_depths, 1)  # (F, S3, H, W)
+
+
+def _tsdf_cfg():
+    from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+    return TsdfConfig(resolution=48, voxel_size=0.12,
+                      origin=(-2.88, -2.16, -0.4), trunc=0.36,
+                      max_range=5.0)
+
+
+class TestTsdfSlots:
+    def test_masked_matches_single_tracker(self, tsdf_stream_data):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        cfg = _tsdf_cfg()
+        state = streams.blank_tsdf_streams(TSDF_INTR, cfg, num_streams=S3)
+        active = jnp.ones((S3,), bool)
+        for f in range(F):
+            seed = jnp.full((S3,), f == 0)
+            state, stats = streams.step_tsdf_streams_masked(
+                state, jnp.asarray(tsdf_stream_data[f]), active, seed,
+                TSDF_INTR, cfg, TSDF_ICP,
+            )
+        stats = np.asarray(stats)
+        assert stats.shape == (S3, streams.MASKED_STATS_WIDTH)
+        assert (stats[:, 32] > 0.5).all()
+        for i in range(S3):
+            tr = TsdfTracker(TSDF_INTR, volume=cfg, icp=TSDF_ICP)
+            for f in range(F):
+                tr.process(tsdf_stream_data[f, i], float(f))
+            np.testing.assert_allclose(
+                np.asarray(state.poses[i]), np.asarray(tr.pose), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.volume.tsdf[i]),
+                np.asarray(tr._vol.tsdf), atol=1e-5,
+            )
+
+    def test_inactive_slots_bit_identical_and_reseed(self, tsdf_stream_data):
+        cfg = _tsdf_cfg()
+        state = streams.blank_tsdf_streams(TSDF_INTR, cfg, num_streams=S3)
+        both = jnp.ones((S3,), bool)
+        state, _ = streams.step_tsdf_streams_masked(
+            state, jnp.asarray(tsdf_stream_data[0]), both, both,
+            TSDF_INTR, cfg, TSDF_ICP,
+        )
+        # Advance ONLY slot 0; slot 1 must hold bit-identically.
+        only0 = jnp.asarray([True, False])
+        before_vol1 = np.asarray(state.volume.tsdf[1])
+        before_pose1 = np.asarray(state.poses[1])
+        state, stats = streams.step_tsdf_streams_masked(
+            state, jnp.asarray(tsdf_stream_data[1]), only0,
+            jnp.zeros((S3,), bool), TSDF_INTR, cfg, TSDF_ICP,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.volume.tsdf[1]), before_vol1
+        )
+        np.testing.assert_array_equal(np.asarray(state.poses[1]),
+                                      before_pose1)
+        assert np.asarray(stats)[1, 32] < 0.5  # inactive row reports fail
+        # Re-seeding slot 0 resets its pose to identity and its volume to
+        # a fresh single-frame fusion.
+        state, stats = streams.step_tsdf_streams_masked(
+            state, jnp.asarray(tsdf_stream_data[2]), only0, only0,
+            TSDF_INTR, cfg, TSDF_ICP,
+        )
+        np.testing.assert_allclose(np.asarray(state.poses[0]), np.eye(4),
+                                   atol=1e-6)
+        from realsensetracker_tpu.geometry import se3
+        from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+        fresh = tsdf_mod.integrate(
+            tsdf_mod.init_volume(cfg), jnp.asarray(tsdf_stream_data[2, 0]),
+            se3.identity(), TSDF_INTR, cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.volume.tsdf[0]), np.asarray(fresh.tsdf),
+            atol=1e-6,
+        )
+
+    def test_window_scan_matches_steps(self, tsdf_stream_data):
+        cfg = _tsdf_cfg()
+        W = F
+        sa = streams.blank_tsdf_streams(TSDF_INTR, cfg, num_streams=S3)
+        sb = streams.blank_tsdf_streams(TSDF_INTR, cfg, num_streams=S3)
+        d = jnp.asarray(np.moveaxis(tsdf_stream_data[:W], 0, 1))
+        active = jnp.ones((S3, W), bool)
+        seed = jnp.zeros((S3, W), bool).at[:, 0].set(True)
+        sa, stats_a = streams.step_tsdf_streams_masked_window(
+            sa, d, active, seed, TSDF_INTR, cfg, TSDF_ICP,
+        )
+        per = []
+        for j in range(W):
+            sb, st = streams.step_tsdf_streams_masked(
+                sb, d[:, j], active[:, j], seed[:, j], TSDF_INTR, cfg,
+                TSDF_ICP,
+            )
+            per.append(np.asarray(st))
+        np.testing.assert_allclose(np.asarray(stats_a), np.stack(per, 1),
+                                   atol=1e-6)
+        # Volumes: the scanned and per-step programs fuse differently, so
+        # a ~1e-7 pose difference can flip a nearest-pixel gather index on
+        # voxels that project exactly onto a pixel boundary (measured 18
+        # of 221k voxels). Everything else must agree to float precision.
+        va, vb = np.asarray(sa.volume.tsdf), np.asarray(sb.volume.tsdf)
+        flipped = np.abs(va - vb) > 1e-5
+        assert flipped.mean() < 1e-3, f"{flipped.sum()} voxels differ"
+        np.testing.assert_allclose(va[~flipped], vb[~flipped], atol=1e-5)
+
+    def test_tsdf_executor_through_http(self, tsdf_stream_data):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        cfg = _tsdf_cfg()
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=TSDF_INTR, icp=TSDF_ICP, capacity=S3,
+            tsdf=True, tsdf_cfg=cfg, window=2,
+        ))
+        svc = TrackingService(ex.make_session_tracker)
+        try:
+            url = f"http://127.0.0.1:{svc.port}"
+            sessions = [f"s{i}" for i in range(S3)]
+            recs = {sid: [] for sid in sessions}
+            # Interleave: per-frame posts for s0, windowed for s1.
+            for f in range(F):
+                recs["s0"].append(post_frame(
+                    url, tsdf_stream_data[f, 0], ts=f / 30.0, session="s0"
+                ))
+            out = post_window(
+                url, np.asarray(tsdf_stream_data[:, 1]),
+                ts=np.arange(F) / 30.0, window=2, session="s1",
+            )
+            recs["s1"] = out["frames"]
+            for i, sid in enumerate(sessions):
+                tr = TsdfTracker(TSDF_INTR, volume=cfg, icp=TSDF_ICP)
+                for f in range(F):
+                    tr.process(tsdf_stream_data[f, i], float(f))
+                np.testing.assert_allclose(
+                    np.asarray(recs[sid][-1]["pose"]).reshape(4, 4),
+                    np.asarray(tr.pose), atol=1e-4,
+                )
+            assert ex.stats()["frames"] == 2 * F
+        finally:
+            svc.close()
+            ex.close()
+
+    def test_mesh_sharded_tsdf_executor_matches_tracker(
+            self, tsdf_stream_data):
+        """Dense slots shard over the mesh data axis (each device holds
+        capacity/n_data whole volumes); trajectories are unchanged."""
+        from realsensetracker_tpu.parallel import mesh as mesh_mod
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        cfg = _tsdf_cfg()
+        m = mesh_mod.make_mesh(4)
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=TSDF_INTR, icp=TSDF_ICP, capacity=4,
+            tsdf=True, tsdf_cfg=cfg, mesh=m,
+        ))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(S3)]
+            for f in range(F):
+                for i in range(S3):
+                    trackers[i].process(tsdf_stream_data[f, i], float(f))
+            for i in range(S3):
+                tr = TsdfTracker(TSDF_INTR, volume=cfg, icp=TSDF_ICP)
+                for f in range(F):
+                    tr.process(tsdf_stream_data[f, i], float(f))
+                np.testing.assert_allclose(
+                    trackers[i].pose, np.asarray(tr.pose), atol=1e-4
+                )
+            assert len(ex._state.volume.tsdf.sharding.device_set) == 4
+        finally:
+            ex.close()
+
+    def test_rgbd_tsdf_exclusive(self):
+        with pytest.raises(ValueError, match="exclusive"):
+            BatchedExecutor(BatchingConfig(
+                intrinsics=TSDF_INTR, rgbd=True, tsdf=True,
+            ))
