@@ -60,6 +60,10 @@ class TrackerConfig:
     rgbd: RgbdIcpConfig = RgbdIcpConfig()
     tsdf: TsdfConfig = TsdfConfig()  # method="tsdf" volume/raycast settings
     tsdf_color: bool = False  # method="tsdf": fuse per-voxel RGB too
+    tsdf_submap_radius: float = 0.0  # method="tsdf": > 0 switches to the
+    # submap atlas (mapping/submaps.py) -- unbounded dense mapping from
+    # fixed-shape volumes, spawning a new one every this-many meters of
+    # camera/view-center drift; 0 = single volume
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
     min_inlier_fraction: float = 0.2

@@ -57,15 +57,32 @@ class Tracker:
                 **kw,
             )
         elif method == "tsdf":
-            from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+            if self.config.tsdf_submap_radius > 0:
+                from realsensetracker_tpu.mapping.submaps import (
+                    SubmapConfig,
+                    SubmapTsdfTracker,
+                )
 
-            self._impl = TsdfTracker(
-                self.config.intrinsics,
-                volume=self.config.tsdf,
-                icp=self.config.projective,
-                min_inlier_fraction=self.config.min_inlier_fraction,
-                use_color=self.config.tsdf_color,
-            )
+                self._impl = SubmapTsdfTracker(
+                    self.config.intrinsics,
+                    SubmapConfig(
+                        volume=self.config.tsdf,
+                        spawn_radius=self.config.tsdf_submap_radius,
+                    ),
+                    icp=self.config.projective,
+                    min_inlier_fraction=self.config.min_inlier_fraction,
+                    use_color=self.config.tsdf_color,
+                )
+            else:
+                from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+                self._impl = TsdfTracker(
+                    self.config.intrinsics,
+                    volume=self.config.tsdf,
+                    icp=self.config.projective,
+                    min_inlier_fraction=self.config.min_inlier_fraction,
+                    use_color=self.config.tsdf_color,
+                )
         elif method == "rgbd":
             from realsensetracker_tpu.tracking.rgbd import RgbdTracker
 

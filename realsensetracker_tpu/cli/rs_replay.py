@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
                    help="method=tsdf: voxel edge length in meters "
                         "(0 = default 0.04); the volume stays centered")
+    p.add_argument("--submap-radius", type=float, default=0.0, metavar="M",
+                   help="method=tsdf: > 0 enables the submap atlas "
+                        "(unbounded dense mapping from fixed-shape "
+                        "volumes): spawn a new volume every M meters of "
+                        "camera/view-center drift; 0 = single volume")
     p.add_argument("--save-map", default="", metavar="PLY",
                    help="export the final world map as a PLY point cloud "
                         "(methods with a map: model, tsdf; colored with "
@@ -205,6 +210,9 @@ def main(argv=None) -> int:
             print("--save-state/--resume-state require --method slam or tsdf",
                   file=sys.stderr)
             return 1
+        if args.submap_radius and args.method != "tsdf":
+            print("--submap-radius requires --method tsdf", file=sys.stderr)
+            return 1
         tsdf_kw = {}
         if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel):
             from realsensetracker_tpu.mapping.tsdf import sized_config
@@ -213,14 +221,24 @@ def main(argv=None) -> int:
                                            args.tsdf_voxel)
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity,
-                            tsdf_color=args.tsdf_color, **tsdf_kw)
+                            tsdf_color=args.tsdf_color,
+                            tsdf_submap_radius=args.submap_radius,
+                            **tsdf_kw)
         tracker = Tracker(cfg)
         if args.resume_state:
             from realsensetracker_tpu.tracking import checkpoint
 
-            checkpoint.load_tsdf(args.resume_state, tracker)
-            print(f"resumed frame {tracker._impl._index}, "
-                  f"{len(tracker.trajectory)} poses from {args.resume_state}")
+            if args.submap_radius:
+                checkpoint.load_submaps(args.resume_state, tracker)
+                print(f"resumed frame {tracker._impl._t._index}, "
+                      f"{tracker._impl.num_submaps} submaps, "
+                      f"{len(tracker.trajectory)} poses from "
+                      f"{args.resume_state}")
+            else:
+                checkpoint.load_tsdf(args.resume_state, tracker)
+                print(f"resumed frame {tracker._impl._index}, "
+                      f"{len(tracker.trajectory)} poses from "
+                      f"{args.resume_state}")
 
     server = None
     if args.serve >= 0 or args.live_latest:
@@ -340,6 +358,9 @@ def main(argv=None) -> int:
         n += 1
     dt = time.perf_counter() - t_start
     print(f"processed {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps)")
+    if args.submap_radius:
+        print(f"submaps={tracker._impl.num_submaps} "
+              f"(spawn radius {args.submap_radius} m)")
 
     if args.method == "slam":
         opt = tracker.optimize()
@@ -356,7 +377,10 @@ def main(argv=None) -> int:
     elif args.method == "tsdf" and args.save_state:
         from realsensetracker_tpu.tracking import checkpoint
 
-        checkpoint.save_tsdf(args.save_state, tracker)
+        if args.submap_radius:
+            checkpoint.save_submaps(args.save_state, tracker)
+        else:
+            checkpoint.save_tsdf(args.save_state, tracker)
         print(f"state -> {args.save_state}")
 
     if args.save_map:

@@ -381,3 +381,156 @@ def load_tsdf(path: str, tracker) -> None:
     else:
         tracker._pose = None
         tracker._pose_np = None
+
+
+SUBMAP_FORMAT_VERSION = 1
+
+
+def _unwrap_submaps(tracker):
+    """Accept a SubmapTsdfTracker or the api.Tracker facade around one."""
+    impl = getattr(tracker, "_impl", tracker)
+    if not (hasattr(impl, "finished") and hasattr(impl, "_t")):
+        raise ValueError(
+            "not a submap TSDF tracker (method='tsdf' with a spawn radius)"
+        )
+    return impl
+
+
+def save_submaps(path: str, tracker) -> None:
+    """Snapshot a SubmapTsdfTracker: every frozen submap (anchor + dense
+    planes, stacked (K, V, V, V)), the active submap's full TsdfTracker
+    state, and the world trajectory. Same compressed-npz rationale as
+    save_tsdf -- grids are mostly-constant away from surfaces."""
+    tr = _unwrap_submaps(tracker)
+    inner = tr._t
+    cfg = tr.config
+    payload = {
+        "submap_version": np.int64(SUBMAP_FORMAT_VERSION),
+        "vol_voxel_size": np.float64(cfg.volume.voxel_size),
+        "vol_origin": np.asarray(cfg.volume.origin, np.float64),
+        "spawn_radius": np.float64(cfg.spawn_radius),
+        "frame_index": np.int64(inner._index),
+        "frames_in_active": np.int64(tr._frames_in_active),
+        "active_anchor": np.asarray(tr._anchor, np.float32),
+        "traj_timestamps": np.asarray(tr.trajectory.timestamps, np.float64),
+        "traj_poses": np.stack(tr.trajectory.poses)
+        if tr.trajectory.poses else np.zeros((0, 4, 4)),
+    }
+    if tr.finished:
+        payload["anchors"] = np.stack(
+            [s.world_from_submap for s in tr.finished]
+        ).astype(np.float32)
+        payload["sub_frames"] = np.asarray(
+            [s.frames for s in tr.finished], np.int64
+        )
+        payload["subs_tsdf"] = np.stack(
+            [np.asarray(s.volume.tsdf) for s in tr.finished]
+        )
+        payload["subs_weight"] = np.stack(
+            [np.asarray(s.volume.weight) for s in tr.finished]
+        )
+        if tr.use_color:
+            payload["subs_color"] = np.stack(
+                [np.asarray(s.volume.color) for s in tr.finished]
+            )
+            payload["subs_color_weight"] = np.stack(
+                [np.asarray(s.volume.color_weight) for s in tr.finished]
+            )
+    if inner._pose is not None:
+        payload["pose"] = np.asarray(inner._pose)
+    if inner._vol is not None:
+        payload["vol_tsdf"] = np.asarray(inner._vol.tsdf)
+        payload["vol_weight"] = np.asarray(inner._vol.weight)
+        if inner._vol.color is not None:
+            payload["vol_color"] = np.asarray(inner._vol.color)
+            payload["vol_color_weight"] = np.asarray(
+                inner._vol.color_weight
+            )
+    np.savez_compressed(path, **payload)
+
+
+def load_submaps(path: str, tracker) -> None:
+    """Restore a save_submaps snapshot into a freshly-constructed
+    SubmapTsdfTracker (same SubmapConfig volume geometry) in place."""
+    import jax.numpy as jnp
+
+    from realsensetracker_tpu.mapping.submaps import Submap
+    from realsensetracker_tpu.mapping.tsdf import TsdfVolume
+
+    tr = _unwrap_submaps(tracker)
+    inner = tr._t
+    data = np.load(path, allow_pickle=False)
+    version = int(data["submap_version"])
+    if version != SUBMAP_FORMAT_VERSION:
+        raise ValueError(
+            f"submap checkpoint version {version} != {SUBMAP_FORMAT_VERSION}"
+        )
+    vs = float(data["vol_voxel_size"])
+    org = data["vol_origin"]
+    cfgv = tr.config.volume
+    if (abs(vs - cfgv.voxel_size) > 1e-9
+            or np.abs(org - np.asarray(cfgv.origin)).max() > 1e-9):
+        raise ValueError(
+            f"snapshot volume geometry (voxel {vs} m, origin "
+            f"{org.tolist()}) != configured (voxel {cfgv.voxel_size} m, "
+            f"origin {list(cfgv.origin)})"
+        )
+    saved_color = "vol_color" in data or "subs_color" in data
+    if saved_color != bool(tr.use_color):
+        raise ValueError(
+            "submap checkpoint color mismatch: snapshot "
+            f"{'has' if saved_color else 'lacks'} color planes but the "
+            "tracker's use_color disagrees"
+        )
+
+    def check_res(arr):
+        if arr.shape[-1] != cfgv.resolution:
+            raise ValueError(
+                f"snapshot volume {arr.shape[-1]}^3 != configured "
+                f"{cfgv.resolution}^3"
+            )
+
+    tr.finished = []
+    if "anchors" in data:
+        check_res(data["subs_tsdf"])
+        as_dev = not tr.config.offload_finished
+        conv = jnp.asarray if as_dev else np.asarray
+        for i in range(data["anchors"].shape[0]):
+            tr.finished.append(Submap(
+                world_from_submap=np.asarray(data["anchors"][i], np.float32),
+                volume=TsdfVolume(
+                    tsdf=conv(data["subs_tsdf"][i]),
+                    weight=conv(data["subs_weight"][i]),
+                    color=conv(data["subs_color"][i])
+                    if saved_color else None,
+                    color_weight=conv(data["subs_color_weight"][i])
+                    if saved_color else None,
+                ),
+                frames=int(data["sub_frames"][i]),
+            ))
+    if "vol_tsdf" in data:
+        check_res(data["vol_tsdf"])
+        inner._vol = TsdfVolume(
+            tsdf=jnp.asarray(data["vol_tsdf"]),
+            weight=jnp.asarray(data["vol_weight"]),
+            color=jnp.asarray(data["vol_color"]) if saved_color else None,
+            color_weight=jnp.asarray(data["vol_color_weight"])
+            if saved_color else None,
+        )
+    else:
+        inner._vol = None
+    if "pose" in data:
+        inner._pose = jnp.asarray(data["pose"])
+        inner._pose_np = np.asarray(data["pose"], np.float32)
+    else:
+        inner._pose = None
+        inner._pose_np = None
+    inner._index = int(data["frame_index"])
+    tr._anchor = np.asarray(data["active_anchor"], np.float32)
+    tr._frames_in_active = int(data["frames_in_active"])
+    traj = Trajectory()
+    for ts, T in zip(data["traj_timestamps"], data["traj_poses"]):
+        traj.append(float(ts), T)
+    tr.trajectory = traj
+    tr._pose_np = (np.asarray(traj.poses[-1], np.float32)
+                   if traj.poses else None)

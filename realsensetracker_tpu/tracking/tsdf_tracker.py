@@ -219,6 +219,31 @@ class TsdfTracker:
             arr = np.repeat(arr[..., None], 3, axis=-1)
         return jnp.asarray(arr, jnp.float32)
 
+    def reseed(self, depth, color=None, model_depth=None) -> None:
+        """Restart the model from this frame: fresh volume fused at
+        identity, pose reset. Trajectory and frame index are kept -- this
+        is the submap-atlas handover primitive (mapping/submaps.py), not
+        a full reset: the caller owns the world-frame bookkeeping.
+
+        ``model_depth`` (the OLD model raycast at the handover pose,
+        i.e. a synthetic frame in the NEW submap's camera frame) also
+        fuses at identity: the new submap inherits the old one's fused,
+        denoised surface instead of starting from one raw frame, which
+        measurably cuts handover drift. On color volumes it borrows the
+        raw frame's color (the two geometries coincide at this pose)."""
+        color = self._color_frame(color)
+        self._vol = _seed_volume(
+            jnp.asarray(depth, jnp.float32), self.intr, self.volume,
+            color=color, with_color=self.use_color,
+        )
+        if model_depth is not None:
+            self._vol = tsdf_mod.integrate(
+                self._vol, jnp.asarray(model_depth, jnp.float32),
+                se3.identity(), self.intr, self.volume, color=color,
+            )
+        self._pose = se3.identity()
+        self._pose_np = np.eye(4, dtype=np.float32)
+
     def process(self, depth, timestamp: float | None = None,
                 color=None) -> FrameResult:
         if timestamp is None:

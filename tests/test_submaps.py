@@ -1,0 +1,240 @@
+"""Submap atlas: unbounded dense mapping from fixed-shape TSDF volumes.
+
+Covers the mapping/submaps.py handover machinery (spawn policy,
+model-render seeding, world-frame composition), its checkpoint format,
+the api.Tracker facade wiring, and the rs_replay CLI surface. The
+corridor scenario is the defining case: a 2 m translation that exits the
+2.4 m volume, impossible for a single fixed-extent TSDF tracker
+(reference world-model analog: the unbounded CloudAccumulator,
+rs_replay_app.cpp:76-129).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+from realsensetracker_tpu.data import synthetic
+from realsensetracker_tpu.geometry import camera
+from realsensetracker_tpu.mapping.submaps import SubmapConfig, SubmapTsdfTracker
+from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+W, H = 80, 60
+INTR = camera.Intrinsics(fx=64.0, fy=64.0, cx=(W - 1) / 2, cy=(H - 1) / 2,
+                         width=W, height=H)
+ICP = ProjectiveIcpConfig(iters=(3, 3), inner_iters=2, samples=768,
+                          min_samples=192)
+# 2.4 m cube, 5 cm voxels -- the corridor walk (2 m) exits it.
+VOL = TsdfConfig(resolution=48, voxel_size=0.05,
+                 origin=(-1.2, -1.2, -0.2625), trunc=0.15,
+                 max_range=3.0, max_depth=4.0)
+F = 48
+SPAN = 2.0  # meters of +x translation over the F frames
+
+
+def _corridor_scene():
+    rng = np.random.RandomState(3)
+    n = 12
+    cx = np.linspace(-0.5, SPAN + 1.0, n)
+    centers = np.stack(
+        [cx, rng.uniform(-0.3, 0.55, n), rng.uniform(0.9, 1.6, n)], 1
+    ).astype(np.float32)
+    radii = rng.uniform(0.16, 0.32, n).astype(np.float32)
+    return synthetic.Scene(
+        sphere_centers=jnp.asarray(centers),
+        sphere_radii=jnp.asarray(radii),
+        floor_y=0.9, wall_z=2.2,
+    )
+
+
+@pytest.fixture(scope="module")
+def corridor():
+    poses = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    poses[:, 0, 3] = np.linspace(0.0, SPAN, F)
+    depths, _ = synthetic.render_trajectory(
+        INTR, F, scene=_corridor_scene(), poses=jnp.asarray(poses)
+    )
+    return np.asarray(depths, np.float32), poses
+
+
+def _ate(traj, gt_poses):
+    est = np.stack(list(traj.poses))
+    return np.linalg.norm(est[:, :3, 3] - gt_poses[: len(est), :3, 3],
+                          axis=1)
+
+
+class TestCorridor:
+    def test_atlas_outruns_single_volume(self, corridor):
+        depths, gt = corridor
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        ok = sum(int(tr.process(depths[f], float(f)).success)
+                 for f in range(F))
+        err = _ate(tr.trajectory, gt)
+        assert ok == F
+        assert tr.num_submaps >= 3
+        assert err.max() < 0.12  # < 6% of the 2 m span
+        # Single fixed volume on the same walk: loses tracking and/or
+        # blows up once the camera exits the grid.
+        ts = TsdfTracker(INTR, volume=VOL, icp=ICP)
+        ok_single = sum(int(ts.process(depths[f], float(f)).success)
+                        for f in range(F))
+        err_single = _ate(ts.trajectory, gt)
+        assert ok_single < F or err_single.max() > 3 * err.max()
+        # The union world map spans the whole corridor; one volume can't.
+        wm = tr.world_map
+        pts = np.asarray(wm.points)[np.asarray(wm.mask)]
+        assert pts[:, 0].min() < -0.8
+        assert pts[:, 0].max() > SPAN - 0.4
+        extent = VOL.resolution * VOL.voxel_size
+        assert pts[:, 0].max() - pts[:, 0].min() > extent
+
+    def test_anchors_compose_world_poses(self, corridor):
+        depths, _ = corridor
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(F):
+            r = tr.process(depths[f], float(f))
+        # The last world pose is anchor @ (active-submap-local pose).
+        np.testing.assert_allclose(
+            r.pose, tr.anchor @ np.asarray(tr._t.pose), atol=1e-6
+        )
+        # Every finished submap fused at least min_frames frames.
+        assert all(s.frames >= tr.config.min_frames for s in tr.finished)
+        # Offloaded volumes live on host.
+        assert all(isinstance(s.volume.tsdf, np.ndarray)
+                   for s in tr.finished)
+
+    def test_windowed_run_spawns_and_tracks(self, corridor):
+        depths, gt = corridor
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        rs = tr.process_window(list(depths), [float(f) for f in range(F)],
+                               window=8)
+        assert len(rs) == F and all(r.success for r in rs)
+        assert tr.num_submaps >= 2  # chunk-granular spawns still fire
+        assert _ate(tr.trajectory, gt).max() < 0.15
+
+
+class TestParityAndExports:
+    def test_huge_radius_is_bit_identical_to_single_volume(self, corridor):
+        depths, _ = corridor
+        n = 12
+        tr = SubmapTsdfTracker(
+            INTR, SubmapConfig(volume=VOL, spawn_radius=1e9), icp=ICP
+        )
+        ts = TsdfTracker(INTR, volume=VOL, icp=ICP)
+        for f in range(n):
+            ra = tr.process(depths[f], float(f))
+            rb = ts.process(depths[f], float(f))
+            np.testing.assert_array_equal(ra.pose, rb.pose)
+        assert tr.num_submaps == 1
+        np.testing.assert_array_equal(
+            np.asarray(tr.tsdf_volume.tsdf), np.asarray(ts._vol.tsdf)
+        )
+
+    def test_world_exports(self, corridor):
+        depths, _ = corridor
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP,
+                               surface_capacity=4096)
+        for f in range(F // 2):
+            tr.process(depths[f], float(f))
+        k = tr.num_submaps
+        wm = tr.world_map
+        assert wm.points.shape == (k * 4096, 3)
+        assert int(wm.count()) > 0
+        cloud, normals = tr.world_map_oriented
+        assert normals.shape == (k * 4096, 3)
+        m = np.asarray(cloud.mask)
+        nn = np.linalg.norm(np.asarray(normals)[m], axis=1)
+        np.testing.assert_allclose(nn, 1.0, atol=1e-3)
+        mesh = tr.world_mesh(capacity=16384)
+        assert mesh.vertices.shape[0] >= 4096 * k
+        assert int(mesh.mask.sum()) > 0
+        assert tr.world_map_colored is None  # geometric tracker
+
+
+class TestCheckpointAndFacade:
+    def test_checkpoint_roundtrip_continues_identically(self, corridor,
+                                                        tmp_path):
+        from realsensetracker_tpu.tracking import checkpoint
+
+        depths, _ = corridor
+        split = F // 2
+        a = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(split):
+            a.process(depths[f], float(f))
+        assert a.num_submaps >= 2  # the snapshot holds a real atlas
+        path = str(tmp_path / "atlas.npz")
+        checkpoint.save_submaps(path, a)
+
+        b = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        checkpoint.load_submaps(path, b)
+        assert b.num_submaps == a.num_submaps
+        assert len(b.trajectory) == split
+        for f in range(split, F):
+            ra = a.process(depths[f], float(f))
+            rb = b.process(depths[f], float(f))
+            np.testing.assert_allclose(ra.pose, rb.pose, atol=1e-6)
+        assert b.num_submaps == a.num_submaps
+
+    def test_checkpoint_geometry_mismatch_rejected(self, corridor,
+                                                   tmp_path):
+        from realsensetracker_tpu.tracking import checkpoint
+
+        depths, _ = corridor
+        a = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(6):
+            a.process(depths[f], float(f))
+        path = str(tmp_path / "atlas.npz")
+        checkpoint.save_submaps(path, a)
+        wrong = SubmapTsdfTracker(
+            INTR,
+            SubmapConfig(volume=VOL._replace(voxel_size=0.06)),
+            icp=ICP,
+        )
+        with pytest.raises(ValueError, match="geometry"):
+            checkpoint.load_submaps(path, wrong)
+        single = TsdfTracker(INTR, volume=VOL, icp=ICP)
+        with pytest.raises(ValueError, match="submap"):
+            checkpoint.load_submaps(path, single)
+
+    def test_tracker_facade_routes_submaps(self, corridor):
+        from realsensetracker_tpu.api import Tracker, TrackerConfig
+
+        depths, _ = corridor
+        t = Tracker(TrackerConfig(
+            intrinsics=INTR, method="tsdf", tsdf=VOL, projective=ICP,
+            tsdf_submap_radius=0.6,
+        ))
+        assert isinstance(t._impl, SubmapTsdfTracker)
+        for f in range(0, F, 2):  # coarser steps still track
+            r = t.process(depths[f], float(f))
+            assert r.success
+        assert t._impl.num_submaps >= 2
+        assert t.world_map is not None
+
+    def test_rs_replay_submap_cli(self, corridor, tmp_path):
+        from realsensetracker_tpu.cli import rs_replay
+        from realsensetracker_tpu.data.tum import synthesize_tum_sequence
+
+        root = synthesize_tum_sequence(str(tmp_path / "seq"), num_frames=6,
+                                       seed=0, width=W, height=H)
+        state = str(tmp_path / "atlas.npz")
+        rc = rs_replay.main([
+            "--tum", root, "--method", "tsdf", "--frame-interval", "0",
+            "--tsdf-resolution", "48", "--tsdf-voxel", "0.05",
+            "--submap-radius", "0.6", "--save-state", state,
+        ])
+        assert rc == 0
+        rc = rs_replay.main([
+            "--tum", root, "--method", "tsdf", "--frame-interval", "0",
+            "--tsdf-resolution", "48", "--tsdf-voxel", "0.05",
+            "--submap-radius", "0.6", "--resume-state", state,
+            "--start-frame", "5",
+        ])
+        assert rc == 0
+        rc = rs_replay.main([
+            "--tum", root, "--method", "projective",
+            "--frame-interval", "0", "--submap-radius", "0.6",
+        ])
+        assert rc == 1  # submaps require the dense method
