@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(unbounded dense mapping from fixed-shape "
                         "volumes): spawn a new volume every M meters of "
                         "camera/view-center drift; 0 = single volume")
+    p.add_argument("--optimize-atlas", action="store_true",
+                   help="with --submap-radius: loop-close and pose-graph-"
+                        "optimize the submap anchors after the run (the "
+                        "dense world model moves rigidly -- no re-fusion); "
+                        "applies before --save-map/--save-mesh/--ate")
     p.add_argument("--save-map", default="", metavar="PLY",
                    help="export the final world map as a PLY point cloud "
                         "(methods with a map: model, tsdf; colored with "
@@ -212,6 +217,10 @@ def main(argv=None) -> int:
             return 1
         if args.submap_radius and args.method != "tsdf":
             print("--submap-radius requires --method tsdf", file=sys.stderr)
+            return 1
+        if args.optimize_atlas and not args.submap_radius:
+            print("--optimize-atlas requires --submap-radius",
+                  file=sys.stderr)
             return 1
         tsdf_kw = {}
         if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel):
@@ -361,6 +370,11 @@ def main(argv=None) -> int:
     if args.submap_radius:
         print(f"submaps={tracker._impl.num_submaps} "
               f"(spawn radius {args.submap_radius} m)")
+        if args.optimize_atlas:
+            from realsensetracker_tpu.mapping.submaps import optimize_atlas
+
+            loops = optimize_atlas(tracker._impl)
+            print(f"atlas optimized: {loops} loop edges")
 
     if args.method == "slam":
         opt = tracker.optimize()

@@ -63,6 +63,8 @@ class Submap(NamedTuple):
     world_from_submap: np.ndarray  # (4, 4) float32, host
     volume: object  # TsdfVolume (host leaves when offloaded)
     frames: int  # frames fused into it
+    traj_start: int = 0  # first world-trajectory index tracked in it
+    # (optimize_atlas rewrites each submap's trajectory span rigidly)
 
 
 def _to_host(vol):
@@ -106,6 +108,7 @@ class SubmapTsdfTracker:
         )
         self._anchor = np.eye(4, dtype=np.float32)  # world_from_submap
         self._frames_in_active = 0
+        self._active_traj_start = 0
         self.finished: list[Submap] = []
         self.trajectory = Trajectory()
         self._pose_np = None  # last world pose (host)
@@ -140,7 +143,11 @@ class SubmapTsdfTracker:
             world_from_submap=self._anchor,
             volume=_to_host(vol) if self.config.offload_finished else vol,
             frames=self._frames_in_active,
+            traj_start=self._active_traj_start,
         ))
+        # The handover frame was TRACKED in (and appended under) the old
+        # submap; the new span starts at the next trajectory entry.
+        self._active_traj_start = len(self.trajectory)
         self._anchor = np.asarray(world_pose, np.float32).copy()
         # Handover frame fuses into BOTH volumes: process() already
         # integrated it into the frozen one; reseed fuses it (at
@@ -313,3 +320,170 @@ class SubmapTsdfTracker:
             mask=jnp.concatenate(masks),
             colors=jnp.concatenate(cols) if cols else None,
         )
+
+
+# -- atlas-level loop closure + pose-graph optimization ----------------------
+
+
+def _verify_submap_pairs(surfs, feats, pairs, *, noise_bound,
+                         overlap_tau, min_overlap, refine_iters):
+    """Geometric verification of candidate submap pairs in ONE dispatch.
+
+    Same recipe as the keyframe loop-closure verifier
+    (loop_closure/detector.py _verify_candidates): robust global
+    registration (FPFH mutual matching -> max-k-core -> GNC-TLS),
+    symmetric-overlap acceptance, ICP refinement kept only when it does
+    not lose overlap. Registers surface_j ONTO surface_i, so the
+    accepted transform is i_from_j = T_i^-1 T_j -- exactly the
+    pose-graph edge measurement.
+    """
+    from realsensetracker_tpu.align import icp as icp_mod
+    from realsensetracker_tpu.align import robust_global
+
+    pts = jnp.stack([s.points for s in surfs])
+    msk = jnp.stack([s.mask for s in surfs])
+    fts = jnp.stack(feats)
+    pi = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    pj = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    def one(i, j):
+        src = cloud_mod.Cloud(points=pts[j], mask=msk[j])  # submap j
+        dst = cloud_mod.Cloud(points=pts[i], mask=msk[i])  # onto submap i
+        res = robust_global.register_robust(
+            src, dst, fts[j], fts[i], noise_bound
+        )
+        fwd, bwd = robust_global.symmetric_overlap(
+            res.transform, src, dst, overlap_tau
+        )
+        ov = jnp.minimum(fwd, bwd)
+        ok = res.valid & (ov >= min_overlap)
+        ref = icp_mod.align_icp(
+            src, dst, max_iter=refine_iters, init_transform=res.transform
+        )
+        f2, b2 = robust_global.symmetric_overlap(
+            ref.transform, src, dst, overlap_tau
+        )
+        use_ref = jnp.all(jnp.isfinite(ref.transform)) & (
+            jnp.minimum(f2, b2) >= ov
+        )
+        T = jnp.where(use_ref, ref.transform, res.transform)
+        return T, ok, ov
+
+    return jax.vmap(one)(pi, pj)
+
+
+def optimize_atlas(
+    tracker: "SubmapTsdfTracker",
+    *,
+    surface_capacity: int = 2048,
+    min_separation: int = 2,
+    gate: float = 0.0,  # anchor-distance candidate gate; 0 = auto (extent)
+    noise_bound: float = 0.0,  # 0 = auto (4 * voxel)
+    overlap_tau: float = 0.0,  # 0 = auto (2 * voxel)
+    min_overlap: float = 0.7,  # corridor floors/walls are translation-
+    # invariant: sloppy x-shifted registrations still score ~0.5-0.6 on
+    # the plane points (measured 127-320 mm edge error at ov 0.56-0.58,
+    # vs 17-33 mm at ov >= 0.9), so the gate sits above the alias band
+    loop_weight: float = 0.25,
+    refine_iters: int = 16,
+    feature_radius: float = 0.0,  # 0 = auto (6 * voxel)
+    max_neighbors: int = 64,
+    gn_iters: int = 10,
+    cg_iters: int = 50,
+) -> int:
+    """Loop-close and optimize the submap atlas IN PLACE; returns the
+    number of accepted loop edges (0 = nothing changed).
+
+    Non-adjacent submaps whose anchors sit within ``gate`` are verified
+    against each other (FPFH from TSDF-gradient normals -- free, globally
+    consistently oriented -- then the keyframe loop-closure recipe);
+    accepted relative transforms become loop edges of a pose graph over
+    the anchors (consecutive-anchor odometry edges form the backbone,
+    optimize/pose_graph.py). Because every submap is rigid, applying the
+    optimized anchors makes the WHOLE dense world model consistent
+    instantly -- no re-integration of any volume -- and each submap's
+    trajectory span is rewritten by its anchor correction.
+
+    The keyframe SLAM stack (tracking/slam.py) corrects drift by
+    re-fusing depths at optimized poses; this is the dense-first
+    alternative: the map itself is the state being optimized.
+    """
+    from realsensetracker_tpu.ops import fpfh as fpfh_mod
+    from realsensetracker_tpu.optimize import pose_graph as pg
+
+    cfgv = tracker.config.volume
+    voxel = cfgv.voxel_size
+    extent = cfgv.resolution * voxel
+    gate = gate or extent
+    noise_bound = noise_bound or 4 * voxel
+    overlap_tau = overlap_tau or 2 * voxel
+    feature_radius = feature_radius or 6 * voxel
+
+    entries = [(s.world_from_submap, _to_device(s.volume), s.traj_start)
+               for s in tracker.finished]
+    if tracker._t.tsdf_volume is not None:
+        entries.append((tracker._anchor, tracker._t.tsdf_volume,
+                        tracker._active_traj_start))
+    k = len(entries)
+    if k < min_separation + 1:
+        return 0
+
+    anchors = np.stack([e[0] for e in entries]).astype(np.float32)
+    pairs = []
+    for i in range(k):
+        for j in range(i + min_separation, k):
+            if np.linalg.norm(anchors[i][:3, 3] - anchors[j][:3, 3]) < gate:
+                pairs.append((i, j))
+    if not pairs:
+        return 0
+
+    surfs, feats = [], []
+    for _, vol, _ in entries:
+        c, n = tsdf_mod.extract_surface_oriented(vol, cfgv,
+                                                 surface_capacity)
+        surfs.append(c)
+        feats.append(fpfh_mod.compute_fpfh_from_normals(
+            c, n, feature_radius, max_neighbors
+        ))
+
+    T, ok, _ov = _verify_submap_pairs(
+        surfs, feats, pairs, noise_bound=noise_bound,
+        overlap_tau=overlap_tau, min_overlap=min_overlap,
+        refine_iters=refine_iters,
+    )
+    ok = np.asarray(ok)
+    T = np.asarray(T)
+    ov = np.asarray(_ov)
+    # Confidence-weighted edges: measured edge error falls sharply with
+    # overlap, so let the near-total-overlap loops dominate.
+    loop_edges = [(i, j, T[c], loop_weight * float(ov[c]))
+                  for c, (i, j) in enumerate(pairs) if ok[c]]
+    if not loop_edges:
+        return 0
+
+    graph = pg.from_trajectory(jnp.asarray(anchors), loop_edges=loop_edges)
+    new_anchors, _cost = pg.optimize_pose_graph(
+        graph, gn_iters=gn_iters, cg_iters=cg_iters
+    )
+    new_anchors = np.asarray(new_anchors, np.float32)
+
+    # Apply rigid per-submap corrections: anchors, then each submap's
+    # trajectory span (world poses move with the volume they were
+    # tracked in).
+    spans = [e[2] for e in entries] + [len(tracker.trajectory)]
+    for idx in range(k):
+        corr = new_anchors[idx] @ np.linalg.inv(
+            anchors[idx].astype(np.float64)
+        )
+        for t in range(spans[idx], spans[idx + 1]):
+            tracker.trajectory.poses[t] = corr @ tracker.trajectory.poses[t]
+        if idx < len(tracker.finished):
+            tracker.finished[idx] = tracker.finished[idx]._replace(
+                world_from_submap=new_anchors[idx]
+            )
+        else:
+            tracker._anchor = new_anchors[idx]
+    if tracker.trajectory.poses:
+        tracker._pose_np = np.asarray(tracker.trajectory.poses[-1],
+                                      np.float32)
+    return len(loop_edges)

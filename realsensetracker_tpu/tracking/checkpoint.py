@@ -411,6 +411,7 @@ def save_submaps(path: str, tracker) -> None:
         "spawn_radius": np.float64(cfg.spawn_radius),
         "frame_index": np.int64(inner._index),
         "frames_in_active": np.int64(tr._frames_in_active),
+        "active_traj_start": np.int64(tr._active_traj_start),
         "active_anchor": np.asarray(tr._anchor, np.float32),
         "traj_timestamps": np.asarray(tr.trajectory.timestamps, np.float64),
         "traj_poses": np.stack(tr.trajectory.poses)
@@ -422,6 +423,9 @@ def save_submaps(path: str, tracker) -> None:
         ).astype(np.float32)
         payload["sub_frames"] = np.asarray(
             [s.frames for s in tr.finished], np.int64
+        )
+        payload["sub_traj_starts"] = np.asarray(
+            [s.traj_start for s in tr.finished], np.int64
         )
         payload["subs_tsdf"] = np.stack(
             [np.asarray(s.volume.tsdf) for s in tr.finished]
@@ -507,6 +511,7 @@ def load_submaps(path: str, tracker) -> None:
                     if saved_color else None,
                 ),
                 frames=int(data["sub_frames"][i]),
+                traj_start=int(data["sub_traj_starts"][i]),
             ))
     if "vol_tsdf" in data:
         check_res(data["vol_tsdf"])
@@ -528,6 +533,7 @@ def load_submaps(path: str, tracker) -> None:
     inner._index = int(data["frame_index"])
     tr._anchor = np.asarray(data["active_anchor"], np.float32)
     tr._frames_in_active = int(data["frames_in_active"])
+    tr._active_traj_start = int(data["active_traj_start"])
     traj = Trajectory()
     for ts, T in zip(data["traj_timestamps"], data["traj_poses"]):
         traj.append(float(ts), T)

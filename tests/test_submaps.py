@@ -115,6 +115,66 @@ class TestCorridor:
         assert _ate(tr.trajectory, gt).max() < 0.15
 
 
+class TestAtlasOptimization:
+    def test_out_and_back_loop_reduces_endpoint_error(self, corridor):
+        """Walk 2 m out and back: the return submaps overlap the outbound
+        ones, loop edges snap the accumulated drift, and the endpoint
+        error drops -- without re-fusing a single volume."""
+        from realsensetracker_tpu.mapping.submaps import optimize_atlas
+
+        depths_out, gt_out = corridor
+        # Render the return leg (reverse of the outbound poses).
+        poses = np.concatenate([gt_out, gt_out[::-1][1:]], axis=0)
+        ret_depths, _ = synthetic.render_trajectory(
+            INTR, len(poses) - F, scene=_corridor_scene(),
+            poses=jnp.asarray(poses[F:]),
+        )
+        depths = np.concatenate([depths_out, np.asarray(ret_depths,
+                                                        np.float32)])
+        n = len(depths)
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        ok = sum(int(tr.process(depths[f], float(f)).success)
+                 for f in range(n))
+        assert ok == n
+        assert tr.num_submaps >= 4
+        err_pre = _ate(tr.trajectory, poses)
+        anchors_pre = [s.world_from_submap.copy() for s in tr.finished]
+        loops = optimize_atlas(tr, surface_capacity=1024)
+        assert loops >= 1
+        err_post = _ate(tr.trajectory, poses)
+        # Endpoint (loop-closure point) improves; global ATE not worse.
+        assert err_post[-1] < err_pre[-1]
+        assert err_post.mean() < err_pre.mean() * 1.05
+        # Anchors actually moved, and the facade pose tracks the
+        # rewritten trajectory.
+        moved = any(
+            not np.allclose(a, s.world_from_submap)
+            for a, s in zip(anchors_pre, tr.finished)
+        )
+        assert moved
+        np.testing.assert_allclose(
+            tr.pose, np.asarray(tr.trajectory.poses[-1], np.float32),
+            atol=1e-5,
+        )
+        # World pose of the active submap still composes through its
+        # (optimized) anchor.
+        np.testing.assert_allclose(
+            tr.pose, tr.anchor @ np.asarray(tr._t.pose), atol=1e-5
+        )
+
+    def test_too_few_submaps_is_noop(self, corridor):
+        from realsensetracker_tpu.mapping.submaps import optimize_atlas
+
+        depths, _ = corridor
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(8):
+            tr.process(depths[f], float(f))
+        before = [np.asarray(p).copy() for p in tr.trajectory.poses]
+        assert optimize_atlas(tr) == 0
+        for a, b in zip(before, tr.trajectory.poses):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestParityAndExports:
     def test_huge_radius_is_bit_identical_to_single_volume(self, corridor):
         depths, _ = corridor
