@@ -47,6 +47,14 @@ class SubmapConfig:
     # spawn (guards against thrashing on a fast pan)
     offload_finished: bool = True  # move frozen volumes to host RAM
     # (HBM holds only the active one); extraction re-uploads on demand
+    reactivate: bool = True  # on drift, first try to RE-ENTER an existing
+    # submap covering the current pose (registration-gated against its
+    # render) before spawning a new one: bounds memory under revisits /
+    # loitering and SNAPS accumulated drift onto the old map (implicit
+    # loop closure)
+    reactivate_min_inliers: float = 0.4  # inlier-fraction gate on the
+    # reactivation registration (stricter than tracking: a wrong re-entry
+    # would fuse the live stream into the wrong map)
 
     def radius(self) -> float:
         extent = self.volume.resolution * self.volume.voxel_size
@@ -58,13 +66,13 @@ class SubmapConfig:
 
 
 class Submap(NamedTuple):
-    """A frozen atlas entry."""
+    """An atlas entry. The ACTIVE submap's entry is a stale placeholder
+    (its live volume/anchor sit in the inner tracker) refreshed whenever
+    the tracker hands over to another submap."""
 
     world_from_submap: np.ndarray  # (4, 4) float32, host
     volume: object  # TsdfVolume (host leaves when offloaded)
-    frames: int  # frames fused into it
-    traj_start: int = 0  # first world-trajectory index tracked in it
-    # (optimize_atlas rewrites each submap's trajectory span rigidly)
+    frames: int  # frames fused into it (accumulates across activations)
 
 
 def _to_host(vol):
@@ -108,15 +116,19 @@ class SubmapTsdfTracker:
         )
         self._anchor = np.eye(4, dtype=np.float32)  # world_from_submap
         self._frames_in_active = 0
-        self._active_traj_start = 0
-        self.finished: list[Submap] = []
+        self._active_id = -1  # -1 before the seed frame
+        self._subs: list[Submap] = []  # one entry per submap id
+        # (traj_start, submap_id) handover log: trajectory index `start`
+        # onward was tracked in `submap_id` (until the next log entry).
+        # optimize_atlas rewrites each span rigidly with its submap.
+        self._span_log: list[tuple[int, int]] = []
         self.trajectory = Trajectory()
         self._pose_np = None  # last world pose (host)
 
     # -- policy ---------------------------------------------------------
 
     def _drifted(self, local_pose: np.ndarray) -> bool:
-        """Spawn test on the ACTIVE-submap-frame pose: camera position or
+        """Drift test on a submap-frame pose: camera position or
         mid-range view center moved > spawn_radius from where the submap
         was seeded (identity / (0,0,probe))."""
         r = self.config.radius()
@@ -127,11 +139,81 @@ class SubmapTsdfTracker:
         view = local_pose[:3, :3] @ np.array([0.0, 0.0, d], np.float32) + t
         return float(np.linalg.norm(view - np.array([0.0, 0.0, d]))) > r
 
-    def _maybe_spawn(self, depth, color, world_pose: np.ndarray) -> bool:
-        if self._frames_in_active < self.config.min_frames:
-            return False
-        if not self._drifted(np.asarray(self._t.pose)):
-            return False
+    def _freeze_active(self) -> None:
+        vol = self._t.tsdf_volume
+        old = self._subs[self._active_id]
+        self._subs[self._active_id] = Submap(
+            world_from_submap=self._anchor,
+            volume=_to_host(vol) if self.config.offload_finished else vol,
+            frames=old.frames + self._frames_in_active,
+        )
+
+    def _try_reactivate(self, depth, color, world_pose: np.ndarray):
+        """Re-enter an existing submap covering the current pose: verify
+        by registering the live frame against that submap's render at the
+        (drift-carrying) predicted local pose; on success the correction
+        SNAPS the world pose onto the old map. Returns the corrected
+        world pose, or None."""
+        best = None
+        for k, s in enumerate(self._subs):
+            if k == self._active_id:
+                continue
+            local = np.linalg.inv(
+                s.world_from_submap.astype(np.float64)
+            ) @ world_pose
+            if self._drifted(local.astype(np.float32)):
+                continue
+            d = float(np.linalg.norm(local[:3, 3]))
+            if best is None or d < best[0]:
+                best = (d, k, local.astype(np.float32))
+        if best is None:
+            return None
+        _, k, local = best
+        from realsensetracker_tpu.geometry import se3
+
+        vol_k = _to_device(self._subs[k].volume)
+        render = tsdf_mod.render_model_depth(
+            vol_k, jnp.asarray(local), self.intr, self.config.volume
+        )
+        res = projective.register_depth_pair(
+            jnp.asarray(depth, jnp.float32), render, self.intr, self._t.icp
+        )
+        # A re-entered submap only covers part of the current frustum
+        # (the camera sits near its edge), so the absolute inlier
+        # fraction conflates COVERAGE with misalignment: measured 0.33
+        # on a correctly-aligned re-entry whose render filled 41% of the
+        # frame. Gate the inlier fraction against the render coverage
+        # (its attainable ceiling) plus a floor on coverage itself.
+        cov = float((np.asarray(render) > 0).mean())
+        inl = float(res.inlier_fraction)
+        T = np.asarray(res.transform)
+        ok = (np.isfinite(T).all() and cov >= 0.2
+              and inl >= self.config.reactivate_min_inliers * cov)
+        if not ok:
+            return None
+        local2 = np.asarray(se3.orthonormalize(
+            se3.compose(jnp.asarray(local), res.transform)
+        ), np.float32)
+        self._freeze_active()
+        self._active_id = k
+        self._anchor = self._subs[k].world_from_submap
+        # Fuse the live frame into the reactivated volume at the snapped
+        # pose; the inner tracker continues from there.
+        self._t._vol = tsdf_mod.integrate(
+            vol_k, jnp.asarray(depth, jnp.float32), jnp.asarray(local2),
+            self.intr, self.config.volume,
+            color=self._t._color_frame(color),
+        )
+        self._t._pose = jnp.asarray(local2)
+        self._t._pose_np = local2
+        self._frames_in_active = 1
+        # This frame's pose was re-measured against submap k: its span
+        # entry starts AT this frame (the already-appended trajectory
+        # entry is rewritten by the caller with the snapped pose).
+        self._span_log.append((len(self.trajectory) - 1, k))
+        return (self._anchor @ local2).astype(np.float32)
+
+    def _spawn_new(self, depth, color, world_pose: np.ndarray) -> None:
         vol = self._t.tsdf_volume
         # The frozen model raycast at the handover pose IS a depth frame
         # in the new submap's camera frame: fusing it hands the old
@@ -139,15 +221,16 @@ class SubmapTsdfTracker:
         handover = tsdf_mod.render_model_depth(
             vol, jnp.asarray(self._t.pose), self.intr, self.config.volume
         )
-        self.finished.append(Submap(
-            world_from_submap=self._anchor,
-            volume=_to_host(vol) if self.config.offload_finished else vol,
-            frames=self._frames_in_active,
-            traj_start=self._active_traj_start,
+        self._freeze_active()
+        self._subs.append(Submap(
+            world_from_submap=np.asarray(world_pose, np.float32).copy(),
+            volume=None,  # live in the inner tracker until frozen
+            frames=0,
         ))
+        self._active_id = len(self._subs) - 1
         # The handover frame was TRACKED in (and appended under) the old
         # submap; the new span starts at the next trajectory entry.
-        self._active_traj_start = len(self.trajectory)
+        self._span_log.append((len(self.trajectory), self._active_id))
         self._anchor = np.asarray(world_pose, np.float32).copy()
         # Handover frame fuses into BOTH volumes: process() already
         # integrated it into the frozen one; reseed fuses it (at
@@ -156,19 +239,49 @@ class SubmapTsdfTracker:
         # -- no open-loop coast.
         self._t.reseed(depth, color=color, model_depth=handover)
         self._frames_in_active = 1
-        return True
+
+    def _maybe_handover(self, depth, color, world_pose: np.ndarray):
+        """Handover policy after a successful frame: returns the snapped
+        world pose if a reactivation happened, else None (whether or not
+        a new submap spawned)."""
+        if self._frames_in_active < self.config.min_frames:
+            return None
+        if not self._drifted(np.asarray(self._t.pose)):
+            return None
+        if self.config.reactivate:
+            corrected = self._try_reactivate(depth, color, world_pose)
+            if corrected is not None:
+                return corrected
+        self._spawn_new(depth, color, world_pose)
+        return None
 
     # -- streaming ------------------------------------------------------
 
+    def _seed_bookkeeping(self) -> None:
+        if self._active_id < 0:
+            self._subs.append(Submap(
+                world_from_submap=self._anchor, volume=None, frames=0,
+            ))
+            self._active_id = 0
+            self._span_log.append((len(self.trajectory), 0))
+
     def process(self, depth, timestamp: float | None = None, color=None):
+        first = self._t.tsdf_volume is None
         r = self._t.process(depth, timestamp, color=color)
+        if first:
+            self._seed_bookkeeping()
         world_pose = (self._anchor @ r.pose).astype(np.float32)
         self._pose_np = world_pose
         self._frames_in_active += 1
         ts = timestamp if timestamp is not None else float(r.frame_index)
         self.trajectory.append(ts, world_pose)
         if r.success:
-            self._maybe_spawn(depth, color, world_pose)
+            corrected = self._maybe_handover(depth, color, world_pose)
+            if corrected is not None:  # reactivation snapped this frame
+                world_pose = corrected
+                self._pose_np = corrected
+                self.trajectory.poses[-1] = np.asarray(corrected,
+                                                       np.float64)
         return r._replace(pose=world_pose)
 
     def process_window(self, depths, timestamps=None, window: int = 8,
@@ -184,11 +297,14 @@ class SubmapTsdfTracker:
         results = []
         i = 0
         while i < n:
+            first = self._t.tsdf_volume is None
             chunk = depths[i:i + window]
             cts = timestamps[i:i + window]
             cols = colors[i:i + window] if colors is not None else None
             rs = self._t.process_window(chunk, cts, window=window,
                                         colors=cols)
+            if first:
+                self._seed_bookkeeping()
             for j, r in enumerate(rs):
                 world_pose = (self._anchor @ r.pose).astype(np.float32)
                 self._pose_np = world_pose
@@ -197,11 +313,16 @@ class SubmapTsdfTracker:
                 self.trajectory.append(ts, world_pose)
                 results.append(r._replace(pose=world_pose))
             if results and results[-1].success:
-                self._maybe_spawn(
+                corrected = self._maybe_handover(
                     chunk[-1],
                     cols[-1] if cols is not None else None,
                     results[-1].pose,
                 )
+                if corrected is not None:
+                    self._pose_np = corrected
+                    self.trajectory.poses[-1] = np.asarray(corrected,
+                                                           np.float64)
+                    results[-1] = results[-1]._replace(pose=corrected)
             i += len(rs)
         return results
 
@@ -223,16 +344,44 @@ class SubmapTsdfTracker:
 
     @property
     def num_submaps(self) -> int:
-        return len(self.finished) + (1 if self._t.tsdf_volume is not None
-                                     else 0)
+        return len(self._subs)
+
+    @property
+    def active_id(self) -> int:
+        """Index of the submap currently tracked in (-1 before seed)."""
+        return self._active_id
+
+    @property
+    def submaps(self) -> list:
+        """All atlas entries in id order, with the active one's LIVE
+        anchor/volume substituted for its stale placeholder."""
+        out = []
+        for i, s in enumerate(self._subs):
+            if i == self._active_id:
+                out.append(s._replace(
+                    world_from_submap=self._anchor,
+                    volume=self._t.tsdf_volume,
+                    frames=s.frames + self._frames_in_active,
+                ))
+            else:
+                out.append(s)
+        return out
+
+    @property
+    def finished(self) -> list:
+        """Frozen (non-active) atlas entries, id order."""
+        return [s for i, s in enumerate(self._subs)
+                if i != self._active_id]
 
     def _all_volumes(self):
-        """(world_from_submap, device TsdfVolume) for every submap,
-        active last."""
-        out = [(s.world_from_submap, _to_device(s.volume))
-               for s in self.finished]
-        if self._t.tsdf_volume is not None:
-            out.append((self._anchor, self._t.tsdf_volume))
+        """(world_from_submap, device TsdfVolume) for every submap in id
+        order (the active one contributes its live volume)."""
+        out = []
+        for i, s in enumerate(self._subs):
+            if i == self._active_id:
+                out.append((self._anchor, self._t.tsdf_volume))
+            else:
+                out.append((s.world_from_submap, _to_device(s.volume)))
         return out
 
     # -- world-model extraction ------------------------------------------
@@ -419,11 +568,7 @@ def optimize_atlas(
     overlap_tau = overlap_tau or 2 * voxel
     feature_radius = feature_radius or 6 * voxel
 
-    entries = [(s.world_from_submap, _to_device(s.volume), s.traj_start)
-               for s in tracker.finished]
-    if tracker._t.tsdf_volume is not None:
-        entries.append((tracker._anchor, tracker._t.tsdf_volume,
-                        tracker._active_traj_start))
+    entries = tracker._all_volumes()  # id order, active volume live
     k = len(entries)
     if k < min_separation + 1:
         return 0
@@ -438,7 +583,7 @@ def optimize_atlas(
         return 0
 
     surfs, feats = [], []
-    for _, vol, _ in entries:
+    for _, vol in entries:
         c, n = tsdf_mod.extract_surface_oriented(vol, cfgv,
                                                  surface_capacity)
         surfs.append(c)
@@ -467,22 +612,27 @@ def optimize_atlas(
     )
     new_anchors = np.asarray(new_anchors, np.float32)
 
-    # Apply rigid per-submap corrections: anchors, then each submap's
-    # trajectory span (world poses move with the volume they were
-    # tracked in).
-    spans = [e[2] for e in entries] + [len(tracker.trajectory)]
+    # Apply rigid per-submap corrections: anchors, then every trajectory
+    # span tracked in that submap (the span log records handovers AND
+    # reactivations, so revisited submaps carry all their spans).
+    corrs = [
+        new_anchors[idx] @ np.linalg.inv(anchors[idx].astype(np.float64))
+        for idx in range(k)
+    ]
+    log = tracker._span_log
+    for e, (start, sid) in enumerate(log):
+        end = log[e + 1][0] if e + 1 < len(log) else len(tracker.trajectory)
+        for t in range(start, end):
+            tracker.trajectory.poses[t] = (
+                corrs[sid] @ tracker.trajectory.poses[t]
+            )
     for idx in range(k):
-        corr = new_anchors[idx] @ np.linalg.inv(
-            anchors[idx].astype(np.float64)
-        )
-        for t in range(spans[idx], spans[idx + 1]):
-            tracker.trajectory.poses[t] = corr @ tracker.trajectory.poses[t]
-        if idx < len(tracker.finished):
-            tracker.finished[idx] = tracker.finished[idx]._replace(
+        if idx == tracker._active_id:
+            tracker._anchor = new_anchors[idx]
+        else:
+            tracker._subs[idx] = tracker._subs[idx]._replace(
                 world_from_submap=new_anchors[idx]
             )
-        else:
-            tracker._anchor = new_anchors[idx]
     if tracker.trajectory.poses:
         tracker._pose_np = np.asarray(tracker.trajectory.poses[-1],
                                       np.float32)

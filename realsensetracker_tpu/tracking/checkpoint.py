@@ -389,7 +389,7 @@ SUBMAP_FORMAT_VERSION = 1
 def _unwrap_submaps(tracker):
     """Accept a SubmapTsdfTracker or the api.Tracker facade around one."""
     impl = getattr(tracker, "_impl", tracker)
-    if not (hasattr(impl, "finished") and hasattr(impl, "_t")):
+    if not (hasattr(impl, "_subs") and hasattr(impl, "_t")):
         raise ValueError(
             "not a submap TSDF tracker (method='tsdf' with a spawn radius)"
         )
@@ -397,13 +397,15 @@ def _unwrap_submaps(tracker):
 
 
 def save_submaps(path: str, tracker) -> None:
-    """Snapshot a SubmapTsdfTracker: every frozen submap (anchor + dense
-    planes, stacked (K, V, V, V)), the active submap's full TsdfTracker
-    state, and the world trajectory. Same compressed-npz rationale as
-    save_tsdf -- grids are mostly-constant away from surfaces."""
+    """Snapshot a SubmapTsdfTracker: every submap's anchor + dense planes
+    (stacked (K, V, V, V); the active one's live volume included), the
+    handover span log, the inner tracker pose, and the world trajectory.
+    Same compressed-npz rationale as save_tsdf -- grids are
+    mostly-constant away from surfaces."""
     tr = _unwrap_submaps(tracker)
     inner = tr._t
     cfg = tr.config
+    subs = tr.submaps  # live anchor/volume substituted for the active id
     payload = {
         "submap_version": np.int64(SUBMAP_FORMAT_VERSION),
         "vol_voxel_size": np.float64(cfg.volume.voxel_size),
@@ -411,51 +413,43 @@ def save_submaps(path: str, tracker) -> None:
         "spawn_radius": np.float64(cfg.spawn_radius),
         "frame_index": np.int64(inner._index),
         "frames_in_active": np.int64(tr._frames_in_active),
-        "active_traj_start": np.int64(tr._active_traj_start),
-        "active_anchor": np.asarray(tr._anchor, np.float32),
+        "active_id": np.int64(tr._active_id),
+        "span_log": np.asarray(tr._span_log, np.int64).reshape(-1, 2),
         "traj_timestamps": np.asarray(tr.trajectory.timestamps, np.float64),
         "traj_poses": np.stack(tr.trajectory.poses)
         if tr.trajectory.poses else np.zeros((0, 4, 4)),
     }
-    if tr.finished:
+    if subs:
         payload["anchors"] = np.stack(
-            [s.world_from_submap for s in tr.finished]
+            [s.world_from_submap for s in subs]
         ).astype(np.float32)
+        # Stored frames EXCLUDE the active streak (frames_in_active is
+        # its own field and is re-added on the next freeze).
         payload["sub_frames"] = np.asarray(
-            [s.frames for s in tr.finished], np.int64
-        )
-        payload["sub_traj_starts"] = np.asarray(
-            [s.traj_start for s in tr.finished], np.int64
+            [e.frames for e in tr._subs], np.int64
         )
         payload["subs_tsdf"] = np.stack(
-            [np.asarray(s.volume.tsdf) for s in tr.finished]
+            [np.asarray(s.volume.tsdf) for s in subs]
         )
         payload["subs_weight"] = np.stack(
-            [np.asarray(s.volume.weight) for s in tr.finished]
+            [np.asarray(s.volume.weight) for s in subs]
         )
         if tr.use_color:
             payload["subs_color"] = np.stack(
-                [np.asarray(s.volume.color) for s in tr.finished]
+                [np.asarray(s.volume.color) for s in subs]
             )
             payload["subs_color_weight"] = np.stack(
-                [np.asarray(s.volume.color_weight) for s in tr.finished]
+                [np.asarray(s.volume.color_weight) for s in subs]
             )
     if inner._pose is not None:
         payload["pose"] = np.asarray(inner._pose)
-    if inner._vol is not None:
-        payload["vol_tsdf"] = np.asarray(inner._vol.tsdf)
-        payload["vol_weight"] = np.asarray(inner._vol.weight)
-        if inner._vol.color is not None:
-            payload["vol_color"] = np.asarray(inner._vol.color)
-            payload["vol_color_weight"] = np.asarray(
-                inner._vol.color_weight
-            )
     np.savez_compressed(path, **payload)
 
 
 def load_submaps(path: str, tracker) -> None:
     """Restore a save_submaps snapshot into a freshly-constructed
     SubmapTsdfTracker (same SubmapConfig volume geometry) in place."""
+    import jax
     import jax.numpy as jnp
 
     from realsensetracker_tpu.mapping.submaps import Submap
@@ -479,49 +473,46 @@ def load_submaps(path: str, tracker) -> None:
             f"{org.tolist()}) != configured (voxel {cfgv.voxel_size} m, "
             f"origin {list(cfgv.origin)})"
         )
-    saved_color = "vol_color" in data or "subs_color" in data
-    if saved_color != bool(tr.use_color):
+    saved_color = "subs_color" in data
+    if "anchors" in data and saved_color != bool(tr.use_color):
         raise ValueError(
             "submap checkpoint color mismatch: snapshot "
             f"{'has' if saved_color else 'lacks'} color planes but the "
             "tracker's use_color disagrees"
         )
 
-    def check_res(arr):
-        if arr.shape[-1] != cfgv.resolution:
-            raise ValueError(
-                f"snapshot volume {arr.shape[-1]}^3 != configured "
-                f"{cfgv.resolution}^3"
-            )
-
-    tr.finished = []
+    active_id = int(data["active_id"])
+    tr._subs = []
     if "anchors" in data:
-        check_res(data["subs_tsdf"])
-        as_dev = not tr.config.offload_finished
-        conv = jnp.asarray if as_dev else np.asarray
+        if data["subs_tsdf"].shape[-1] != cfgv.resolution:
+            raise ValueError(
+                f"snapshot volume {data['subs_tsdf'].shape[-1]}^3 != "
+                f"configured {cfgv.resolution}^3"
+            )
         for i in range(data["anchors"].shape[0]):
-            tr.finished.append(Submap(
-                world_from_submap=np.asarray(data["anchors"][i], np.float32),
-                volume=TsdfVolume(
-                    tsdf=conv(data["subs_tsdf"][i]),
-                    weight=conv(data["subs_weight"][i]),
-                    color=conv(data["subs_color"][i])
-                    if saved_color else None,
-                    color_weight=conv(data["subs_color_weight"][i])
-                    if saved_color else None,
-                ),
+            vol = TsdfVolume(
+                tsdf=np.asarray(data["subs_tsdf"][i]),
+                weight=np.asarray(data["subs_weight"][i]),
+                color=np.asarray(data["subs_color"][i])
+                if saved_color else None,
+                color_weight=np.asarray(data["subs_color_weight"][i])
+                if saved_color else None,
+            )
+            tr._subs.append(Submap(
+                world_from_submap=np.asarray(data["anchors"][i],
+                                             np.float32),
+                volume=vol,
                 frames=int(data["sub_frames"][i]),
-                traj_start=int(data["sub_traj_starts"][i]),
             ))
-    if "vol_tsdf" in data:
-        check_res(data["vol_tsdf"])
-        inner._vol = TsdfVolume(
-            tsdf=jnp.asarray(data["vol_tsdf"]),
-            weight=jnp.asarray(data["vol_weight"]),
-            color=jnp.asarray(data["vol_color"]) if saved_color else None,
-            color_weight=jnp.asarray(data["vol_color_weight"])
-            if saved_color else None,
-        )
+    tr._active_id = active_id
+    if active_id >= 0:
+        tr._anchor = tr._subs[active_id].world_from_submap
+        inner._vol = jax.tree.map(jnp.asarray, tr._subs[active_id].volume)
+        if not tr.config.offload_finished:
+            tr._subs = [
+                s._replace(volume=jax.tree.map(jnp.asarray, s.volume))
+                for s in tr._subs
+            ]
     else:
         inner._vol = None
     if "pose" in data:
@@ -531,9 +522,8 @@ def load_submaps(path: str, tracker) -> None:
         inner._pose = None
         inner._pose_np = None
     inner._index = int(data["frame_index"])
-    tr._anchor = np.asarray(data["active_anchor"], np.float32)
     tr._frames_in_active = int(data["frames_in_active"])
-    tr._active_traj_start = int(data["active_traj_start"])
+    tr._span_log = [(int(a), int(b)) for a, b in data["span_log"]]
     traj = Trajectory()
     for ts, T in zip(data["traj_timestamps"], data["traj_poses"]):
         traj.append(float(ts), T)

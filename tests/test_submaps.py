@@ -65,6 +65,21 @@ def _ate(traj, gt_poses):
                           axis=1)
 
 
+def _out_and_back(corridor):
+    """Extend the outbound corridor fixture with its reversed return leg.
+
+    Returns (depths (2F-1, H, W), gt poses (2F-1, 4, 4))."""
+    depths_out, gt_out = corridor
+    poses = np.concatenate([gt_out, gt_out[::-1][1:]], axis=0)
+    ret_depths, _ = synthetic.render_trajectory(
+        INTR, len(poses) - F, scene=_corridor_scene(),
+        poses=jnp.asarray(poses[F:]),
+    )
+    return (np.concatenate([depths_out, np.asarray(ret_depths,
+                                                   np.float32)]),
+            poses)
+
+
 class TestCorridor:
     def test_atlas_outruns_single_volume(self, corridor):
         depths, gt = corridor
@@ -122,17 +137,14 @@ class TestAtlasOptimization:
         error drops -- without re-fusing a single volume."""
         from realsensetracker_tpu.mapping.submaps import optimize_atlas
 
-        depths_out, gt_out = corridor
-        # Render the return leg (reverse of the outbound poses).
-        poses = np.concatenate([gt_out, gt_out[::-1][1:]], axis=0)
-        ret_depths, _ = synthetic.render_trajectory(
-            INTR, len(poses) - F, scene=_corridor_scene(),
-            poses=jnp.asarray(poses[F:]),
-        )
-        depths = np.concatenate([depths_out, np.asarray(ret_depths,
-                                                        np.float32)])
+        depths, poses = _out_and_back(corridor)
         n = len(depths)
-        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        # reactivate=False isolates the pose-graph path: with it on, the
+        # return leg re-enters the outbound submaps and the drift is
+        # already snapped at reactivation (tested separately below).
+        tr = SubmapTsdfTracker(
+            INTR, SubmapConfig(volume=VOL, reactivate=False), icp=ICP
+        )
         ok = sum(int(tr.process(depths[f], float(f)).success)
                  for f in range(n))
         assert ok == n
@@ -158,6 +170,59 @@ class TestAtlasOptimization:
         )
         # World pose of the active submap still composes through its
         # (optimized) anchor.
+        np.testing.assert_allclose(
+            tr.pose, tr.anchor @ np.asarray(tr._t.pose), atol=1e-5
+        )
+
+    def test_reactivation_reuses_submaps_and_snaps_drift(self, corridor):
+        """With reactivation on, the return leg re-enters the outbound
+        submaps: fewer volumes than the no-reactivate run, the active id
+        returns to an old submap, and registering against the old maps
+        bounds the endpoint error WITHOUT any pose-graph pass."""
+        depths, poses = _out_and_back(corridor)
+        n = len(depths)
+        a = SubmapTsdfTracker(
+            INTR, SubmapConfig(volume=VOL, reactivate=False), icp=ICP
+        )
+        b = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(n):
+            ra = a.process(depths[f], float(f))
+            rb = b.process(depths[f], float(f))
+            assert ra.success and rb.success
+        assert b.num_submaps < a.num_submaps
+        assert b.active_id < b.num_submaps - 1  # went BACK to an old map
+        err_a = _ate(a.trajectory, poses)
+        err_b = _ate(b.trajectory, poses)
+        assert err_b[-1] <= err_a[-1]
+        # Span log covers the whole trajectory, boundaries increasing,
+        # and revisited submaps own multiple spans.
+        log = b._span_log
+        assert log[0][0] == 0
+        assert all(log[e][0] < log[e + 1][0] for e in range(len(log) - 1))
+        sids = [sid for _, sid in log]
+        assert len(sids) > len(set(sids))  # at least one submap revisited
+        # World pose still composes through the active anchor.
+        np.testing.assert_allclose(
+            b.pose, b.anchor @ np.asarray(b._t.pose), atol=1e-5
+        )
+
+    def test_optimize_atlas_respects_span_log(self, corridor):
+        """optimize_atlas on a reactivating run rewrites every span with
+        its submap's correction and does not degrade the trajectory."""
+        from realsensetracker_tpu.mapping.submaps import optimize_atlas
+
+        depths, poses = _out_and_back(corridor)
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for f in range(len(depths)):
+            tr.process(depths[f], float(f))
+        err_pre = _ate(tr.trajectory, poses)
+        loops = optimize_atlas(tr, surface_capacity=1024)
+        err_post = _ate(tr.trajectory, poses)
+        assert err_post.mean() < err_pre.mean() * 1.1
+        np.testing.assert_allclose(
+            tr.pose, np.asarray(tr.trajectory.poses[-1], np.float32),
+            atol=1e-5,
+        )
         np.testing.assert_allclose(
             tr.pose, tr.anchor @ np.asarray(tr._t.pose), atol=1e-5
         )
