@@ -278,6 +278,49 @@ class TestParityAndExports:
         assert tr.world_map_colored is None  # geometric tracker
 
 
+class TestColoredAtlas:
+    def test_colored_submaps_track_export_and_roundtrip(self, tmp_path):
+        """use_color atlas: spawns fuse color through the handover (the
+        model-render seed borrows the frame's color), the union colored
+        map exports, and the checkpoint carries the color planes."""
+        from realsensetracker_tpu.tracking import checkpoint
+
+        scene = _corridor_scene()
+        n = 28
+        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses[:, 0, 3] = np.linspace(0.0, 1.4, n)
+        depths, colors, _ = synthetic.render_trajectory_rgbd(
+            INTR, n, scene=scene, poses=jnp.asarray(poses)
+        )
+        depths = np.asarray(depths, np.float32)
+        colors = np.asarray(colors, np.float32)
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP,
+                               surface_capacity=4096, use_color=True)
+        for f in range(n):
+            r = tr.process(depths[f], float(f), color=colors[f])
+            assert r.success
+        assert tr.num_submaps >= 2
+        cloud, cols = tr.world_map_colored
+        assert cols.shape == (tr.num_submaps * 4096, 3)
+        m = np.asarray(cloud.mask)
+        c = np.asarray(cols)[m]
+        assert c.min() >= 0.0 and c.max() <= 1.0
+        assert c.std() > 0.01  # actually colored, not constant
+        path = str(tmp_path / "colored_atlas.npz")
+        checkpoint.save_submaps(path, tr)
+        b = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP,
+                              surface_capacity=4096, use_color=True)
+        checkpoint.load_submaps(path, b)
+        assert b.num_submaps == tr.num_submaps
+        np.testing.assert_allclose(
+            np.asarray(b._t.tsdf_volume.color),
+            np.asarray(tr._t.tsdf_volume.color), atol=1e-6,
+        )
+        plain = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        with pytest.raises(ValueError, match="color"):
+            checkpoint.load_submaps(path, plain)
+
+
 class TestCheckpointAndFacade:
     def test_checkpoint_roundtrip_continues_identically(self, corridor,
                                                         tmp_path):
