@@ -85,6 +85,14 @@ class BatchingConfig:
     # streams.step_tsdf_streams_masked). HBM = capacity * 2 * V^3 * 4
     # bytes -- size capacity accordingly. Mutually exclusive with rgbd.
     tsdf_cfg: object = None  # mapping.tsdf.TsdfConfig | None (defaults)
+    tsdf_submap_radius: float = 0.0  # tsdf slots: > 0 gives every session
+    # UNBOUNDED extent via anchor-composed reseeds -- when the camera (or
+    # its view center) drifts past this radius from the slot's last seed,
+    # the next frame reseeds the volume at the current pose and the
+    # session facade composes poses through the accumulated anchor
+    # (mapping/submaps.py semantics minus the model-render handover: the
+    # reseed restarts from the raw frame, one frame of open-loop coast
+    # per handover). 0 = fixed single volume per session.
 
 
 class SessionDesyncError(RuntimeError):
@@ -147,6 +155,8 @@ class BatchedExecutor:
         if config.rgbd and config.tsdf:
             raise ValueError("rgbd and tsdf slot modes are mutually "
                              "exclusive")
+        if config.tsdf_submap_radius and not config.tsdf:
+            raise ValueError("tsdf_submap_radius requires tsdf slot mode")
         if config.mesh is not None:
             n_data = config.mesh.shape[config.data_axis]
             if config.capacity % n_data != 0:
@@ -507,6 +517,14 @@ class BatchedSessionTracker:
         self._desynced = False  # a timed-out frame mutated the slot anyway
         self._pose_np = np.eye(4, dtype=np.float32)
         self.trajectory = Trajectory()
+        # Submap-style unbounded extent (tsdf_submap_radius > 0): slot
+        # poses are LOCAL to the last reseed; the facade composes them
+        # through the accumulated anchor and schedules a reseed when the
+        # local pose drifts past the radius.
+        self._anchor = np.eye(4, dtype=np.float32)
+        self._pending_seed = False
+        self._frames_since_seed = 0
+        self.num_reseeds = 0
 
     @property
     def window_capacity(self) -> int:
@@ -528,8 +546,9 @@ class BatchedSessionTracker:
             ts = float(self._index) if timestamp is None else timestamp
             try:
                 r = self._ex.track(
-                    self._slot, depth, seed=(self._index == 0), gray=gray,
-                    gen=self._gen,
+                    self._slot, depth,
+                    seed=(self._index == 0 or self._take_pending_seed()),
+                    gray=gray, gen=self._gen,
                 )
             except SessionDesyncError:
                 self._desynced = True
@@ -563,7 +582,9 @@ class BatchedSessionTracker:
                          else None)
                 try:
                     rs = self._ex.track_window(
-                        self._slot, part, seed=(self._index == 0),
+                        self._slot, part,
+                        seed=(self._index == 0
+                              or self._take_pending_seed()),
                         grays=gpart, gen=self._gen,
                     )
                 except SessionDesyncError:
@@ -594,12 +615,45 @@ class BatchedSessionTracker:
                 "earlier frame timed out in-flight); reset the session"
             )
 
+    def _take_pending_seed(self) -> bool:
+        """Consume a drift-scheduled reseed (caller holds self._lock).
+        The slot restarts from the incoming raw frame at identity; the
+        anchor becomes the LAST composed world pose -- set here, not at
+        drift detection, because frames between detection and reseed
+        (the tail of a windowed chunk) still track in the OLD frame."""
+        if not self._pending_seed:
+            return False
+        self._pending_seed = False
+        self._anchor = self._pose_np.astype(np.float32)
+        self._frames_since_seed = 0
+        self.num_reseeds += 1
+        return True
+
+    def _probe(self) -> float:
+        from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+        vc = self._ex.config.tsdf_cfg or TsdfConfig()
+        return vc.resolution * vc.voxel_size / 4.0
+
     def _append(self, r: SlotResult, ts: float) -> FrameResult:
         """Caller holds self._lock."""
-        self._pose_np = r.pose
-        self.trajectory.append(ts, r.pose)
+        pose = r.pose
+        radius = self._ex.config.tsdf_submap_radius
+        if radius > 0:
+            pose = (self._anchor @ r.pose).astype(np.float32)
+            self._frames_since_seed += 1
+            # min-frames guard mirrors SubmapConfig.min_frames: a reseed
+            # right after a reseed would thrash on a fast pan.
+            if (r.success and not self._pending_seed
+                    and self._frames_since_seed >= 4):
+                from realsensetracker_tpu.mapping.submaps import pose_drifted
+
+                if pose_drifted(r.pose, radius, self._probe()):
+                    self._pending_seed = True  # anchor set at the reseed
+        self._pose_np = pose
+        self.trajectory.append(ts, pose)
         res = FrameResult(
-            r.pose, r.relative, r.success, r.rmse,
+            pose, r.relative, r.success, r.rmse,
             r.inlier_fraction, self._index,
         )
         self._index += 1

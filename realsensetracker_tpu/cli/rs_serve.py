@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
                    help="--method tsdf: voxel size in meters (0 = default "
                         "0.04)")
+    p.add_argument("--tsdf-submap-radius", type=float, default=0.0,
+                   metavar="M",
+                   help="--batched --method tsdf: unbounded session extent "
+                        "-- reseed a session's volume (anchor-composed "
+                        "poses) when it drifts M meters from its last "
+                        "seed; 0 = fixed volume")
     p.add_argument("--max-frames", type=int, default=0,
                    help="exit after this many tracked frames (0 = serve "
                         "forever); used by tests/smoke runs")
@@ -82,6 +88,13 @@ def main(argv=None) -> int:
         width=args.width, height=args.height,
     )
 
+    if args.tsdf_submap_radius and not (args.batched
+                                        and args.method == "tsdf"):
+        import sys
+
+        print("--tsdf-submap-radius requires --batched --method tsdf",
+              file=sys.stderr)
+        return 1
     tsdf_cfg = None
     if args.tsdf_resolution or args.tsdf_voxel:
         if args.method != "tsdf":
@@ -127,6 +140,7 @@ def main(argv=None) -> int:
             rgbd=args.method == "rgbd",
             tsdf=args.method == "tsdf",
             tsdf_cfg=tsdf_cfg,
+            tsdf_submap_radius=args.tsdf_submap_radius,
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats

@@ -75,6 +75,18 @@ class Submap(NamedTuple):
     frames: int  # frames fused into it (accumulates across activations)
 
 
+def pose_drifted(local_pose: np.ndarray, radius: float,
+                 probe: float) -> bool:
+    """Drift predicate shared by the atlas and the serving slots: camera
+    position or mid-range view center moved > radius from where the
+    submap was seeded (identity / (0, 0, probe))."""
+    t = local_pose[:3, 3]
+    if float(np.linalg.norm(t)) > radius:
+        return True
+    view = local_pose[:3, :3] @ np.array([0.0, 0.0, probe], np.float32) + t
+    return float(np.linalg.norm(view - np.array([0.0, 0.0, probe]))) > radius
+
+
 def _to_host(vol):
     return jax.tree.map(np.asarray, vol)
 
@@ -128,16 +140,8 @@ class SubmapTsdfTracker:
     # -- policy ---------------------------------------------------------
 
     def _drifted(self, local_pose: np.ndarray) -> bool:
-        """Drift test on a submap-frame pose: camera position or
-        mid-range view center moved > spawn_radius from where the submap
-        was seeded (identity / (0,0,probe))."""
-        r = self.config.radius()
-        t = local_pose[:3, 3]
-        if float(np.linalg.norm(t)) > r:
-            return True
-        d = self.config.probe()
-        view = local_pose[:3, :3] @ np.array([0.0, 0.0, d], np.float32) + t
-        return float(np.linalg.norm(view - np.array([0.0, 0.0, d]))) > r
+        return pose_drifted(local_pose, self.config.radius(),
+                            self.config.probe())
 
     def _freeze_active(self) -> None:
         vol = self._t.tsdf_volume

@@ -975,6 +975,74 @@ class TestTsdfSlots:
         finally:
             ex.close()
 
+    def test_submap_radius_gives_unbounded_extent(self):
+        """A session walking out of its volume stays tracked under
+        tsdf_submap_radius (anchor-composed reseeds), where the fixed
+        single-volume executor degrades; the reseed counter advances and
+        the windowed path handles mid-chunk drift (anchor updates at the
+        reseed, not at detection)."""
+        from realsensetracker_tpu.mapping.tsdf import TsdfConfig
+
+        vol = TsdfConfig(resolution=48, voxel_size=0.05,
+                         origin=(-1.2, -1.2, -0.2625), trunc=0.15,
+                         max_range=3.0, max_depth=4.0)
+        rng = np.random.RandomState(3)
+        ns = 12
+        cx = np.linspace(-0.5, 3.0, ns)
+        centers = np.stack(
+            [cx, rng.uniform(-0.3, 0.55, ns), rng.uniform(0.9, 1.6, ns)], 1
+        ).astype(np.float32)
+        scene = synthetic.Scene(
+            sphere_centers=jnp.asarray(centers),
+            sphere_radii=jnp.asarray(
+                rng.uniform(0.16, 0.32, ns).astype(np.float32)),
+            floor_y=0.9, wall_z=2.2,
+        )
+        nf = 40
+        gt = np.tile(np.eye(4, dtype=np.float32), (nf, 1, 1))
+        gt[:, 0, 3] = np.linspace(0.0, 2.0, nf)
+        depths, _ = synthetic.render_trajectory(TSDF_INTR, nf, scene=scene,
+                                                poses=jnp.asarray(gt))
+        depths = np.asarray(depths, np.float32)
+
+        def run(radius, window):
+            ex = BatchedExecutor(BatchingConfig(
+                intrinsics=TSDF_INTR, icp=TSDF_ICP, capacity=2,
+                tsdf=True, tsdf_cfg=vol, tsdf_submap_radius=radius,
+                window=window,
+            ))
+            try:
+                tr = ex.make_session_tracker()
+                if window > 1:
+                    rs = tr.process_window(depths, window=window)
+                else:
+                    rs = [tr.process(depths[f], float(f))
+                          for f in range(nf)]
+                est = np.stack(list(tr.trajectory.poses))
+                err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
+                return rs, err, tr
+            finally:
+                ex.close()
+
+        rs_fix, err_fix, _ = run(0.0, 1)
+        rs_sub, err_sub, tr_sub = run(0.6, 1)
+        assert all(r.success for r in rs_sub)
+        assert tr_sub.num_reseeds >= 2
+        assert err_sub.max() < 0.25
+        fixed_ok = sum(r.success for r in rs_fix)
+        assert fixed_ok < nf or err_fix.max() > 3 * err_sub.max()
+        # Windowed path: same unbounded behavior through scanned chunks.
+        rs_win, err_win, tr_win = run(0.6, 4)
+        assert all(r.success for r in rs_win)
+        assert tr_win.num_reseeds >= 2
+        assert err_win.max() < 0.3
+
+    def test_submap_radius_requires_tsdf(self):
+        with pytest.raises(ValueError, match="tsdf"):
+            BatchedExecutor(BatchingConfig(
+                intrinsics=TSDF_INTR, tsdf_submap_radius=0.5,
+            ))
+
     def test_rgbd_tsdf_exclusive(self):
         with pytest.raises(ValueError, match="exclusive"):
             BatchedExecutor(BatchingConfig(
