@@ -60,6 +60,10 @@ class TrackerConfig:
     rgbd: RgbdIcpConfig = RgbdIcpConfig()
     tsdf: TsdfConfig = TsdfConfig()  # method="tsdf" volume/raycast settings
     tsdf_color: bool = False  # method="tsdf": fuse per-voxel RGB too
+    tsdf_photometric: bool = False  # method="tsdf": joint geometric +
+    # photometric frame-to-model registration (photometric KinectFusion,
+    # uses the `rgbd` solver config); requires tsdf_color -- pins the
+    # in-plane motion depth-only point-to-plane cannot observe
     tsdf_submap_radius: float = 0.0  # method="tsdf": > 0 switches to the
     # submap atlas (mapping/submaps.py) -- unbounded dense mapping from
     # fixed-shape volumes, spawning a new one every this-many meters of

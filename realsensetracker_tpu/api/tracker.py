@@ -57,6 +57,9 @@ class Tracker:
                 **kw,
             )
         elif method == "tsdf":
+            photo_kw = {}
+            if self.config.tsdf_photometric:
+                photo_kw["photometric"] = self.config.rgbd
             if self.config.tsdf_submap_radius > 0:
                 from realsensetracker_tpu.mapping.submaps import (
                     SubmapConfig,
@@ -72,6 +75,7 @@ class Tracker:
                     icp=self.config.projective,
                     min_inlier_fraction=self.config.min_inlier_fraction,
                     use_color=self.config.tsdf_color,
+                    **photo_kw,
                 )
             else:
                 from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
@@ -82,6 +86,7 @@ class Tracker:
                     icp=self.config.projective,
                     min_inlier_fraction=self.config.min_inlier_fraction,
                     use_color=self.config.tsdf_color,
+                    **photo_kw,
                 )
         elif method == "rgbd":
             from realsensetracker_tpu.tracking.rgbd import RgbdTracker

@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-color", action="store_true",
                    help="method=tsdf: fuse per-voxel RGB from the color "
                         "stream (colored --save-map export)")
+    p.add_argument("--tsdf-photometric", action="store_true",
+                   help="method=tsdf (with --tsdf-color): joint geometric"
+                        " + photometric frame-to-model registration -- "
+                        "pins in-plane motion on geometry-degenerate "
+                        "scenes (photometric KinectFusion)")
     p.add_argument("--tsdf-resolution", type=int, default=0, metavar="V",
                    help="method=tsdf: voxels per axis (0 = default 128); "
                         "a resumed run must match its snapshot")
@@ -124,6 +129,9 @@ def main(argv=None) -> int:
     if args.window > 0 and args.method not in ("slam", "keyframe", "tsdf"):
         print("--window requires --method slam, keyframe, or tsdf",
               file=sys.stderr)
+        return 1
+    if args.tsdf_photometric and not args.tsdf_color:
+        print("--tsdf-photometric requires --tsdf-color", file=sys.stderr)
         return 1
     if args.tsdf_color and args.method != "tsdf":
         print("--tsdf-color requires --method tsdf", file=sys.stderr)
@@ -231,6 +239,7 @@ def main(argv=None) -> int:
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity,
                             tsdf_color=args.tsdf_color,
+                            tsdf_photometric=args.tsdf_photometric,
                             tsdf_submap_radius=args.submap_radius,
                             **tsdf_kw)
         tracker = Tracker(cfg)

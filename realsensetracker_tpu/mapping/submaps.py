@@ -112,6 +112,8 @@ class SubmapTsdfTracker:
         min_inlier_fraction: float = 0.2,
         surface_capacity: int = 65536,
         use_color: bool = False,
+        photometric: object = None,  # RgbdIcpConfig | None
+        photometric_ref: str = "frame",
     ):
         from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
 
@@ -125,6 +127,7 @@ class SubmapTsdfTracker:
             intr, volume=config.volume, icp=icp,
             min_inlier_fraction=min_inlier_fraction,
             surface_capacity=surface_capacity, use_color=use_color,
+            photometric=photometric, photometric_ref=photometric_ref,
         )
         self._anchor = np.eye(4, dtype=np.float32)  # world_from_submap
         self._frames_in_active = 0
@@ -210,6 +213,11 @@ class SubmapTsdfTracker:
         )
         self._t._pose = jnp.asarray(local2)
         self._t._pose_np = local2
+        if self._t.photometric is not None:
+            # The re-entry frame becomes the next photometric reference.
+            self._t._prev_gray = self._t._luma(
+                self._t._color_frame(color)
+            )
         self._frames_in_active = 1
         # This frame's pose was re-measured against submap k: its span
         # entry starts AT this frame (the already-appended trajectory

@@ -411,6 +411,63 @@ def render_model_depth(
     return raycast(vol, pose_world_from_cam, intr, cfg)
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def render_model_rgbd(
+    vol: TsdfVolume,
+    pose_world_from_cam: jnp.ndarray,
+    intr: camera.Intrinsics,
+    cfg: TsdfConfig = TsdfConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(depth, gray) render of a COLORED volume: the depth raycast plus
+    one fused-color lookup at every hit point.
+
+    Color samples trilinearly over the 8 surrounding voxels, gated by
+    color observation (color_weight > 0) so unobserved corners never
+    darken a surface edge; gray is BT.601 luma in [0, 1] (the unit the
+    photometric aligner is calibrated in, align/rgbd.py). Miss pixels
+    return (0, 0). This is the model half of photometric frame-to-model
+    tracking (TsdfTracker photometric=...): the reference never got its
+    photometric cost compiling (photometric_cost.hpp), let alone against
+    a fused dense model.
+    """
+    if vol.color is None:
+        raise ValueError("render_model_rgbd needs a with_color volume")
+    depth = render_model_depth(vol, pose_world_from_cam, intr, cfg)
+    t = pose_world_from_cam[:3, 3].astype(jnp.float32)
+    dir_x, dir_y, dir_z = _ray_dirs(pose_world_from_cam, intr)
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
+    v = cfg.resolution
+    gx = (t[0] + depth * dir_x - o[0]) * inv_vs - 0.5
+    gy = (t[1] + depth * dir_y - o[1]) * inv_vs - 0.5
+    gz = (t[2] + depth * dir_z - o[2]) * inv_vs - 0.5
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, v - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, v - 2)
+    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, v - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
+    fz = jnp.clip(gz - z0, 0.0, 1.0)
+    rgb_acc = jnp.zeros(depth.shape + (3,), jnp.float32)
+    w_acc = jnp.zeros(depth.shape, jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (fx if dx else 1.0 - fx)
+                    * (fy if dy else 1.0 - fy)
+                    * (fz if dz else 1.0 - fz)
+                )
+                ix, iy, iz = x0 + dx, y0 + dy, z0 + dz
+                w = w * (vol.color_weight[ix, iy, iz] > 0)
+                rgb_acc = rgb_acc + w[..., None] * vol.color[ix, iy, iz]
+                w_acc = w_acc + w
+    rgb = rgb_acc / jnp.maximum(w_acc, 1e-12)[..., None]
+    luma = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    gray = jnp.sum(rgb * luma, axis=-1)
+    valid = (depth > 0) & (w_acc > 0)
+    return depth, jnp.where(valid, gray, 0.0)
+
+
 def _masked_gradient(t: jnp.ndarray, seen: jnp.ndarray) -> jnp.ndarray:
     """(V, V, V, 3) TSDF gradient that never reads UNSEEN voxels.
 

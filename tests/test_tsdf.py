@@ -527,3 +527,140 @@ class TestOrientedSurface:
         row = open(path).read().splitlines()[
             head.index("end_header") + 1].split()
         assert len(row) == 6  # xyz + nxnynz
+
+
+class TestPhotometricKinectFusion:
+    """Joint geometric+photometric frame-to-model (TsdfTracker
+    photometric=RgbdIcpConfig): the dense-model upgrade of align/rgbd.py.
+    The defining case is a flat textured wall under in-plane motion --
+    completely unobservable to depth-only point-to-plane."""
+
+    VOL = tsdf.TsdfConfig(resolution=48, voxel_size=0.05,
+                          origin=(-1.2, -1.2, -0.2625), trunc=0.15,
+                          max_range=3.0, max_depth=4.0)
+
+    @pytest.fixture(scope="class")
+    def wall_slide(self):
+        from realsensetracker_tpu.geometry import se3 as se3_mod
+
+        wall = synthetic.Scene(
+            sphere_centers=jnp.full((1, 3), 100.0),
+            sphere_radii=jnp.full((1,), 0.01),
+            floor_y=100.0, wall_z=2.0,
+        )
+        n = 10
+        step = jnp.asarray([0.02, 0.01, 0.005, 0.0, 0.0, 0.0], jnp.float32)
+        poses = [se3_mod.identity()]
+        for _ in range(n - 1):
+            poses.append(se3_mod.compose(poses[-1], se3_mod.exp(step)))
+        poses = jnp.stack(poses)
+        depths, colors = [], []
+        for T in poses:
+            d, c = synthetic.render_rgbd(INTR, T, wall)
+            depths.append(np.asarray(d, np.float32))
+            colors.append(np.asarray(c, np.float32))
+        return depths, colors, np.asarray(poses)
+
+    def _err(self, tr, gt):
+        est = np.stack(list(tr.trajectory.poses))
+        return np.linalg.norm(est[:, :3, 3] - gt[: len(est), :3, 3], axis=1)
+
+    def test_pins_inplane_motion_on_degenerate_wall(self, wall_slide):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        depths, colors, gt = wall_slide
+        icp = ProjectiveIcpConfig(iters=(3, 3), inner_iters=2, samples=768,
+                                  min_samples=192)
+        geo = TsdfTracker(INTR, volume=self.VOL, icp=icp, use_color=True)
+        for f in range(len(depths)):
+            geo.process(depths[f], float(f), color=colors[f])
+        err_geo = self._err(geo, gt)
+        # The slide is invisible to depth-only point-to-plane: the pose
+        # barely moves, so the error approaches the full slide length.
+        total = np.linalg.norm(gt[-1][:3, 3])
+        assert err_geo.max() > 0.6 * total
+        photo = TsdfTracker(
+            INTR, volume=self.VOL, icp=icp, use_color=True,
+            photometric=RgbdIcpConfig(iters=(5, 5), samples=768),
+        )
+        oks = 0
+        for f in range(len(depths)):
+            oks += int(photo.process(depths[f], float(f),
+                                     color=colors[f]).success)
+        err_photo = self._err(photo, gt)
+        assert oks == len(depths)
+        assert err_photo.max() < err_geo.max() / 4
+        # "model" reference (trilinear fused-color render) also tracks,
+        # strictly worse than the prev-frame reference (voxel-scale
+        # intensity error in the render).
+        model_ref = TsdfTracker(
+            INTR, volume=self.VOL, icp=icp, use_color=True,
+            photometric=RgbdIcpConfig(iters=(5, 5), samples=768),
+            photometric_ref="model",
+        )
+        for f in range(len(depths)):
+            model_ref.process(depths[f], float(f), color=colors[f])
+        assert self._err(model_ref, gt).max() < err_geo.max() / 2
+
+    def test_window_matches_per_frame_exactly(self, wall_slide):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        depths, colors, _ = wall_slide
+        icp = ProjectiveIcpConfig(iters=(3, 3), inner_iters=2, samples=768,
+                                  min_samples=192)
+        photo = RgbdIcpConfig(iters=(5, 5), samples=768)
+        a = TsdfTracker(INTR, volume=self.VOL, icp=icp, use_color=True,
+                        photometric=photo)
+        a.process_window(depths, [float(f) for f in range(len(depths))],
+                         window=4, colors=colors)
+        b = TsdfTracker(INTR, volume=self.VOL, icp=icp, use_color=True,
+                        photometric=photo)
+        for f in range(len(depths)):
+            b.process(depths[f], float(f), color=colors[f])
+        for pa, pb in zip(a.trajectory.poses, b.trajectory.poses):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_render_model_rgbd_color_fidelity(self, wall_slide):
+        from realsensetracker_tpu.geometry import se3 as se3_mod
+
+        depths, colors, _ = wall_slide
+        vol = tsdf.init_volume(self.VOL, with_color=True)
+        vol = tsdf.integrate(vol, jnp.asarray(depths[0]),
+                             se3_mod.identity(), INTR, self.VOL,
+                             color=jnp.asarray(colors[0]))
+        d, g = tsdf.render_model_rgbd(vol, se3_mod.identity(), INTR,
+                                      self.VOL)
+        valid = np.asarray(d) > 0
+        assert valid.mean() > 0.9
+        luma = np.asarray(colors[0]) @ np.array([0.299, 0.587, 0.114])
+        diff = np.abs(np.asarray(g) - luma)[valid]
+        # Voxel-scale texture: render gray tracks the true image within
+        # fused-color blur.
+        assert np.median(diff) < 0.05
+        with pytest.raises(ValueError, match="with_color"):
+            tsdf.render_model_rgbd(
+                tsdf.init_volume(self.VOL), se3_mod.identity(), INTR,
+                self.VOL,
+            )
+
+    def test_facade_and_validation(self, wall_slide):
+        from realsensetracker_tpu.api import Tracker, TrackerConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        depths, colors, gt = wall_slide
+        t = Tracker(TrackerConfig(
+            intrinsics=INTR, method="tsdf", tsdf=self.VOL,
+            tsdf_color=True, tsdf_photometric=True,
+        ))
+        for f in range(4):
+            r = t.process(depths[f], float(f), color=colors[f])
+        assert r.success
+        with pytest.raises(ValueError, match="use_color"):
+            TsdfTracker(INTR, volume=self.VOL, photometric=object())
+        with pytest.raises(ValueError, match="photometric_ref"):
+            TsdfTracker(INTR, volume=self.VOL, use_color=True,
+                        photometric=object(), photometric_ref="nope")
