@@ -496,20 +496,18 @@ def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
             min_inlier_fraction=min_inlier_fraction,
         )
 
-    new_vol, new_pose, _rel, stats = jax.vmap(one)(
-        state.volume, depths, state.poses
-    )
+    out = jax.vmap(one)(state.volume, depths, state.poses)
     new_state = TsdfStreamState(
-        poses=new_pose,
-        volume=new_vol,
+        poses=out.pose,
+        volume=out.vol,
         initialized=state.initialized,
         frame_count=state.frame_count + 1,
     )
     return new_state, StreamStepResult(
-        poses=new_pose,
-        success=stats[:, 2] > 0.5,
-        rmse=stats[:, 0],
-        inlier_fraction=stats[:, 1],
+        poses=out.pose,
+        success=out.stats[:, 2] > 0.5,
+        rmse=out.stats[:, 0],
+        inlier_fraction=out.stats[:, 1],
     )
 
 

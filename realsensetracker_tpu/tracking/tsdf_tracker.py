@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,20 @@ from realsensetracker_tpu.geometry import camera, se3
 from realsensetracker_tpu.mapping import tsdf as tsdf_mod
 from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
 from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+class TsdfStepOut(NamedTuple):
+    """Result of one frame-to-model step. Keyword-stable on purpose:
+    every call site (the per-frame jit, the windowed scan body, and the
+    vmapped multi-stream demo in parallel/streams.py) unpacks by
+    attribute, so adding a field cannot silently desync a caller that
+    positionally unpacked an old arity."""
+
+    vol: object  # updated TSDF volume
+    pose: jnp.ndarray  # (4,4) new world_from_cam
+    relative: jnp.ndarray  # (4,4) accepted relative transform (I on fail)
+    gray: object  # next photometric reference (None when photo off)
+    stats: jnp.ndarray  # (19,) [rmse, inlier_fraction, ok, pose(16)]
 
 
 def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
@@ -63,10 +78,10 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
     trilinear fused-color render carries voxel-scale intensity error
     (measured 56 mm vs 0.9 mm drift on a 0.2 m wall slide).
 
-    Returns (new_vol, new_pose_device, relative, new_gray, stats (19,))
-    with stats = [rmse, inlier_fraction, ok, new_pose(16)]; new_gray is
-    the photometric reference for the NEXT step (None when photo_cfg is
-    None), holding on failure exactly like the pose.
+    Returns a TsdfStepOut; stats = [rmse, inlier_fraction, ok,
+    new_pose(16)]; gray is the photometric reference for the NEXT step
+    (None when photo_cfg is None), holding on failure exactly like the
+    pose.
     """
     new_gray = None
     if photo_cfg is not None:
@@ -122,7 +137,7 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
         # frame's photometric anchor at the held pose.
         new_gray = jnp.where(ok, gray, prev_gray) if photo_ref == "frame" \
             else gray
-    return new_vol, new_pose, relative, new_gray, stats
+    return TsdfStepOut(new_vol, new_pose, relative, new_gray, stats)
 
 
 @partial(jax.jit, static_argnames=(
@@ -164,13 +179,13 @@ def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
             depth, color, valid = x
         else:
             (depth, valid), color = x, None
-        new_vol, new_pose, relative, new_gray, stats = _tsdf_step_math(
+        out = _tsdf_step_math(
             vol, depth, pose, color, valid, pg, intr=intr,
             vol_cfg=vol_cfg, icp_cfg=icp_cfg,
             min_inlier_fraction=min_inlier_fraction, photo_cfg=photo_cfg,
             photo_ref=photo_ref,
         )
-        return (new_vol, new_pose, new_gray), (relative, stats)
+        return (out.vol, out.pose, out.gray), (out.relative, out.stats)
 
     xs = (depths, colors, valids) if with_color else (depths, valids)
     (vol, pose, prev_gray), (rels, stats) = jax.lax.scan(
@@ -338,18 +353,19 @@ class TsdfTracker:
             self._index += 1
             return res
 
-        new_vol, new_pose_dev, relative, new_gray, stats = _fused_tsdf_step(
+        out = _fused_tsdf_step(
             self._vol, jnp.asarray(depth, jnp.float32), self._pose, color,
             self._prev_gray,
             intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
             min_inlier_fraction=float(self.min_inlier_fraction),
             photo_cfg=self.photometric, photo_ref=self.photometric_ref,
         )
-        self._prev_gray = new_gray
-        s = np.asarray(stats)  # the frame's one host transfer
+        relative = out.relative
+        self._prev_gray = out.gray
+        s = np.asarray(out.stats)  # the frame's one host transfer
         rmse, inlier, ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
-        self._vol = new_vol
-        self._pose = new_pose_dev
+        self._vol = out.vol
+        self._pose = out.pose
         if ok:
             self._pose_np = s[3:19].reshape(4, 4)
         self.trajectory.append(timestamp, self._pose_np)
