@@ -50,6 +50,30 @@ class ProjectiveIcpConfig(NamedTuple):
     max_depth: float = 10.0
 
 
+def fit_levels(cfg, height: int, width: int, min_extent: int = 24):
+    """Truncate ``cfg.iters`` so the coarsest pyramid level keeps its
+    smaller image dimension >= ``min_extent`` pixels.
+
+    The default 4-level schedule assumes ~640x480 (coarsest 80x60); at
+    80x60 TEST resolution the 10x7 coarsest level carries too few valid
+    planes to constrain a 6-DOF solve and the whole cascade can diverge
+    (BENCHMARKS.md "small-resolution schedule pitfall", hit twice in
+    round 3). ``iters`` is coarse->fine, so dropping the unusable COARSE
+    entries keeps fine-level behavior identical; at production
+    resolutions this is a no-op. Works on any config NamedTuple with an
+    ``iters`` tuple (ProjectiveIcpConfig, RgbdIcpConfig). Shape-static:
+    safe to call at trace time.
+    """
+    levels = len(cfg.iters)
+    e = min(int(height), int(width))
+    max_levels = 1
+    while max_levels < levels and (e >> max_levels) >= min_extent:
+        max_levels += 1
+    if max_levels >= levels:
+        return cfg
+    return cfg._replace(iters=cfg.iters[levels - max_levels:])
+
+
 class ProjectiveIcpResult(NamedTuple):
     transform: jnp.ndarray  # (4, 4)
     rmse: jnp.ndarray  # weighted point-to-plane RMSE at finest level
@@ -407,6 +431,7 @@ def register_depth_pair(
     """
     from realsensetracker_tpu.ops.pyramid import build_pyramid, downsample_depth
 
+    cfg = fit_levels(cfg, *src_depth.shape[-2:])
     num_levels = len(cfg.iters)
     dst_levels, intrs = build_pyramid(
         dst_depth, intr, num_levels, cfg.min_depth, cfg.max_depth

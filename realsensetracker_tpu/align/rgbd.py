@@ -205,6 +205,7 @@ def build_rgbd_target(depth, gray, intr, cfg: RgbdIcpConfig = RgbdIcpConfig()):
     """Destination-side preprocation: (plane-table levels, gray levels, intrs).
 
     Reusable across frames (keyframe / frame-to-frame trackers keep it)."""
+    cfg = projective.fit_levels(cfg, *jnp.shape(depth)[-2:])
     num_levels = len(cfg.iters)
     levels, intrs = build_pyramid(
         depth, intr, num_levels, cfg.min_depth, cfg.max_depth
@@ -246,6 +247,7 @@ def register_rgbd_pair(
     init_transform: jnp.ndarray | None = None,
 ) -> RgbdResult:
     """End-to-end RGB-D pair registration: depth+gray in -> SE(3) out."""
+    cfg = projective.fit_levels(cfg, *jnp.shape(src_depth)[-2:])
     dst_levels, dst_grays, intrs = build_rgbd_target(dst_depth, dst_gray, intr, cfg)
     src_samples = sample_rgbd_source(src_depth, src_gray, intrs, cfg)
     return rgbd_icp_sampled(

@@ -69,6 +69,19 @@ class TsdfConfig(NamedTuple):
     # render path); cuts the gather-bound march cost ~coarse^2-fold on
     # the full-budget phase at the cost of sub-coarse-cell structures
     refine_steps: int = 12  # full-res refinement steps when coarse > 1
+    subvoxel_iters: int = 1  # trilinear secant refinements of each ray
+    # hit AFTER the march: the march samples the TSDF nearest-neighbor,
+    # so its interpolated crossing carries voxel-scale staircase error
+    # that warps the rendered surface -- the dominant geometric-term bias
+    # in photometric frame-to-model tracking (BENCHMARKS.md round-3 wall
+    # slide: 31 mm vs 0.6 mm frame-to-frame). Each iteration re-brackets
+    # the hit with two observation-gated TRILINEAR samples (+-0.6 voxel
+    # along the ray) and re-interpolates the zero crossing of the
+    # continuous field. 0 restores the raw march hit. 1 is the default:
+    # it cut the wall-slide drift 31 -> 2.5 mm for 16 extra gathers per
+    # hit; extra iterations measured NON-monotonic (the trilinear field
+    # is only piecewise linear along the ray, so re-bracketing across a
+    # cell kink can oscillate: 9.1 mm at 2 iters, 1.9 at 3).
 
     @property
     def num_steps(self) -> int:
@@ -303,6 +316,79 @@ def _march(vol, t, dirs, z_start, n_steps: int, cfg: TsdfConfig):
     return z_hit, found
 
 
+def _trilinear_tsdf(vol, px, py, pz, cfg: TsdfConfig):
+    """Observation-gated trilinear TSDF sample at world points.
+
+    Weighted average over the observed (weight > 0) corners of the
+    surrounding cell, normalized by the observed weight mass -- the same
+    gating render_model_rgbd uses for fused color, so unobserved corners
+    (+1 free-space placeholders) never bias a sample near the frustum
+    edge. Returns (value, valid); valid requires ANY observed mass.
+    (A stricter half-mass gate was measured WORSE: it refuses exactly
+    the frustum-boundary ring, leaving those pixels on the biased
+    nearest-neighbor march hit -- two −9 mm border rows of an otherwise
+    exact wall render dragged a photometric frame-to-model solve by
+    8.5 mm/frame.)"""
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
+    v = cfg.resolution
+    gx = (px - o[0]) * inv_vs - 0.5
+    gy = (py - o[1]) * inv_vs - 0.5
+    gz = (pz - o[2]) * inv_vs - 0.5
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, v - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, v - 2)
+    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, v - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
+    fz = jnp.clip(gz - z0, 0.0, 1.0)
+    acc = jnp.zeros(jnp.shape(gx), jnp.float32)
+    w_acc = jnp.zeros(jnp.shape(gx), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (fx if dx else 1.0 - fx)
+                    * (fy if dy else 1.0 - fy)
+                    * (fz if dz else 1.0 - fz)
+                )
+                ix, iy, iz = x0 + dx, y0 + dy, z0 + dz
+                w = w * (vol.weight[ix, iy, iz] > 0)
+                acc = acc + w * vol.tsdf[ix, iy, iz]
+                w_acc = w_acc + w
+    val = acc / jnp.maximum(w_acc, 1e-12)
+    return val, w_acc > 1e-6
+
+
+def _refine_subvoxel(vol, t, dirs, z_hit, found, cfg: TsdfConfig):
+    """cfg.subvoxel_iters trilinear secant refinements of march hits.
+
+    Each pass samples the continuous (trilinear) TSDF at z +- delta along
+    the ray and moves the hit to the linear zero crossing of that
+    bracket, clamped to the bracket; where either sample is invalid or
+    the bracket is degenerate the hit is left as the march found it.
+    Kills the nearest-neighbor staircase bias (VERDICT r3 #4)."""
+    if cfg.subvoxel_iters <= 0:
+        return z_hit
+    dir_x, dir_y, dir_z = dirs
+    delta = jnp.float32(0.6 * cfg.voxel_size)
+    z = z_hit
+    for _ in range(cfg.subvoxel_iters):
+        zm, zp = z - delta, z + delta
+        pm, okm = _trilinear_tsdf(
+            vol, t[0] + zm * dir_x, t[1] + zm * dir_y, t[2] + zm * dir_z,
+            cfg,
+        )
+        pp, okp = _trilinear_tsdf(
+            vol, t[0] + zp * dir_x, t[1] + zp * dir_y, t[2] + zp * dir_z,
+            cfg,
+        )
+        denom = pm - pp  # > 0 through a front-facing crossing
+        ok = okm & okp & (denom > 1e-6)
+        frac = jnp.clip(pm / jnp.where(ok, denom, 1.0), 0.0, 1.0)
+        z = jnp.where(ok, zm + 2.0 * delta * frac, z)
+    return jnp.where(found, z, z_hit)
+
+
 @partial(jax.jit, static_argnames=("intr", "cfg"))
 def raycast(
     vol: TsdfVolume,
@@ -327,6 +413,7 @@ def raycast(
     z_hit, found = _march(
         vol, t, dirs, jnp.float32(cfg.min_depth), cfg.num_steps, cfg
     )
+    z_hit = _refine_subvoxel(vol, t, dirs, z_hit, found, cfg)
     return jnp.where(found, z_hit, 0.0)
 
 
@@ -392,6 +479,7 @@ def raycast_coarse_to_fine(
 
     dirs = _ray_dirs(pose_world_from_cam, intr)
     z_hit, found = _march(vol, t, dirs, z_start, refine_steps, cfg)
+    z_hit = _refine_subvoxel(vol, t, dirs, z_hit, found & seeded_up, cfg)
     return jnp.where(found & seeded_up, z_hit, 0.0)
 
 

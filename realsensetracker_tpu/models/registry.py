@@ -103,12 +103,13 @@ def _keyframe(intr: camera.Intrinsics = camera.TUM_DEFAULT,
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     def run(src_depth, dst_depth):
-        dst_levels, intrs = build_pyramid(dst_depth, intr, len(cfg.iters))
+        fit = projective.fit_levels(cfg, int(intr.height), int(intr.width))
+        dst_levels, intrs = build_pyramid(dst_depth, intr, len(fit.iters))
         src_levels, _ = build_pyramid(
-            src_depth, intr, len(cfg.iters), with_normals=False
+            src_depth, intr, len(fit.iters), with_normals=False
         )
         return projective.projective_icp(
-            tuple(src_levels), tuple(dst_levels), tuple(intrs), cfg=cfg
+            tuple(src_levels), tuple(dst_levels), tuple(intrs), cfg=fit
         )
 
     return run

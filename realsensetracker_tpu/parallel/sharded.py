@@ -96,6 +96,7 @@ def _point_sharded_programs(
     point_axis: str,
 ):
     point_size = mesh.shape[point_axis]
+    cfg = projective.fit_levels(cfg, int(intr.height), int(intr.width))
     num_levels = len(cfg.iters)
     counts = _level_sample_counts(cfg, intr, num_levels)
     # Per-level intrinsics: the same tuple feeds sampling AND the GN loop

@@ -35,6 +35,8 @@ class StreamStepResult(NamedTuple):
 
 
 def _build_levels(depths, intr, cfg):
+    cfg = projective.fit_levels(cfg, *depths.shape[-2:])
+
     def one(d):
         levels, intrs = build_pyramid(d, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth)
         return tuple(levels), tuple(intrs)
@@ -68,6 +70,7 @@ def _register_all(ref_levels, depths, intr, cfg, min_inlier_fraction):
     (precision annotation, success-gate change) lands in both. Returns
     (new_levels, icp_result, ok) with ok = finite transform & inlier gate.
     """
+    cfg = projective.fit_levels(cfg, *depths.shape[-2:])
     new_levels, intrs = _build_levels(depths, intr, cfg)
 
     def one(ref_lv, new_lv):
@@ -382,6 +385,7 @@ def step_streams_masked_rgbd(
 
 def _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
                       min_inlier_fraction):
+    cfg = projective.fit_levels(cfg, *depths.shape[-2:])
     new_levels, new_grays, intrs = _build_rgbd_targets(
         depths, grays, intr, cfg
     )

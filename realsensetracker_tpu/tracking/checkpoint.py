@@ -13,10 +13,12 @@ import numpy as np
 
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
-FORMAT_VERSION = 3  # v2: packed = (4,H,W) plane table; v3: flagship
+FORMAT_VERSION = 4  # v2: packed = (4,H,W) plane table; v3: flagship
 # keyframe pyramids have 4 levels (config-dependent level COUNT is stored,
 # but v2-era defaults produced 3-level pyramids that a 4-level tracker
-# cannot resume against)
+# cannot resume against); v4: resolution-aware schedule (projective.
+# fit_levels) -- at sub-VGA resolutions default-config pyramids now carry
+# fewer levels than a v3 tracker saved (640x480 checkpoints unaffected)
 
 
 def _flatten_levels(levels) -> dict:

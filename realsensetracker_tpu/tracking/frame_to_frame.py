@@ -90,6 +90,12 @@ class FrameToFrameTracker:
     _index: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
+    def __post_init__(self):
+        # Resolution-aware schedule (see KeyframeTracker.__post_init__).
+        self.cfg = projective.fit_levels(
+            self.cfg, int(self.intr.height), int(self.intr.width)
+        )
+
     def reset(self) -> None:
         self._prev_levels = None
         self._pose = None

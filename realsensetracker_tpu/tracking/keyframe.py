@@ -207,6 +207,15 @@ class KeyframeTracker:
     _index: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
+    def __post_init__(self):
+        # Resolution-aware schedule: drop coarse levels that would fall
+        # below ~24 px at this resolution (no-op at 640x480). Normalizing
+        # the STORED cfg keeps the seed pyramid, the fused step/window
+        # programs and relocalization all on the same level count.
+        self.cfg = projective.fit_levels(
+            self.cfg, int(self.intr.height), int(self.intr.width)
+        )
+
     @property
     def pose(self):
         return self._pose_np

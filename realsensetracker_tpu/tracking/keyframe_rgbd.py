@@ -165,6 +165,14 @@ class RgbdKeyframeTracker:
     _index: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
+    def __post_init__(self):
+        # Resolution-aware schedule (see KeyframeTracker.__post_init__).
+        from realsensetracker_tpu.align import projective
+
+        self.cfg = projective.fit_levels(
+            self.cfg, int(self.intr.height), int(self.intr.width)
+        )
+
     @property
     def pose(self):
         return self._pose_np

@@ -220,3 +220,43 @@ class TestSampledSourceFastPath:
         np.testing.assert_allclose(
             np.asarray(res_fast.transform), np.asarray(res_pyr.transform), atol=1e-5
         )
+
+
+class TestFitLevels:
+    """Resolution-aware schedule (VERDICT r3 #3): fit_levels drops coarse
+    pyramid levels whose smaller dimension would fall below ~24 px."""
+
+    def test_vga_default_unchanged(self):
+        cfg = projective.ProjectiveIcpConfig()
+        assert projective.fit_levels(cfg, 480, 640) is cfg
+
+    def test_tiny_resolution_truncates_keeping_fine_tail(self):
+        cfg = projective.ProjectiveIcpConfig(iters=(5, 4, 3, 2))
+        fit = projective.fit_levels(cfg, 60, 80)
+        # 60 >> 1 = 30 >= 24, 60 >> 2 = 15 < 24: two usable levels; the
+        # iters tuple is coarse -> fine, so the FINE tail survives.
+        assert fit.iters == (3, 2)
+        # Non-level fields untouched.
+        assert fit._replace(iters=cfg.iters) == cfg
+
+    def test_already_short_schedule_unchanged(self):
+        cfg = projective.ProjectiveIcpConfig(iters=(3, 3))
+        assert projective.fit_levels(cfg, 60, 80) is cfg
+
+    def test_single_level_floor(self):
+        cfg = projective.ProjectiveIcpConfig(iters=(3, 3, 3, 2))
+        fit = projective.fit_levels(cfg, 16, 16)
+        assert fit.iters == (2,)  # never truncates to zero levels
+
+    def test_register_depth_pair_default_cfg_small_frames(self):
+        # The default 4-level schedule at 80x60 previously built a 10x7
+        # coarsest level; now it auto-truncates and still converges.
+        intr = camera.Intrinsics(fx=64.0, fy=64.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        d0, d1, T_true = synthetic.render_pair(
+            intr, jnp.asarray([0.01, 0, 0.01, 0, 0.005, 0], jnp.float32)
+        )
+        res = projective.register_depth_pair(d1, d0, intr)
+        t_err, r_err = _pose_err(res.transform, T_true)
+        # 80x60 depth is coarse; convergence (mm-scale), not parity.
+        assert t_err < 5e-3 and r_err < 2e-3

@@ -664,3 +664,39 @@ class TestPhotometricKinectFusion:
         with pytest.raises(ValueError, match="photometric_ref"):
             TsdfTracker(INTR, volume=self.VOL, use_color=True,
                         photometric=object(), photometric_ref="nope")
+
+
+class TestSmallResolutionSchedule:
+    """Regression for the round-3 pitfall (BENCHMARKS.md): the DEFAULT
+    4-level ICP schedule at 80x60 built a 10x7 coarsest level that,
+    combined with a partial-coverage model render (volume smaller than
+    the scene), diverged. fit_levels (align/projective.py) now truncates
+    the schedule automatically; tiny-smoke dense configs must work on
+    DEFAULT settings without hand-sized volumes (VERDICT r3 #3)."""
+
+    def test_tsdf_tracker_default_icp_tracks_partial_coverage(self):
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        intr = camera.Intrinsics(fx=64.0, fy=64.0, cx=39.5, cy=29.5,
+                                 width=80, height=60)
+        # 2.4 m volume against the default scene (content out to z=3.5):
+        # the model render covers only part of the frame.
+        vol = tsdf.TsdfConfig(resolution=48, voxel_size=0.05,
+                              origin=(-1.2, -1.2, -0.2625), trunc=0.15,
+                              max_range=3.0)
+        scene = synthetic.default_scene(seed=5)
+        F = 16
+        depths, gt = synthetic.render_trajectory(
+            intr, F, scene=scene, seed=2, step_scale=0.02
+        )
+        depths = np.asarray(depths, np.float32)
+        tr = TsdfTracker(intr=intr, volume=vol)  # DEFAULT icp schedule
+        successes = sum(
+            tr.process(depths[i], float(i)).success for i in range(F)
+        )
+        err = np.linalg.norm(
+            np.asarray(tr.pose)[:3, 3] - np.asarray(gt[F - 1])[:3, 3]
+        )
+        # Pre-fix: 2/16 frames tracked, 90 mm endpoint error.
+        assert successes >= 9
+        assert err < 0.06

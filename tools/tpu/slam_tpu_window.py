@@ -3,7 +3,8 @@
 out-and-back sequence, BOTH in ONE process (gotcha 11: cross-process
 absolute timings are meaningless through the relay).
 
-Run from /root/repo:  nohup python .data/slam_tpu_window.py > LOG 2>&1 &
+Run from /root/repo (stdin form keeps cwd on sys.path, gotcha 9):
+  nohup python - < tools/tpu/slam_tpu_window.py > LOG 2>&1 &
 """
 import contextlib
 import io
@@ -36,6 +37,10 @@ def run(extra, tag):
                 ms.append(rec["ms"])
         elif line.startswith("ATE:"):
             ate = json.loads(line[4:])
+    if rc != 0 or not ms:
+        print(f"== {tag}: FAILED rc={rc}, {len(ms)} frame records; "
+              f"output follows\n{out}", flush=True)
+        sys.exit(1)
     steady = sorted(ms[10:]) if len(ms) > 20 else sorted(ms)
     med = statistics.median(steady)
     p90 = steady[int(0.9 * len(steady))]

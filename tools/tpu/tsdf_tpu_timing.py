@@ -6,7 +6,7 @@ plus final-pose drift vs ground truth on the synth640 sequence.
 Memoization-proof per gotcha 2: every timed call gets DISTINCT inputs
 (different frames / jittered poses) and materializes via np.asarray.
 
-Run from /root/repo:  python - < .data/tsdf_tpu_timing.py
+Run from /root/repo:  python - < tools/tpu/tsdf_tpu_timing.py
 """
 import json
 import statistics
@@ -28,7 +28,7 @@ print("devices:", jax.devices(), flush=True)
 seq = tum.TumSequence.open("/root/repo/.data/synth640")
 N = 24
 depths = [np.asarray(seq.depth(i), np.float32) for i in range(N)]
-gts = tum._read_groundtruth("/root/repo/.data/synth640/groundtruth.txt")
+gt_poses = seq.groundtruth_trajectory().poses  # 4x4 world_from_cam
 intr = camera.Intrinsics(fx=640 * 0.8, fy=640 * 0.8, cx=(640 - 1) / 2,
                          cy=(480 - 1) / 2, width=640, height=480)
 cfg = tsdf.TsdfConfig()  # 128^3 x 4 cm, c2f raycast default
@@ -70,13 +70,22 @@ for i in range(6):
     jit_poses.append(se3.exp(tw))
 
 res = {}
-res["integrate_ms"] = timeit(
+
+
+def record(key, value):
+    # Incremental print: a late crash must not discard earlier timings
+    # (the whole run costs minutes of serialized tunnel time).
+    res[key] = value
+    print(f"partial {key}: {value}", flush=True)
+
+
+record("integrate_ms", timeit(
     integ, [(vol, jnp.asarray(depths[i]), jit_poses[i]) for i in range(6)],
-    lambda v: np.asarray(v.tsdf[0, 0, :4]))
+    lambda v: np.asarray(v.tsdf[0, 0, :4])))
 for tag in ("exact", "c2f"):
-    res[f"raycast_{tag}_ms"] = timeit(
+    record(f"raycast_{tag}_ms", timeit(
         ray[tag], [(vol, jit_poses[i]) for i in range(6)],
-        lambda r: np.asarray(r[0]) if isinstance(r, tuple) else np.asarray(r))
+        lambda r: np.asarray(r[0]) if isinstance(r, tuple) else np.asarray(r)))
 
 # --- full tracked step, per-frame ------------------------------------------
 tr = TsdfTracker(intr=intr, volume=cfg_c2f)
@@ -85,13 +94,12 @@ for i in range(N):
     t0 = time.perf_counter()
     tr.process(depths[i], seq.timestamp(i))  # materializes stats internally
     ts.append((time.perf_counter() - t0) * 1e3)
-res["tracked_step_ms"] = statistics.median(ts[3:])
+record("tracked_step_ms", statistics.median(ts[3:]))
 
 # final-pose drift vs GT (both relative to frame 0)
-T_gt0, T_gtN = gts[0][1], gts[N - 1][1]
-rel_gt = np.linalg.inv(T_gt0) @ T_gtN
+rel_gt = np.linalg.inv(gt_poses[0]) @ gt_poses[N - 1]
 drift = np.linalg.norm(tr.pose[:3, 3] - rel_gt[:3, 3]) * 1000
-res["final_drift_mm"] = float(drift)
+record("final_drift_mm", float(drift))
 
 # --- windowed step ---------------------------------------------------------
 tr2 = TsdfTracker(intr=intr, volume=cfg_c2f)
@@ -102,8 +110,8 @@ tr2.process_window(depths[1:9], [seq.timestamp(i) for i in range(1, 9)],
 t0 = time.perf_counter()
 tr2.process_window(depths[9:N], [seq.timestamp(i) for i in range(9, N)],
                    window=8)
-res["windowed_step_ms"] = (time.perf_counter() - t0) * 1e3 / (N - 9)
+record("windowed_step_ms", (time.perf_counter() - t0) * 1e3 / (N - 9))
 drift2 = np.linalg.norm(tr2.pose[:3, 3] - rel_gt[:3, 3]) * 1000
-res["windowed_drift_mm"] = float(drift2)
+record("windowed_drift_mm", float(drift2))
 
 print("TSDF_TPU_TIMING", json.dumps(res), flush=True)
