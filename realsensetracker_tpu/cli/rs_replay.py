@@ -358,6 +358,31 @@ def main(argv=None) -> int:
             }
             if server is not None:
                 server.update(png, status)
+                # Feed the /orbit 3-D view every few frames: subsampled
+                # world map when the method grows one (--map-capacity /
+                # tsdf), else the current frame unprojected at its
+                # tracked pose, plus the camera trail either way.
+                if n % 10 == 0:
+                    m = getattr(tracker, "world_map", None)
+                    if m is not None:
+                        pts = np.asarray(m.points)[np.asarray(m.mask)]
+                    else:
+                        from realsensetracker_tpu.geometry import camera as cam_mod
+
+                        d = np.asarray(depth, np.float32)
+                        local = np.asarray(
+                            cam_mod.unproject_depth(d, intr)
+                        ).reshape(-1, 3)[d.reshape(-1) > 0]
+                        pts = local @ pose_np[:3, :3].T + pose_np[:3, 3]
+                    if pts.shape[0] > 60000:
+                        sel = np.random.RandomState(0).choice(
+                            pts.shape[0], 60000, replace=False
+                        )
+                        pts = pts[sel]
+                    trail = np.stack(
+                        [np.asarray(p)[:3, 3] for p in tracker.trajectory.poses]
+                    ) if len(tracker.trajectory) else None
+                    server.update_cloud(pts.astype(np.float32), trajectory=trail)
             if args.live_latest:
                 live_mod.write_latest_png(args.live_latest, png)
         if args.render_dir and getattr(tracker, "world_map", None) is not None:

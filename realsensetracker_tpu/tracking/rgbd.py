@@ -66,6 +66,17 @@ class RgbdTracker:
     _index: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
+    def __post_init__(self):
+        # Resolution-aware schedule (see KeyframeTracker.__post_init__):
+        # build_rgbd_target fits internally, so WITHOUT this the stored
+        # cfg would disagree with the built level count at sub-VGA
+        # resolutions and rgbd_icp_sampled's level-count assert fires.
+        from realsensetracker_tpu.align import projective
+
+        self.cfg = projective.fit_levels(
+            self.cfg, int(self.intr.height), int(self.intr.width)
+        )
+
     def reset(self) -> None:
         self._prev_target = None
         self._pose = None

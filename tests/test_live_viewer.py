@@ -99,7 +99,7 @@ class TestLiveServer:
             status = json.loads(
                 urllib.request.urlopen(f"{base}/status", timeout=5).read()
             )
-            assert status == {"frame": 7}
+            assert status == {"frame": 7, "cloud_seq": 0}
             page = urllib.request.urlopen(f"{base}/", timeout=5).read()
             assert b"/frame.png" in page
         finally:
@@ -162,3 +162,59 @@ class TestViewerCliLoop:
         ])
         assert rc == 0
         assert os.path.exists(latest)
+
+
+class TestOrbitViewer:
+    """Interactive 3-D view (VERDICT r3 missing #2): /orbit page +
+    /cloud.bin binary snapshots (vis/live.py pack_cloud)."""
+
+    def test_pack_cloud_layout_roundtrip(self):
+        import struct
+
+        pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+        cols = np.asarray([[1.0, 0.0, 0.5]] * 4)
+        traj = np.asarray([[0, 0, 0], [1.0, 2.0, 3.0]], np.float32)
+        blob = live.pack_cloud(pts, cols, traj)
+        magic, n, has_c, t = struct.unpack_from("<4sIB3xI", blob, 0)
+        assert (magic, n, has_c, t) == (b"RSC1", 4, 1, 2)
+        off = 16
+        got_pts = np.frombuffer(blob, np.float32, 12, off).reshape(4, 3)
+        np.testing.assert_array_equal(got_pts, pts)
+        off += 48
+        got_c = np.frombuffer(blob, np.uint8, 12, off).reshape(4, 3)
+        np.testing.assert_array_equal(got_c[0], [255, 0, 127])
+        off += 12
+        got_t = np.frombuffer(blob, np.float32, 6, off).reshape(2, 3)
+        np.testing.assert_array_equal(got_t, traj)
+
+    def test_pack_cloud_color_count_mismatch(self):
+        with pytest.raises(ValueError, match="colors"):
+            live.pack_cloud(np.zeros((4, 3)), np.zeros((3, 3)))
+
+    def test_server_cloud_endpoints(self):
+        server = live.LiveServer(port=0)
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            page = urllib.request.urlopen(f"{base}/orbit", timeout=5).read()
+            assert b"webgl" in page and b"cloud.bin" in page
+            st0 = json.loads(
+                urllib.request.urlopen(f"{base}/status", timeout=5).read()
+            )
+            assert st0["cloud_seq"] == 0
+            pts = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+            server.update_cloud(pts, trajectory=np.zeros((3, 3)))
+            blob = urllib.request.urlopen(
+                f"{base}/cloud.bin", timeout=5).read()
+            assert blob[:4] == b"RSC1"
+            assert len(blob) == 16 + 100 * 12 + 3 * 12
+            st = json.loads(
+                urllib.request.urlopen(f"{base}/status", timeout=5).read()
+            )
+            assert st["cloud_seq"] == 1
+            # Pre-packed blobs pass through byte-identical.
+            server.update_cloud(live.pack_cloud(pts[:5]))
+            blob2 = urllib.request.urlopen(
+                f"{base}/cloud.bin", timeout=5).read()
+            assert blob2 == live.pack_cloud(pts[:5])
+        finally:
+            server.close()
