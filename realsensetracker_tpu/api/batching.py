@@ -93,6 +93,13 @@ class BatchingConfig:
     # (mapping/submaps.py semantics minus the model-render handover: the
     # reseed restarts from the raw frame, one frame of open-loop coast
     # per handover). 0 = fixed single volume per session.
+    depth_scale: float = 1e-3  # meters per raw unit for INTEGER depth
+    # frames (RealSense Z16 default 1 mm; TUM PNGs 1/5000). Sessions may
+    # post raw uint16 frames at HALF the f32 upload bytes: when every
+    # request in a round is integer, the round stages uint16 and the
+    # compiled step converts on device (ops/pyramid.depth_to_meters);
+    # mixed rounds convert the integer frames on host. Float frames are
+    # always taken as meters.
 
 
 class SessionDesyncError(RuntimeError):
@@ -229,7 +236,7 @@ class BatchedExecutor:
               gen: int | None = None) -> SlotResult:
         """Blocking: enqueue one frame for `slot`, wait for its batch."""
         return self.track_window(
-            slot, np.asarray(depth, np.float32)[None], seed,
+            slot, np.asarray(depth)[None], seed,
             grays=None if gray is None
             else np.asarray(gray, np.float32)[None],
             gen=gen,
@@ -244,7 +251,12 @@ class BatchedExecutor:
         against a stale facade writing into a reacquired slot."""
         intr = self.config.intrinsics
         shape = (int(intr.height), int(intr.width))
-        depths = np.asarray(depths, np.float32)
+        depths = np.asarray(depths)
+        # Integer frames stay RAW (uint16: half the f32 upload bytes;
+        # meters = raw * config.depth_scale on device); floats are meters.
+        depths = (depths.astype(np.uint16)
+                  if np.issubdtype(depths.dtype, np.integer)
+                  else depths.astype(np.float32))
         if depths.ndim != 3 or depths.shape[1:] != shape:
             raise ValueError(
                 f"frame batch shape {depths.shape} != (n,) + service shape "
@@ -394,15 +406,32 @@ class BatchedExecutor:
                     self._state = streams.shard_streams(
                         self._state, cfg.mesh, cfg.data_axis
                     )
+            # A round where EVERY request posted raw integer frames
+            # stages uint16 (half the upload; the compiled step converts
+            # on device). Mixed rounds fall back to f32, converting the
+            # integer requests on host. Each dtype is its own compiled
+            # program (compiled once, gotcha 8).
+            all_int = all(
+                np.issubdtype(req.depths.dtype, np.integer)
+                for req in batch.values()
+            )
+            ddtype = np.uint16 if all_int else np.float32
+            depth_scale = cfg.depth_scale if all_int else 1.0
+
+            def as_staged(d):
+                if all_int or not np.issubdtype(d.dtype, np.integer):
+                    return d
+                return d.astype(np.float32) * cfg.depth_scale
+
             if windowed:
                 wlen = cfg.window
-                depths = np.zeros((s, wlen, h, w), np.float32)
+                depths = np.zeros((s, wlen, h, w), ddtype)
                 grays = np.zeros((s, wlen, h, w), np.float32)
                 active = np.zeros((s, wlen), bool)
                 seed = np.zeros((s, wlen), bool)
                 for slot, req in batch.items():
                     n = len(req.depths)
-                    depths[slot, :n] = req.depths
+                    depths[slot, :n] = as_staged(req.depths)
                     if req.grays is not None:
                         grays[slot, :n] = req.grays
                     active[slot, :n] = True
@@ -412,12 +441,12 @@ class BatchedExecutor:
                         if cfg.tsdf
                         else streams.step_streams_masked_window)
             else:
-                depths = np.zeros((s, h, w), np.float32)
+                depths = np.zeros((s, h, w), ddtype)
                 grays = np.zeros((s, h, w), np.float32)
                 active = np.zeros((s,), bool)
                 seed = np.zeros((s,), bool)
                 for slot, req in batch.items():
-                    depths[slot] = req.depths[0]
+                    depths[slot] = as_staged(req.depths[0])
                     if req.grays is not None:
                         grays[slot] = req.grays[0]
                     active[slot] = True
@@ -452,6 +481,7 @@ class BatchedExecutor:
                 cfg.intrinsics,
                 *tail,
                 min_inlier_fraction=cfg.min_inlier_fraction,
+                depth_scale=depth_scale,
             )
             rows = np.asarray(stats)  # the batch's ONE host transfer
         except BaseException as e:  # deliver, don't kill the dispatcher
@@ -507,6 +537,10 @@ class BatchedSessionTracker:
     """
 
     supports_concurrent_process = True
+    # Raw integer (u16) frames pass through to the executor, which stages
+    # them at half the f32 bytes and converts on device
+    # (BatchingConfig.depth_scale).
+    accepts_raw_depth = True
 
     def __init__(self, executor: BatchedExecutor, slot: int, gen: int):
         self._ex = executor
@@ -576,7 +610,9 @@ class BatchedSessionTracker:
             chunk = max(1, min(window, self._ex.config.window))
             out: list[FrameResult] = []
             for i in range(0, len(depths), chunk):
-                part = np.asarray(depths[i : i + chunk], np.float32)
+                part = np.asarray(depths[i : i + chunk])
+                if not np.issubdtype(part.dtype, np.integer):
+                    part = part.astype(np.float32)  # raw u16 stays raw
                 gpart = (np.stack(grays[i : i + chunk])
                          if grays is not None and self._ex.config.rgbd
                          else None)

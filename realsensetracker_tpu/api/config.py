@@ -73,6 +73,10 @@ class TrackerConfig:
     min_inlier_fraction: float = 0.2
     map_capacity: int = 0
     map_voxel_size: float = 0.05  # rs_replay_app.cpp:178
+    depth_scale: float = 1e-3  # meters per raw unit for INTEGER depth
+    # frames (RealSense Z16 default 1 mm; TUM 16-bit PNGs use 1/5000).
+    # Integer frames are accepted by every method; method="keyframe"
+    # uploads them raw (half the f32 bytes) and converts on device.
 
 
 @dataclass

@@ -119,10 +119,17 @@ class TrackingService:
     """HTTP frame-in/pose-out tracking service around a tracker factory."""
 
     def __init__(self, make_tracker, host: str = "127.0.0.1", port: int = 0,
-                 max_frames: int | None = None, extra_status=None):
+                 max_frames: int | None = None, extra_status=None,
+                 depth_scale: float = 1e-3):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self._make_tracker = make_tracker
+        # Meters per raw unit for INTEGER depth bodies. Clients may POST
+        # raw uint16 (half the f32 bytes); trackers that advertise
+        # accepts_raw_depth get them verbatim (and convert on device --
+        # api.Tracker, BatchedSessionTracker), others get host-converted
+        # meters.
+        self._depth_scale = depth_scale
         self._extra_status = extra_status  # callable -> dict, merged into
         # /status under "batching" (see api/batching.py BatchedExecutor.stats)
         self._lock = threading.Lock()  # serializes device dispatches
@@ -218,7 +225,8 @@ class TrackingService:
                         kwargs = {}
                         if color is not None:
                             kwargs[_color_kwarg(tracker)] = color
-                        return tracker.process(depth, ts, **kwargs), 1
+                        d = svc._ingest_depth(depth, tracker)
+                        return tracker.process(d, ts, **kwargs), 1
 
                     res, ms, frames, total = svc._run_tracked(sess, call)
                     self._send_json(_result_record(res, frames, ms))
@@ -251,8 +259,8 @@ class TrackingService:
                         base = sess.frames
 
                     def call(tracker):
-                        rw = _process_window(tracker, depths, ts, grays,
-                                             window)
+                        d = svc._ingest_depth(depths, tracker)
+                        rw = _process_window(tracker, d, ts, grays, window)
                         return rw, len(rw[0])
 
                     (results, windowed), ms, _, total = svc._run_tracked(
@@ -297,6 +305,18 @@ class TrackingService:
         if name not in self._sessions:
             self._sessions[name] = _Session(self._make_tracker())
         return self._sessions[name]
+
+    def _ingest_depth(self, depth, tracker):
+        """Raw integer depth bodies pass through to trackers that accept
+        them (accepts_raw_depth: api.Tracker via config.depth_scale,
+        BatchedSessionTracker via BatchingConfig.depth_scale -- both
+        convert ON DEVICE at half the f32 upload bytes); anything else
+        gets host-converted meters at this service's depth_scale."""
+        if not np.issubdtype(np.asarray(depth).dtype, np.integer):
+            return depth
+        if getattr(tracker, "accepts_raw_depth", False):
+            return depth
+        return np.asarray(depth).astype(np.float32) * self._depth_scale
 
     def _run_tracked(self, sess: _Session, call):
         """Run `call(tracker) -> (out, n_frames)` with the dispatch-lock
@@ -397,20 +417,30 @@ class TrackingService:
 
 
 def _decode_frame(body: bytes):
-    """Request body -> (depth (H, W) f32, color | None).
+    """Request body -> (depth (H, W), color | None).
 
     .npy = a single depth array; .npz (zip magic) = 'depth' [+ 'color'].
+    Depth keeps an INTEGER dtype (raw uint16 counts -- half the f32
+    bytes; scaled by the service/tracker depth_scale); floats coerce to
+    f32 meters.
     """
     buf = io.BytesIO(body)
     if body[:2] == b"PK":
         with np.load(buf) as z:
             if "depth" not in z:
                 raise ValueError(".npz body needs a 'depth' array")
-            depth = np.asarray(z["depth"], np.float32)
+            depth = _as_depth(z["depth"])
             color = np.asarray(z["color"]) if "color" in z else None
         return depth, color
     arr = np.load(buf, allow_pickle=False)
-    return np.asarray(arr, np.float32), None
+    return _as_depth(arr), None
+
+
+def _as_depth(arr) -> np.ndarray:
+    a = np.asarray(arr)
+    if np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.uint16)
+    return a.astype(np.float32)
 
 
 def _decode_window(body: bytes):
@@ -424,7 +454,7 @@ def _decode_window(body: bytes):
     with np.load(io.BytesIO(body)) as z:
         if "depths" not in z:
             raise ValueError(".npz body needs a 'depths' (B, H, W) array")
-        depths = np.asarray(z["depths"], np.float32)
+        depths = _as_depth(z["depths"])
         grays = np.asarray(z["grays"]) if "grays" in z else None
         ts = np.asarray(z["ts"], np.float64) if "ts" in z else None
     if depths.ndim != 3 or len(depths) == 0:
@@ -481,10 +511,9 @@ def post_frame(base_url: str, depth, ts: float | None = None,
     """Client: POST one frame to a TrackingService; returns the JSON record."""
     buf = io.BytesIO()
     if color is not None:
-        np.savez(buf, depth=np.asarray(depth, np.float32),
-                 color=np.asarray(color))
+        np.savez(buf, depth=_as_depth(depth), color=np.asarray(color))
     else:
-        np.save(buf, np.asarray(depth, np.float32))
+        np.save(buf, _as_depth(depth))  # raw u16 stays raw (half bytes)
     url = base_url.rstrip("/") + "/track"
     params = []
     if ts is not None:
@@ -507,7 +536,7 @@ def post_window(base_url: str, depths, ts=None, grays=None,
     """Client: POST a frame batch to /track_window; returns the JSON record
     ({frames: [...], ms, windowed}). One HTTP round trip — and one device
     dispatch per `window` frames — instead of one of each per frame."""
-    arrays = {"depths": np.asarray(depths, np.float32)}
+    arrays = {"depths": _as_depth(depths)}
     if grays is not None:
         arrays["grays"] = np.asarray(grays)  # dtype-preserving (uint8 stays)
     if ts is not None:

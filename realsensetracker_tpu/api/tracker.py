@@ -27,6 +27,10 @@ from realsensetracker_tpu.tracking.trajectory import Trajectory
 class Tracker:
     """Streaming RGB-D tracker with selectable registration backend."""
 
+    # Integer (raw u16) depth frames are accepted by every method: scaled
+    # by config.depth_scale on device (keyframe) or host (_ingest).
+    accepts_raw_depth = True
+
     def __init__(self, config: TrackerConfig | None = None):
         self.config = config or TrackerConfig()
         method = self.config.method
@@ -43,6 +47,7 @@ class Tracker:
                 self.config.intrinsics,
                 self.config.projective,
                 min_inlier_fraction=self.config.min_inlier_fraction,
+                depth_scale=self.config.depth_scale,
             )
         elif method == "model":
             from realsensetracker_tpu.tracking.frame_to_model import FrameToModelTracker
@@ -101,13 +106,27 @@ class Tracker:
         else:
             raise ValueError(f"unknown tracking method: {method}")
 
+    def _ingest(self, depth):
+        """Integer (u16) depth frames -> f32 meters on host, for methods
+        without a device-side raw path (method='keyframe' uploads raw
+        uint16 and converts on device -- see tracking/keyframe.py)."""
+        if self.config.method == "keyframe":
+            return depth
+        a = np.asarray(depth)
+        if np.issubdtype(a.dtype, np.integer):
+            return a.astype(np.float32) * self.config.depth_scale
+        return depth
+
     def process(self, depth, timestamp: float | None = None, color=None):
         """One frame in -> FrameResult-like record out.
 
-        `color` feeds the photometric term of method="rgbd": an (H, W) gray
-        image in [0, 1], or an (H, W, 3) image ([0,1] float or uint8) reduced
-        to BT.601 luma. Other methods ignore it.
+        `depth`: (H, W) float meters, or integer raw units scaled by
+        config.depth_scale. `color` feeds the photometric term of
+        method="rgbd": an (H, W) gray image in [0, 1], or an (H, W, 3)
+        image ([0,1] float or uint8) reduced to BT.601 luma. Other
+        methods ignore it.
         """
+        depth = self._ingest(depth)
         if self.config.method == "rgbd":
             if color is None:
                 raise ValueError("method='rgbd' requires a color/gray frame")
@@ -127,7 +146,7 @@ class Tracker:
         carries the per-frame RGB color images."""
         if self.config.method == "tsdf":
             return self._impl.process_window(
-                depths, timestamps, window=window,
+                [self._ingest(d) for d in depths], timestamps, window=window,
                 colors=grays if self.config.tsdf_color else None,
             )
         if self.config.method != "keyframe":
@@ -140,9 +159,13 @@ class Tracker:
         results = []
         i = 0
         while i < len(depths):
+            # Non-truncating scan: keyframe events promote in-scan, so a
+            # window never re-submits its tail (nothing runs between
+            # frames at this level -- the SLAM layer, which must act at
+            # events, drives the truncating mode itself).
             consumed = self._impl.process_window(
                 depths[i : i + window], timestamps[i : i + window],
-                pad_to=window,
+                pad_to=window, truncate_at_events=False,
             )
             results.extend(consumed)
             i += len(consumed)

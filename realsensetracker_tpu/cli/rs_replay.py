@@ -143,6 +143,7 @@ def main(argv=None) -> int:
     wants_color = args.method == "rgbd" or args.slam_rgb or args.tsdf_color
 
     gt = None
+    depth_scale = None  # set when frames are raw integer counts
     if args.tum:
         from realsensetracker_tpu.data import tum
 
@@ -178,8 +179,19 @@ def main(argv=None) -> int:
                                                     stop=_stop(args))
                 )
         else:
+            # Depth-only non-SLAM replay streams RAW uint16 frames: half
+            # the host->device upload bytes (the upload rides the timed
+            # dispatch on windowed paths -- BENCHMARKS.md "windowed
+            # paradox"); the tracker converts to meters on device
+            # (depth_scale below). SLAM keeps f32 meters: its keyframe
+            # database / relocalization / dense re-fusion consume depth
+            # on host.
+            raw_depth = args.method != "slam"
             frames = stream_mod.stream_tum(seq, stop=_stop(args),
-                                           start=args.start_frame)
+                                           start=args.start_frame,
+                                           raw=raw_depth)
+            if raw_depth:
+                depth_scale = 1.0 / tum.DEPTH_SCALE
         if (args.ate or args.rpe > 0) and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
@@ -236,6 +248,8 @@ def main(argv=None) -> int:
 
             tsdf_kw["tsdf"] = sized_config(args.tsdf_resolution,
                                            args.tsdf_voxel)
+        if depth_scale is not None:
+            tsdf_kw["depth_scale"] = depth_scale
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
                             map_capacity=args.map_capacity,
                             tsdf_color=args.tsdf_color,
@@ -320,6 +334,16 @@ def main(argv=None) -> int:
         if buf:
             yield from flush()
 
+    import numpy as _np
+
+    def _meters(d):
+        """Raw integer frames -> f32 meters for host-side consumers
+        (viewer PNG, orbit unprojection); float frames pass through."""
+        a = _np.asarray(d)
+        if _np.issubdtype(a.dtype, _np.integer):
+            return a.astype(_np.float32) * (depth_scale or 1.0)
+        return a
+
     n = 0
     t_start = time.perf_counter()
     for ts, depth, res, frame_ms in (
@@ -347,7 +371,7 @@ def main(argv=None) -> int:
 
             from realsensetracker_tpu.vis import live as live_mod
 
-            png = live_mod.encode_png(live_mod.depth_to_rgb(np.asarray(depth)))
+            png = live_mod.encode_png(live_mod.depth_to_rgb(_meters(depth)))
             status = {
                 "frame": res.frame_index,
                 "timestamp": float(ts),
@@ -369,7 +393,7 @@ def main(argv=None) -> int:
                     else:
                         from realsensetracker_tpu.geometry import camera as cam_mod
 
-                        d = np.asarray(depth, np.float32)
+                        d = _meters(depth).astype(np.float32)
                         local = np.asarray(
                             cam_mod.unproject_depth(d, intr)
                         ).reshape(-1, 3)[d.reshape(-1) > 0]

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the --batched slot axis over this many "
                         "devices (0 = single device); capacity must be a "
                         "multiple of it")
+    p.add_argument("--depth-scale", type=float, default=1e-3,
+                   help="meters per raw unit for INTEGER depth frames "
+                        "(clients may POST raw uint16 at half the f32 "
+                        "bytes; RealSense Z16 default 1 mm, TUM PNGs "
+                        "1/5000=2e-4). Float frames are always meters.")
     p.add_argument("--batch-window", type=int, default=1,
                    help="max frames per request under --batched: "
                         "/track_window batches scan up to this many frames "
@@ -116,6 +121,7 @@ def main(argv=None) -> int:
 
         tsdf_kw = {"tsdf": tsdf_cfg} if tsdf_cfg is not None else {}
         return Tracker(TrackerConfig(intrinsics=intr, method=args.method,
+                                     depth_scale=args.depth_scale,
                                      **tsdf_kw))
 
     executor = None
@@ -141,6 +147,7 @@ def main(argv=None) -> int:
             tsdf=args.method == "tsdf",
             tsdf_cfg=tsdf_cfg,
             tsdf_submap_radius=args.tsdf_submap_radius,
+            depth_scale=args.depth_scale,
         ))
         make_tracker = executor.make_session_tracker
         extra_status = executor.stats
@@ -148,6 +155,7 @@ def main(argv=None) -> int:
     svc = TrackingService(
         make_tracker, host=args.host, port=args.port,
         max_frames=args.max_frames or None, extra_status=extra_status,
+        depth_scale=args.depth_scale,
     )
     if args.batched:
         mode = ("batched-rgbd" if args.method == "rgbd"

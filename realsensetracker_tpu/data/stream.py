@@ -157,6 +157,9 @@ def stream_clip(clip, prefetch: int = 2) -> FrameStream:
 
 
 def stream_tum(seq, prefetch: int = 2, stop: int | None = None,
-               start: int = 0) -> FrameStream:
-    """Stream a TumSequence: PNG decode happens on the producer thread."""
-    return FrameStream(seq.frames(start=start, stop=stop), prefetch=prefetch)
+               start: int = 0, raw: bool = False) -> FrameStream:
+    """Stream a TumSequence: PNG decode happens on the producer thread.
+    ``raw=True`` yields uint16 counts (half the tracker upload bytes;
+    pair with depth_scale=1/tum.DEPTH_SCALE)."""
+    return FrameStream(seq.frames(start=start, stop=stop, raw=raw),
+                       prefetch=prefetch)

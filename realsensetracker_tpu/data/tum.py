@@ -70,6 +70,16 @@ class TumSequence:
         del ts
         return load_depth_png(os.path.join(self.root, rel))
 
+    def depth_raw(self, i: int) -> np.ndarray:
+        """Depth frame i as RAW uint16 (meters = value / DEPTH_SCALE).
+
+        Raw frames feed trackers with depth_scale=1/DEPTH_SCALE at HALF
+        the host->device upload bytes of f32 -- the upload rides the
+        timed dispatch on windowed paths (BENCHMARKS.md)."""
+        ts, rel = self.depth_index[i]
+        del ts
+        return load_depth_png_raw(os.path.join(self.root, rel))
+
     def rgb(self, i: int) -> np.ndarray:
         """RGB frame i (by rgb.txt index) as (H, W, 3) uint8."""
         ts, rel = self.rgb_index[i]
@@ -102,8 +112,10 @@ class TumSequence:
                 best, best_dt = k, abs(stamps[k] - ts)
         return best
 
-    def load_depth_batch(self, indices) -> np.ndarray:
-        """Decode many depth frames at once -> (N, H, W) float32 meters.
+    def load_depth_batch(self, indices, raw: bool = False) -> np.ndarray:
+        """Decode many depth frames at once -> (N, H, W) float32 meters,
+        or raw uint16 counts with ``raw=True`` (feeds trackers at half
+        the upload bytes -- see depth_raw).
 
         Uses the native thread-pooled batch decoder
         (native/src/png16.cpp png16_decode_batch) so ingest scales across
@@ -111,7 +123,7 @@ class TumSequence:
         """
         indices = list(indices)
         if not indices:
-            return np.zeros((0, 0, 0), np.float32)
+            return np.zeros((0, 0, 0), np.uint16 if raw else np.float32)
         try:
             import ctypes
 
@@ -127,22 +139,27 @@ class TumSequence:
             if rc != 0:
                 raise ValueError(paths[0])
             w, h = int(dims[0]), int(dims[1])
-            return png_io.read_png16_batch(paths, h, w, scale=DEPTH_SCALE)
+            return png_io.read_png16_batch(
+                paths, h, w, scale=None if raw else DEPTH_SCALE
+            )
         except Exception:
-            return np.stack([self.depth(i) for i in indices])
+            get = self.depth_raw if raw else self.depth
+            return np.stack([get(i) for i in indices])
 
     def frames(self, start: int = 0, stop: int | None = None,
-               batch_decode: int = 8):
+               batch_decode: int = 8, raw: bool = False):
         """Yield (timestamp, depth) decoding `batch_decode` frames ahead
-        through the native thread pool (1 disables batching)."""
+        through the native thread pool (1 disables batching). ``raw=True``
+        yields uint16 counts instead of f32 meters (see depth_raw)."""
         stop = len(self) if stop is None else min(stop, len(self))
         if batch_decode <= 1:
+            get = self.depth_raw if raw else self.depth
             for i in range(start, stop):
-                yield self.timestamp(i), self.depth(i)
+                yield self.timestamp(i), get(i)
             return
         for b in range(start, stop, batch_decode):
             idx = range(b, min(b + batch_decode, stop))
-            block = self.load_depth_batch(idx)
+            block = self.load_depth_batch(idx, raw=raw)
             for off, i in enumerate(idx):
                 yield self.timestamp(i), block[off]
 
@@ -179,18 +196,22 @@ class TumSequence:
         return traj
 
 
-def load_depth_png(path: str) -> np.ndarray:
-    """16-bit depth PNG -> float32 meters. Uses the native C++ decoder when
-    built (realsensetracker_tpu.native), else PIL."""
+def load_depth_png_raw(path: str) -> np.ndarray:
+    """16-bit depth PNG -> raw uint16 counts. Uses the native C++ decoder
+    when built (realsensetracker_tpu.native), else PIL."""
     try:
         from realsensetracker_tpu.native import png_io
 
-        raw = png_io.read_png16(path)
+        return png_io.read_png16(path)
     except Exception:
         from PIL import Image
 
-        raw = np.asarray(Image.open(path), dtype=np.uint16)
-    return raw.astype(np.float32) / DEPTH_SCALE
+        return np.asarray(Image.open(path), dtype=np.uint16)
+
+
+def load_depth_png(path: str) -> np.ndarray:
+    """16-bit depth PNG -> float32 meters."""
+    return load_depth_png_raw(path).astype(np.float32) / DEPTH_SCALE
 
 
 def load_rgb_png(path: str) -> np.ndarray:

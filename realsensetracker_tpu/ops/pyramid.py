@@ -70,6 +70,21 @@ def _use_pallas_kernel(use_kernel: str | bool) -> bool:
     return bool(use_kernel)
 
 
+def depth_to_meters(depth, scale=1.0):
+    """Convert a raw depth frame (any leading batch dims) to f32 meters
+    ON DEVICE.
+
+    Integer frames (the native RealSense Z16 / TUM 16-bit PNG format)
+    upload as uint16 -- HALF the host->device bytes of f32; windowed and
+    multi-stream paths pay that upload inside the timed dispatch
+    (BENCHMARKS.md "windowed paradox") -- and scale inside the compiled
+    program, where XLA fuses the convert into the first pyramid level
+    for free. Float frames are already meters; 0 stays 0 (invalid)."""
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        return depth.astype(jnp.float32) * jnp.float32(scale)
+    return depth.astype(jnp.float32)
+
+
 def build_pyramid(
     depth: jnp.ndarray,
     intr: camera.Intrinsics,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from realsensetracker_tpu.align import projective, rgbd
 from realsensetracker_tpu.geometry import camera, se3
-from realsensetracker_tpu.ops.pyramid import build_pyramid
+from realsensetracker_tpu.ops.pyramid import build_pyramid, depth_to_meters
 
 
 class StreamState(NamedTuple):
@@ -46,13 +46,16 @@ def _build_levels(depths, intr, cfg):
     return batched, intrs
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "num_streams"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "num_streams", "depth_scale"))
 def init_streams(
     first_depths: jnp.ndarray,  # (S, H, W)
     intr: camera.Intrinsics,
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     num_streams: int | None = None,
+    depth_scale: float = 1.0,  # meters per unit for INTEGER frames
+    # (raw u16 uploads at half the bytes; ops/pyramid.depth_to_meters)
 ) -> StreamState:
+    first_depths = depth_to_meters(first_depths, depth_scale)
     s = first_depths.shape[0] if num_streams is None else num_streams
     levels, _ = _build_levels(first_depths, intr, cfg)
     return StreamState(
@@ -113,25 +116,30 @@ def _step_impl(state, depths, intr, cfg, min_inlier_fraction):
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams(
     state: StreamState,
     depths: jnp.ndarray,  # (S, H, W) one new frame per stream
     intr: camera.Intrinsics,
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[StreamState, StreamStepResult]:
     """Advance every stream by one frame in a single compiled step."""
+    depths = depth_to_meters(depths, depth_scale)
     return _step_impl(state, depths, intr, cfg, min_inlier_fraction)
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams_window(
     state: StreamState,
     depths: jnp.ndarray,  # (S, W, H, Wd): W new frames per stream
     intr: camera.Intrinsics,
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[StreamState, StreamStepResult]:
     """Advance every stream by W frames in ONE compiled dispatch.
 
@@ -142,6 +150,8 @@ def step_streams_window(
     state equals W sequential step_streams calls exactly (parity-tested).
     Sharding over the mesh data axis passes through the scan unchanged.
     """
+    depths = depth_to_meters(depths, depth_scale)
+
     def body(st, frame_batch):  # (S, H, Wd) frames, one per stream
         return _step_impl(st, frame_batch, intr, cfg, min_inlier_fraction)
 
@@ -184,7 +194,8 @@ def blank_streams(
 MASKED_STATS_WIDTH = 35
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams_masked(
     state: StreamState,
     depths: jnp.ndarray,  # (S, H, W) one new frame per slot
@@ -193,6 +204,7 @@ def step_streams_masked(
     intr: camera.Intrinsics,
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[StreamState, jnp.ndarray]:
     """Advance only the `active` slots; `seed` slots take the new frame as
     their reference at identity pose (the per-stream init branch,
@@ -205,8 +217,8 @@ def step_streams_masked(
     layout. Rows of inactive slots report their held pose with
     success=False.
     """
-    return _masked_impl(state, depths, active, seed, intr, cfg,
-                        min_inlier_fraction)
+    return _masked_impl(state, depth_to_meters(depths, depth_scale),
+                        active, seed, intr, cfg, min_inlier_fraction)
 
 
 def _masked_finish(state, transform, ok, active, seed, rmse, inlier,
@@ -275,7 +287,8 @@ def _masked_impl(state, depths, active, seed, intr, cfg,
     return StreamState(poses, ref_levels, initialized, count), stats
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams_masked_window(
     state: StreamState,
     depths: jnp.ndarray,  # (S, W, H, Wd): up to W new frames per slot
@@ -284,6 +297,7 @@ def step_streams_masked_window(
     intr: camera.Intrinsics,
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[StreamState, jnp.ndarray]:
     """Masked multi-stream step over a W-frame window in ONE dispatch.
 
@@ -298,6 +312,8 @@ def step_streams_masked_window(
     Returns (new_state, stats (S, W, 35)) — per-frame rows in window
     order, identical to W sequential step_streams_masked calls.
     """
+    depths = depth_to_meters(depths, depth_scale)
+
     def body(st, xs):
         d, a, sd = xs
         return _masked_impl(st, d, a, sd, intr, cfg, min_inlier_fraction)
@@ -361,7 +377,8 @@ def blank_streams_rgbd(
 MASKED_RGBD_STATS_WIDTH = 36
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams_masked_rgbd(
     state: RgbdStreamState,
     depths: jnp.ndarray,  # (S, H, W)
@@ -371,6 +388,7 @@ def step_streams_masked_rgbd(
     intr: camera.Intrinsics,
     cfg: rgbd.RgbdIcpConfig = rgbd.RgbdIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[RgbdStreamState, jnp.ndarray]:
     """RGB-D variant of `step_streams_masked`: each active slot registers
     its new frame against its reference with the JOINT point-to-plane +
@@ -379,7 +397,8 @@ def step_streams_masked_rgbd(
 
     Returns (new_state, stats (S, 36)); see MASKED_RGBD_STATS_WIDTH.
     """
-    return _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
+    return _masked_rgbd_impl(state, depth_to_meters(depths, depth_scale),
+                             grays, active, seed, intr, cfg,
                              min_inlier_fraction)
 
 
@@ -409,7 +428,8 @@ def _masked_rgbd_impl(state, depths, grays, active, seed, intr, cfg,
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "min_inlier_fraction",
+                                   "depth_scale"))
 def step_streams_masked_rgbd_window(
     state: RgbdStreamState,
     depths: jnp.ndarray,  # (S, W, H, Wd)
@@ -419,9 +439,12 @@ def step_streams_masked_rgbd_window(
     intr: camera.Intrinsics,
     cfg: rgbd.RgbdIcpConfig = rgbd.RgbdIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[RgbdStreamState, jnp.ndarray]:
     """RGB-D variant of `step_streams_masked_window` (one scanned dispatch
     for S slots x W frames). Returns (new_state, stats (S, W, 36))."""
+    depths = depth_to_meters(depths, depth_scale)
+
     def body(st, xs):
         d, g, a, sd = xs
         return _masked_rgbd_impl(st, d, g, a, sd, intr, cfg,
@@ -464,16 +487,18 @@ class TsdfStreamState(NamedTuple):
     frame_count: jnp.ndarray  # (S,) int32
 
 
-@partial(jax.jit, static_argnames=("intr", "vol_cfg"))
+@partial(jax.jit, static_argnames=("intr", "vol_cfg", "depth_scale"))
 def init_tsdf_streams(
     first_depths: jnp.ndarray,  # (S, H, W)
     intr: camera.Intrinsics,
     vol_cfg=None,
+    depth_scale: float = 1.0,
 ):
     """Seed S dense streams: each slot's volume integrates its first
     frame at identity."""
     from realsensetracker_tpu.mapping import tsdf as tsdf_mod
 
+    first_depths = depth_to_meters(first_depths, depth_scale)
     vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
 
     def seed(d):
@@ -516,7 +541,7 @@ def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
 
 
 @partial(jax.jit, static_argnames=(
-    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "depth_scale"))
 def step_tsdf_streams(
     state: TsdfStreamState,
     depths: jnp.ndarray,  # (S, H, W) one new frame per stream
@@ -524,6 +549,7 @@ def step_tsdf_streams(
     vol_cfg=None,
     icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[TsdfStreamState, StreamStepResult]:
     """Advance S dense frame-to-model trackers one frame in ONE compiled
     step (vmapped raycast -> register -> gated integrate; under vmap the
@@ -534,12 +560,13 @@ def step_tsdf_streams(
 
     vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
     return _tsdf_streams_impl(
-        state, depths, intr, vol_cfg, icp_cfg, min_inlier_fraction
+        state, depth_to_meters(depths, depth_scale), intr, vol_cfg,
+        icp_cfg, min_inlier_fraction,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "depth_scale"))
 def step_tsdf_streams_window(
     state: TsdfStreamState,
     depths: jnp.ndarray,  # (S, W, H, Wd): W new frames per stream
@@ -547,12 +574,14 @@ def step_tsdf_streams_window(
     vol_cfg=None,
     icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[TsdfStreamState, StreamStepResult]:
     """Advance S dense streams by W frames in ONE dispatch (lax.scan of
     step_tsdf_streams over the window axis; S volumes ride the carry)."""
     from realsensetracker_tpu.mapping import tsdf as tsdf_mod
 
     vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+    depths = depth_to_meters(depths, depth_scale)
 
     def body(st, frame_batch):
         return _tsdf_streams_impl(
@@ -631,7 +660,7 @@ def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
 
 
 @partial(jax.jit, static_argnames=(
-    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "depth_scale"))
 def step_tsdf_streams_masked(
     state: TsdfStreamState,
     depths: jnp.ndarray,  # (S, H, W) one new frame per slot
@@ -641,6 +670,7 @@ def step_tsdf_streams_masked(
     vol_cfg=None,
     icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[TsdfStreamState, jnp.ndarray]:
     """Masked dense (KinectFusion) multi-stream step: active slots
     raycast their own volume, register, and integrate at the new pose;
@@ -651,13 +681,13 @@ def step_tsdf_streams_masked(
 
     vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
     return _tsdf_masked_impl(
-        state, depths, active, seed, intr, vol_cfg, icp_cfg,
-        min_inlier_fraction,
+        state, depth_to_meters(depths, depth_scale), active, seed, intr,
+        vol_cfg, icp_cfg, min_inlier_fraction,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction"))
+    "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "depth_scale"))
 def step_tsdf_streams_masked_window(
     state: TsdfStreamState,
     depths: jnp.ndarray,  # (S, W, H, Wd)
@@ -667,6 +697,7 @@ def step_tsdf_streams_masked_window(
     vol_cfg=None,
     icp_cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig(),
     min_inlier_fraction: float = 0.2,
+    depth_scale: float = 1.0,
 ) -> tuple[TsdfStreamState, jnp.ndarray]:
     """Masked dense multi-stream step over a W-frame window in ONE
     dispatch (lax.scan; S volumes ride the carry). Returns
@@ -674,6 +705,7 @@ def step_tsdf_streams_masked_window(
     from realsensetracker_tpu.mapping import tsdf as tsdf_mod
 
     vol_cfg = vol_cfg or tsdf_mod.TsdfConfig()
+    depths = depth_to_meters(depths, depth_scale)
 
     def body(st, xs):
         d, a, sd = xs

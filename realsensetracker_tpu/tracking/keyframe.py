@@ -30,6 +30,7 @@ import numpy as np
 
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.geometry import camera, se3
+from realsensetracker_tpu.ops.pyramid import depth_to_meters as _depth_meters
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 
@@ -42,8 +43,9 @@ class KeyframeResult(NamedTuple):
     frame_index: int
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg"))
-def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg):
+@partial(jax.jit, static_argnames=("intr", "cfg", "depth_scale"))
+def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg,
+                      depth_scale=1.0):
     """One whole tracked frame as a single XLA program.
 
     Builds the frame pyramid, warm-starts from the last pose relative to
@@ -54,7 +56,8 @@ def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg):
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     levels, intrs = build_pyramid(
-        depth, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth
+        _depth_meters(depth, depth_scale), intr, len(cfg.iters),
+        cfg.min_depth, cfg.max_depth,
     )
     init = se3.compose(se3.inverse(kf_pose), pose)
     icp = projective.projective_icp(
@@ -76,9 +79,10 @@ def _fused_track_step(depth, kf_levels, kf_pose, pose, *, intr, cfg):
     return tuple(levels), new_pose, stats
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "truncate", "depth_scale"))
 def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
-                        thresholds, max_fails, *, intr, cfg):
+                        thresholds, max_fails, row_valid=None, *, intr, cfg,
+                        truncate=True, depth_scale=1.0):
     """A whole WINDOW of tracked frames as a single XLA program.
 
     lax.scan of the fused track step over W depth frames, carrying the
@@ -102,21 +106,41 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
     the keyframe reset)  [28] fail streak after  [29] fails since
     keyframe after.
 
-    The carry LATCHES at the first keyframe event (`done` freezes all
-    updates), so the returned (kf_levels, kf_pose, pose) are exactly the
-    state at the truncation point -- the host adopts them directly
-    (device-resident; the event frame's pyramid never needs a rebuild
-    dispatch). Rows after the first event are computed against the
-    frozen state and discarded by the host.
+    With ``truncate=True`` the carry LATCHES at the first keyframe event
+    (`done` freezes all updates), so the returned (kf_levels, kf_pose,
+    pose) are exactly the state at the truncation point -- the host
+    adopts them directly (device-resident; the event frame's pyramid
+    never needs a rebuild dispatch). Rows after the first event are
+    computed against the frozen state and discarded by the host.
+
+    With ``truncate=False`` keyframe events do NOT latch: every event
+    promotes in-scan (the carry already re-seeds the keyframe pyramid
+    from the event row's levels) and the scan tracks straight through
+    any number of events -- per-frame-identical for a plain tracker,
+    since the device replicates the full host promotion/failure logic.
+    Hosts that must ACT between frames (the SLAM layer's loop closure /
+    relocalization) need truncate=True. Measured motivation: with events
+    every ~6 frames, truncation wasted ~27% of scan rows and paid 19
+    dispatches per 56 frames at W=4 (BENCHMARKS.md "windowed paradox").
+
+    ``row_valid`` ((W,) bool, optional) marks real rows; invalid rows
+    freeze the carry exactly like the latch, which is what makes PADDED
+    windows inert in both modes (with truncate=True padding was
+    previously safe only because a real event preceded it).
     """
     from realsensetracker_tpu.ops.pyramid import build_pyramid
 
     f32, i32 = jnp.float32, jnp.int32
+    if row_valid is None:
+        row_valid = jnp.ones((depths.shape[0],), bool)
 
-    def body(carry, depth):
+    def body(carry, xs):
+        depth, valid = xs
         kf_lv, kf_p, p, streak, fails, done = carry
+        dead = done | ~valid
         levels, intrs = build_pyramid(
-            depth, intr, len(cfg.iters), cfg.min_depth, cfg.max_depth
+            _depth_meters(depth, depth_scale), intr, len(cfg.iters),
+            cfg.min_depth, cfg.max_depth,
         )
         levels = tuple(levels)
         init = se3.compose(se3.inverse(kf_p), p)
@@ -137,14 +161,14 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
         fails1 = jnp.where(success, fails, fails + i32(1))
         reseed = (~success) & (streak1 >= max_fails)
         is_new_kf = promote | reseed
-        event_now = is_new_kf & ~done
-        p1 = jnp.where(success & ~done, new_pose, p).astype(f32)
+        event_now = is_new_kf & ~dead
+        p1 = jnp.where(success & ~dead, new_pose, p).astype(f32)
         kf_p1 = jnp.where(event_now, p1, kf_p).astype(f32)
         kf_lv1 = jax.tree_util.tree_map(
             lambda a, b: jnp.where(event_now, a, b), levels, kf_lv
         )
-        streak2 = jnp.where(done, streak, jnp.where(reseed, i32(0), streak1))
-        fails2 = jnp.where(done, fails, jnp.where(is_new_kf, i32(0), fails1))
+        streak2 = jnp.where(dead, streak, jnp.where(reseed, i32(0), streak1))
+        fails2 = jnp.where(dead, fails, jnp.where(is_new_kf, i32(0), fails1))
         stats = jnp.concatenate([
             jnp.stack([icp.rmse.astype(f32), inlier, ok.astype(f32)]),
             tw,
@@ -157,12 +181,15 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
                 fails2.astype(f32),
             ]),
         ])
-        return (kf_lv1, kf_p1, p1, streak2, fails2, done | is_new_kf), stats
+        done1 = (done | is_new_kf) if truncate else done
+        return (kf_lv1, kf_p1, p1, streak2, fails2, done1), stats
 
     carry0 = (kf_levels, kf_pose, pose,
               jnp.asarray(streak0, i32), jnp.asarray(fails0, i32),
               jnp.asarray(False))
-    (kf_lv, kf_p, p, _, _, _), stats = jax.lax.scan(body, carry0, depths)
+    (kf_lv, kf_p, p, _, _, _), stats = jax.lax.scan(
+        body, carry0, (depths, row_valid)
+    )
     return kf_lv, kf_p, p, stats
 
 
@@ -182,6 +209,11 @@ class KeyframeTracker:
     # it, tracking resumes as soon as content returns and the SLAM
     # layer's loop closure can re-anchor the accumulated drift.
     max_consecutive_failures: int = 5
+    # Meters per raw unit for INTEGER depth frames (RealSense Z16 depth
+    # units default to 1 mm; TUM 16-bit PNGs use 1/5000). Integer frames
+    # upload as uint16 -- half the bytes of f32 -- and convert on device
+    # inside the fused program. Float frames are taken as meters as-is.
+    depth_scale: float = 1e-3
 
     _fail_streak: int = 0
     # Failed frames since the previous keyframe, snapshotted into
@@ -223,15 +255,18 @@ class KeyframeTracker:
     def process(self, depth, timestamp: float | None = None) -> KeyframeResult:
         from realsensetracker_tpu.ops.pyramid import build_pyramid
 
-        depth = jnp.asarray(depth, jnp.float32)  # pin: a f64/uint16 input
-        # would otherwise compile a second program (CLAUDE.md gotcha 5/8)
+        depth = jnp.asarray(depth)
+        if not jnp.issubdtype(depth.dtype, jnp.integer):
+            depth = depth.astype(jnp.float32)  # pin: a f64 input would
+            # otherwise compile a second program (CLAUDE.md gotcha 5/8);
+            # integer (u16) frames stay raw and convert in-program
         if timestamp is None:
             timestamp = float(self._index)
 
         if self._kf_levels is None:
             levels, _ = build_pyramid(
-                depth, self.intr, len(self.cfg.iters),
-                self.cfg.min_depth, self.cfg.max_depth,
+                _depth_meters(depth, self.depth_scale), self.intr,
+                len(self.cfg.iters), self.cfg.min_depth, self.cfg.max_depth,
             )
             self._pose = se3.identity()
             self._pose_np = np.eye(4, dtype=np.float32)
@@ -245,7 +280,7 @@ class KeyframeTracker:
 
         levels, new_pose_dev, stats = _fused_track_step(
             depth, self._kf_levels, self._kf_pose, self._pose,
-            intr=self.intr, cfg=self.cfg,
+            intr=self.intr, cfg=self.cfg, depth_scale=self.depth_scale,
         )
         self._last_levels = levels  # kept for a possible external re-seed
         s = np.asarray(stats)  # the frame's ONE host transfer
@@ -293,36 +328,53 @@ class KeyframeTracker:
         return res
 
     def process_window(self, depths, timestamps=None,
-                       pad_to: int | None = None) -> list[KeyframeResult]:
+                       pad_to: int | None = None,
+                       truncate_at_events: bool = True,
+                       ) -> list[KeyframeResult]:
         """Process up to len(depths) frames in ONE device dispatch.
 
-        Consumes frames up to and INCLUDING the first keyframe event
-        (promotion or recovery re-seed), or the whole window if none
-        occurs, and returns their KeyframeResults -- fewer results than
-        depths means the caller should re-submit the unconsumed tail
-        (the event may change tracking state in ways only the host
-        decides, e.g. the SLAM layer's relocalization). Per-frame
-        semantics are replicated exactly on device (_fused_track_window);
-        a window costs one scan dispatch + one (W, 30) stats transfer,
-        plus one pyramid rebuild when a window ends at a keyframe event.
+        With ``truncate_at_events=True`` (default): consumes frames up to
+        and INCLUDING the first keyframe event (promotion or recovery
+        re-seed), or the whole window if none occurs, and returns their
+        KeyframeResults -- fewer results than depths means the caller
+        should re-submit the unconsumed tail (the event may change
+        tracking state in ways only the host decides, e.g. the SLAM
+        layer's relocalization).
+
+        With ``truncate_at_events=False``: ALWAYS consumes the whole
+        window -- keyframe promotions happen entirely in-scan (any number
+        per window) and the final carry is adopted device-resident.
+        Exactly 1/W dispatches per frame; per-frame-identical results.
+        Use this whenever nothing needs to run between frames (plain
+        replay/VO); the SLAM layer needs the truncating mode.
+
+        Per-frame semantics are replicated exactly on device
+        (_fused_track_window); a window costs one scan dispatch + one
+        (W, 30) stats transfer.
 
         pad_to: pad the scan to this fixed frame count (last frame
-        repeated; padded rows ignored) so every window -- including
-        post-event tails -- reuses ONE compiled program. Without it each
-        distinct window length is a separate 30-90 s relay compile
-        (CLAUDE.md gotcha 8). Padding is safe with the event latch: a
-        real event always precedes the padded rows, and the carry is
-        only adopted when an event occurred among the real rows.
+        repeated; padded rows carry row_valid=False and freeze the scan
+        carry, so they are inert in BOTH modes) so every window --
+        including post-event tails -- reuses ONE compiled program.
+        Without it each distinct window length is a separate 30-90 s
+        relay compile (CLAUDE.md gotcha 8).
         """
         if timestamps is None:
             timestamps = [None] * len(depths)
         if self._kf_levels is None:  # bootstrap: first frame seeds the keyframe
             return [self.process(depths[0], timestamps[0])]
-        stack = np.stack([np.asarray(d, np.float32) for d in depths])
-        if pad_to is not None and pad_to > len(depths):
+        stack = np.stack([np.asarray(d) for d in depths])
+        if not np.issubdtype(stack.dtype, np.integer):
+            stack = stack.astype(np.float32)
+        # Integer (u16) windows upload raw -- half the f32 bytes, and the
+        # upload rides the timed dispatch (BENCHMARKS.md "windowed
+        # paradox"); the scan body converts to meters on device.
+        n_real = len(depths)
+        if pad_to is not None and pad_to > n_real:
             stack = np.concatenate(
-                [stack, np.repeat(stack[-1:], pad_to - len(depths), axis=0)]
+                [stack, np.repeat(stack[-1:], pad_to - n_real, axis=0)]
             )
+        valid = np.arange(stack.shape[0]) < n_real
         if self._thresholds_dev is None:
             self._thresholds_dev = jnp.asarray([
                 self.min_inlier_fraction, self.max_translation,
@@ -330,17 +382,20 @@ class KeyframeTracker:
             ], jnp.float32)
             self._max_fails_dev = jnp.int32(self.max_consecutive_failures)
         kf_lv_dev, kf_pose_dev, pose_dev, stats = _fused_track_window(
-            jnp.asarray(stack, jnp.float32),
+            jnp.asarray(stack),
             self._kf_levels, self._kf_pose, self._pose,
             self._fail_streak, self._fails_since_kf,
             self._thresholds_dev, self._max_fails_dev,
-            intr=self.intr, cfg=self.cfg,
+            jnp.asarray(valid),
+            intr=self.intr, cfg=self.cfg, truncate=truncate_at_events,
+            depth_scale=self.depth_scale,
         )
         s = np.asarray(stats)  # the window's ONE host transfer
         results: list[KeyframeResult] = []
         consumed = 0
         event = False
-        for i in range(len(depths)):
+        last_event = -1
+        for i in range(n_real):
             ts = timestamps[i] if timestamps[i] is not None else float(self._index)
             pose_np = s[i, 9:25].reshape(4, 4).astype(np.float32)
             success = s[i, 25] > 0.5
@@ -359,20 +414,27 @@ class KeyframeTracker:
             consumed = i + 1
             if is_new_kf:
                 event = True
-                break
+                last_event = i
+                if truncate_at_events:
+                    break
         last = consumed - 1
         self._last_depth = depths[last]
         self._last_levels = None  # rebuilt lazily from _last_depth if needed
         if event:
-            # The scan latched at this event: the carry IS the state at
-            # the truncation point, device-resident (no pyramid rebuild).
+            # The carry holds the keyframe state at the truncation point
+            # (truncating mode) or after the LAST event (multi-event
+            # mode), device-resident -- no pyramid rebuild either way.
             self._pose = pose_dev
             self._kf_levels = kf_lv_dev
-            self._last_levels = kf_lv_dev
             self._kf_pose = kf_pose_dev
-            self.last_span_failures = int(s[last, 27])
-            self._fail_streak = 0
-            self._fails_since_kf = 0
+            self.last_span_failures = int(s[last_event, 27])
+            if truncate_at_events:
+                self._last_levels = kf_lv_dev
+                self._fail_streak = 0
+                self._fails_since_kf = 0
+            else:
+                self._fail_streak = int(s[last, 28])
+                self._fails_since_kf = int(s[last, 29])
         else:
             self._pose = jnp.asarray(self._pose_np)
             self._fail_streak = int(s[last, 28])
@@ -396,7 +458,8 @@ class KeyframeTracker:
         self._kf_pose = self._pose
         if self._last_levels is None and self._last_depth is not None:
             levels, _ = build_pyramid(
-                self._last_depth, self.intr, len(self.cfg.iters),
+                _depth_meters(jnp.asarray(self._last_depth), self.depth_scale),
+                self.intr, len(self.cfg.iters),
                 self.cfg.min_depth, self.cfg.max_depth,
             )
             self._last_levels = tuple(levels)

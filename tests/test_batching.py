@@ -1056,3 +1056,79 @@ class TestTsdfSlots:
             BatchedExecutor(BatchingConfig(
                 intrinsics=TSDF_INTR, rgbd=True, tsdf=True,
             ))
+
+
+class TestU16Batched:
+    """Raw uint16 frames through the executor: all-integer rounds stage
+    uint16 (half the upload; on-device convert via
+    BatchingConfig.depth_scale), mixed rounds host-convert the integer
+    requests -- either way every session's trajectory is identical to
+    the f32 path on identically-quantized frames."""
+
+    def test_u16_sessions_match_f32(self, stream_data):
+        scale = 1.0 / 5000.0
+        raw = np.asarray(stream_data * 5000.0 + 0.5, np.uint16)
+        quant = raw.astype(np.float32) * np.float32(scale)
+        outs = []
+        for data, ds in ((quant, None), (raw, scale)):
+            kw = {} if ds is None else {"depth_scale": ds}
+            ex = BatchedExecutor(BatchingConfig(
+                intrinsics=INTR, icp=CFG, capacity=S, **kw))
+            try:
+                trackers = [ex.make_session_tracker() for _ in range(S)]
+                res = [
+                    [trackers[i].process(data[f, i], float(f))
+                     for f in range(F)]
+                    for i in range(S)
+                ]
+                outs.append(res)
+            finally:
+                ex.close()
+        for i in range(S):
+            for f in range(F):
+                a, b = outs[0][i][f], outs[1][i][f]
+                assert a.success == b.success
+                np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+
+    def test_mixed_round_host_converts(self, stream_data):
+        # One session posts raw u16, another f32 meters, in the SAME
+        # linger-coalesced round: the executor stages f32 and converts
+        # the integer request on host; both match their pure-f32 runs.
+        scale = 1.0 / 5000.0
+        raw = np.asarray(stream_data * 5000.0 + 0.5, np.uint16)
+        quant = raw.astype(np.float32) * np.float32(scale)
+        ex = BatchedExecutor(BatchingConfig(
+            intrinsics=INTR, icp=CFG, capacity=2, linger_ms=150.0,
+            depth_scale=scale))
+        try:
+            trackers = [ex.make_session_tracker() for _ in range(2)]
+            barrier = threading.Barrier(2)
+            results = [[] for _ in range(2)]
+            errors = []
+
+            def worker(i):
+                try:
+                    for f in range(F):
+                        barrier.wait()
+                        frame = raw[f, i] if i == 0 else quant[f, i]
+                        results[i].append(
+                            trackers[i].process(frame, float(f)))
+                except BaseException as e:  # pragma: no cover
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors
+            ref = _aligned_reference(stream_data[:, :2], F)
+            for i in range(2):
+                assert all(r.success for r in results[i])
+                np.testing.assert_allclose(
+                    results[i][-1].pose, np.asarray(ref.poses[i]),
+                    atol=2e-4,  # u16 quantization vs the unquantized ref
+                )
+        finally:
+            ex.close()

@@ -444,3 +444,65 @@ class TestTsdfService:
         finally:
             svc_a.close()
             svc_b.close()
+
+
+class TestRawU16:
+    """Raw uint16 depth bodies: half the f32 bytes over HTTP and into the
+    device; api.Tracker converts via config.depth_scale (on device for
+    method='keyframe'), non-raw trackers (SLAM) get host-converted
+    meters at the service's depth_scale."""
+
+    def test_u16_matches_f32_keyframe(self, frames):
+        depths, _ = frames
+        scale = 1.0 / 5000.0
+        raw = [np.asarray(np.asarray(d) * 5000.0 + 0.5, np.uint16)
+               for d in depths]
+        quant = [r.astype(np.float32) * np.float32(scale) for r in raw]
+        mk = lambda: Tracker(TrackerConfig(
+            intrinsics=INTR, method="keyframe", depth_scale=scale))
+        a = TrackingService(mk, depth_scale=scale)
+        b = TrackingService(mk, depth_scale=scale)
+        try:
+            ra = [post_frame(f"http://127.0.0.1:{a.port}", d, ts=i / 30.0)
+                  for i, d in enumerate(quant)]
+            rb = [post_frame(f"http://127.0.0.1:{b.port}", d, ts=i / 30.0)
+                  for i, d in enumerate(raw)]
+            for x, y in zip(ra, rb):
+                assert x["success"] == y["success"]
+                np.testing.assert_allclose(x["pose"], y["pose"], atol=1e-5)
+        finally:
+            a.close()
+            b.close()
+
+    def test_u16_window_and_slam_host_conversion(self, frames):
+        depths, _ = frames
+        scale = 1.0 / 5000.0
+        raw = np.stack([np.asarray(np.asarray(d) * 5000.0 + 0.5, np.uint16)
+                        for d in depths])
+        # keyframe windowed path: raw u16 through the scanned window
+        svc = TrackingService(
+            lambda: Tracker(TrackerConfig(intrinsics=INTR,
+                                          method="keyframe",
+                                          depth_scale=scale)),
+            depth_scale=scale,
+        )
+        try:
+            rec = post_window(f"http://127.0.0.1:{svc.port}", raw,
+                              ts=[i / 30.0 for i in range(4)], window=4)
+            assert rec["windowed"]
+            assert [f["success"] for f in rec["frames"]] == [True] * 4
+        finally:
+            svc.close()
+        # SLAM (no accepts_raw_depth): the service converts on host
+        from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
+
+        svc2 = TrackingService(
+            lambda: SlamTracker(SlamConfig(intrinsics=INTR)),
+            depth_scale=scale,
+        )
+        try:
+            recs = [post_frame(f"http://127.0.0.1:{svc2.port}", raw[i],
+                               ts=i / 30.0) for i in range(4)]
+            assert all(r["success"] for r in recs)
+        finally:
+            svc2.close()

@@ -324,3 +324,52 @@ class TestTsdfStreams:
         np.testing.assert_allclose(
             np.asarray(state.poses), np.asarray(ref.poses), atol=1e-5
         )
+
+
+class TestU16Streams:
+    """Raw integer (u16) depth ingestion: uploads half the bytes and
+    converts to meters inside the compiled step
+    (ops/pyramid.depth_to_meters; depth_scale static arg). Must match the
+    f32 path on identically-quantized inputs, per-step and windowed."""
+
+    def test_masked_u16_matches_f32(self):
+        depths, _ = _stream_data(s=3, frames=4)
+        scale = 1.0 / 5000.0
+        raw = np.asarray(np.asarray(depths) * 5000.0 + 0.5, np.uint16)
+        quant = raw.astype(np.float32) * np.float32(scale)
+        on = jnp.ones((3,), bool)
+        off = jnp.zeros((3,), bool)
+        a = streams.blank_streams(INTR, CFG, num_streams=3)
+        b = streams.blank_streams(INTR, CFG, num_streams=3)
+        a, _ = streams.step_streams_masked(a, jnp.asarray(quant[0]), on, on,
+                                           INTR, CFG)
+        b, _ = streams.step_streams_masked(b, jnp.asarray(raw[0]), on, on,
+                                           INTR, CFG, depth_scale=scale)
+        for f in range(1, 4):
+            a, sa = streams.step_streams_masked(a, jnp.asarray(quant[f]),
+                                                on, off, INTR, CFG)
+            b, sb = streams.step_streams_masked(b, jnp.asarray(raw[f]),
+                                                on, off, INTR, CFG,
+                                                depth_scale=scale)
+            np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                       atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                                   atol=1e-6)
+
+    def test_windowed_u16_matches_f32(self):
+        depths, _ = _stream_data(s=2, frames=5)
+        scale = 1.0 / 5000.0
+        raw = np.asarray(np.asarray(depths) * 5000.0 + 0.5, np.uint16)
+        quant = raw.astype(np.float32) * np.float32(scale)
+        a = streams.init_streams(jnp.asarray(quant[0]), INTR, CFG)
+        b = streams.init_streams(jnp.asarray(raw[0]), INTR, CFG,
+                                 depth_scale=scale)
+        wq = jnp.moveaxis(jnp.asarray(quant[1:5]), 0, 1)
+        wr_ = jnp.moveaxis(jnp.asarray(raw[1:5]), 0, 1)
+        a, ra = streams.step_streams_window(a, wq, INTR, CFG)
+        b, rb = streams.step_streams_window(b, wr_, INTR, CFG,
+                                            depth_scale=scale)
+        np.testing.assert_allclose(np.asarray(ra.poses),
+                                   np.asarray(rb.poses), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                                   atol=1e-6)

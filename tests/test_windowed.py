@@ -341,3 +341,95 @@ class TestWindowedTsdf:
         ])
         assert rc == 0
         assert "processed 5 frames" in capsys.readouterr().out
+
+
+class TestMultiEventWindow:
+    """Non-truncating windows (truncate_at_events=False): keyframe events
+    promote entirely in-scan, so a window never re-submits its tail --
+    exactly ceil(N/W) dispatches -- while staying per-frame-identical
+    (BENCHMARKS.md "windowed paradox": truncation wasted ~27% of scan
+    rows at W=4 with events every ~6 frames)."""
+
+    def _run_multi_event(self, tracker, depths, window, pad=True):
+        out = []
+        i = 0
+        while i < len(depths):
+            chunk = depths[i : i + window]
+            ts = [float(j) for j in range(i, i + len(chunk))]
+            res = tracker.process_window(
+                chunk, ts, pad_to=window if pad else None,
+                truncate_at_events=False,
+            )
+            # Never truncates (the bootstrap call consumes only the seed).
+            assert len(res) == (1 if i == 0 else len(chunk))
+            out.extend(res)
+            i += len(res)
+        return out
+
+    def test_matches_per_frame_with_multiple_events_per_window(self):
+        # Aggressive motion: promotion roughly every 2 frames, so W=6
+        # windows carry SEVERAL keyframe events each.
+        depths = _sequence(13, step=(0.05, 0.0, 0.04, 0.0, 0.04, 0.0))
+        kw = dict(max_translation=0.06, max_rotation=0.05)
+        ref = KeyframeTracker(INTR, CFG, **kw)
+        win = KeyframeTracker(INTR, CFG, **kw)
+        a = _run_per_frame(ref, depths)
+        b = self._run_multi_event(win, depths, window=6)
+        assert sum(r.is_new_keyframe for r in a[1:]) >= 3
+        _assert_results_match(a, b)
+        # Adopted device carry continues identically afterwards.
+        tail = _sequence(3, step=(0.01, 0.0, 0.01, 0.0, 0.0, 0.0))
+        _assert_results_match(
+            [ref.process(d, 100.0 + i) for i, d in enumerate(tail)],
+            [win.process(d, 100.0 + i) for i, d in enumerate(tail)],
+        )
+
+    def test_through_failures_and_reseed(self):
+        good = _sequence(4, step=(0.01, 0.0, 0.01, 0.0, 0.01, 0.0))
+        dead = jnp.zeros_like(good[0])
+        depths = good[:2] + [dead, dead] + good[2:]
+        kw = dict(max_consecutive_failures=2)
+        ref = KeyframeTracker(INTR, CFG, **kw)
+        win = KeyframeTracker(INTR, CFG, **kw)
+        _assert_results_match(
+            _run_per_frame(ref, depths),
+            self._run_multi_event(win, depths, window=4),
+        )
+        assert win._fail_streak == ref._fail_streak
+        assert win._fails_since_kf == ref._fails_since_kf
+
+    def test_uint16_ingestion_matches_float(self):
+        # Raw u16 frames (native camera/TUM format) upload at half the
+        # bytes and convert to meters ON DEVICE (depth * depth_scale);
+        # results must match feeding the identically-quantized f32
+        # frames, per-frame and windowed, through events.
+        scale = np.float32(1.0 / 5000.0)
+        depths_f = _sequence(9, step=(0.05, 0.0, 0.04, 0.0, 0.04, 0.0))
+        raw = [np.asarray(np.asarray(d) * 5000.0 + 0.5, np.uint16)
+               for d in depths_f]
+        quant = [r.astype(np.float32) * scale for r in raw]
+        kw = dict(max_translation=0.06, max_rotation=0.05)
+        ref = KeyframeTracker(INTR, CFG, **kw)  # f32 path
+        pf = KeyframeTracker(INTR, CFG, depth_scale=float(scale), **kw)
+        win = KeyframeTracker(INTR, CFG, depth_scale=float(scale), **kw)
+        a = _run_per_frame(ref, quant)
+        b = _run_per_frame(pf, raw)
+        c = self._run_multi_event(win, raw, window=4)
+        assert sum(r.is_new_keyframe for r in a[1:]) >= 2
+        _assert_results_match(a, b)
+        _assert_results_match(a, c)
+
+    def test_padding_inert_without_events(self):
+        # Padded rows rely on row_valid (NOT the event latch) in this
+        # mode: a short, event-free window padded to 8 must leave state
+        # identical to the unpadded run.
+        depths = _sequence(4, step=(0.005, 0.0, 0.005, 0.0, 0.0, 0.0))
+        ref = KeyframeTracker(INTR, CFG)
+        win = KeyframeTracker(INTR, CFG)
+        a = _run_per_frame(ref, depths)
+        win.process(depths[0], 0.0)
+        res = win.process_window(depths[1:], [1.0, 2.0, 3.0], pad_to=8,
+                                 truncate_at_events=False)
+        assert len(res) == 3
+        _assert_results_match(a[1:], res)
+        assert win._index == ref._index
