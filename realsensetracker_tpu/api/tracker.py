@@ -91,6 +91,7 @@ class Tracker:
                     icp=self.config.projective,
                     min_inlier_fraction=self.config.min_inlier_fraction,
                     use_color=self.config.tsdf_color,
+                    depth_scale=self.config.depth_scale,
                     **photo_kw,
                 )
         elif method == "rgbd":
@@ -108,9 +109,15 @@ class Tracker:
 
     def _ingest(self, depth):
         """Integer (u16) depth frames -> f32 meters on host, for methods
-        without a device-side raw path (method='keyframe' uploads raw
-        uint16 and converts on device -- see tracking/keyframe.py)."""
-        if self.config.method == "keyframe":
+        without a device-side raw path. method='keyframe' and plain
+        (non-submap) method='tsdf' upload raw uint16 and convert on
+        device (tracking/keyframe.py, tracking/tsdf_tracker.py); the
+        submap atlas consumes depth on host at handover/reactivation so
+        it takes meters."""
+        if self.config.method == "keyframe" or (
+            self.config.method == "tsdf"
+            and self.config.tsdf_submap_radius <= 0
+        ):
             return depth
         a = np.asarray(depth)
         if np.issubdtype(a.dtype, np.integer):

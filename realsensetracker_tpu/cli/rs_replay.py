@@ -179,19 +179,15 @@ def main(argv=None) -> int:
                                                     stop=_stop(args))
                 )
         else:
-            # Depth-only non-SLAM replay streams RAW uint16 frames: half
-            # the host->device upload bytes (the upload rides the timed
+            # Depth-only replay streams RAW uint16 frames: half the
+            # host->device upload bytes (the upload rides the timed
             # dispatch on windowed paths -- BENCHMARKS.md "windowed
-            # paradox"); the tracker converts to meters on device
-            # (depth_scale below). SLAM keeps f32 meters: its keyframe
-            # database / relocalization / dense re-fusion consume depth
-            # on host.
-            raw_depth = args.method != "slam"
+            # paradox"); the trackers convert to meters on device
+            # (depth_scale below; SLAM's host-side logic converts lazily
+            # at keyframe/relocalization events only).
             frames = stream_mod.stream_tum(seq, stop=_stop(args),
-                                           start=args.start_frame,
-                                           raw=raw_depth)
-            if raw_depth:
-                depth_scale = 1.0 / tum.DEPTH_SCALE
+                                           start=args.start_frame, raw=True)
+            depth_scale = 1.0 / tum.DEPTH_SCALE
         if (args.ate or args.rpe > 0) and seq.groundtruth:
             gt = seq.groundtruth_trajectory()
     elif args.record:
@@ -217,12 +213,15 @@ def main(argv=None) -> int:
     if args.method == "slam":
         from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
+        slam_kw = {}
+        if depth_scale is not None:
+            slam_kw["depth_scale"] = depth_scale
         tracker = SlamTracker(
             SlamConfig(intrinsics=intr, optimize_every=args.optimize_every,
                        use_rgb=args.slam_rgb,
                        # Dense re-fusion after optimization needs the raw
                        # keyframe depths kept on host.
-                       keep_depths=bool(args.save_mesh))
+                       keep_depths=bool(args.save_mesh), **slam_kw)
         )
         if args.resume_state:
             from realsensetracker_tpu.tracking import checkpoint

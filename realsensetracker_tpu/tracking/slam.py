@@ -153,6 +153,12 @@ class SlamConfig:
     # (their volume is fused at drifted poses and never corrected).
     # Off by default: ~H*W*4 bytes per keyframe of host memory.
     keep_depths: bool = False
+    # Meters per raw unit for INTEGER depth frames (RealSense Z16 1 mm;
+    # TUM PNGs 1/5000). The hot VO path forwards raw uint16 to the device
+    # (half the upload bytes -- tracking/keyframe.py); host-side SLAM
+    # logic (relocalization clouds, keyframe features, kept depths)
+    # converts lazily, only at keyframe/relocalization events.
+    depth_scale: float = 1e-3
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -209,6 +215,10 @@ class _Keyframe:
 class SlamTracker:
     """Streaming SLAM: depth frames in -> loop-consistent trajectory out."""
 
+    # Raw integer frames are accepted: the VO converts on device, host
+    # SLAM logic converts lazily (see SlamConfig.depth_scale).
+    accepts_raw_depth = True
+
     def __init__(self, config: SlamConfig | None = None):
         self.config = config or SlamConfig()
         if self.config.use_rgb:
@@ -221,7 +231,8 @@ class SlamTracker:
                 self.config.intrinsics, self.config.rgbd or RgbdIcpConfig()
             )
         else:
-            self._vo = KeyframeTracker(self.config.intrinsics, self.config.icp)
+            self._vo = KeyframeTracker(self.config.intrinsics, self.config.icp,
+                                       depth_scale=self.config.depth_scale)
         self._db = KeyframeDatabase(
             min_separation=self.config.loop_min_separation,
             similarity_threshold=self.config.loop_similarity,
@@ -242,6 +253,15 @@ class SlamTracker:
     def keyframe_count(self) -> int:
         return len(self._keyframes)
 
+    def _meters(self, depth):
+        """Lazy host conversion of raw integer frames to f32 meters --
+        called only where SLAM logic consumes depth on host (keyframe
+        events, relocalization), so the per-frame hot path never pays it."""
+        a = np.asarray(depth)
+        if np.issubdtype(a.dtype, np.integer):
+            return a.astype(np.float32) * self.config.depth_scale
+        return a
+
     def process(self, depth, timestamp: float | None = None, gray=None):
         if self.config.use_rgb:
             if gray is None:
@@ -250,7 +270,9 @@ class SlamTracker:
                 )
             from realsensetracker_tpu.api.tracker import _as_gray
 
-            res = self._vo.process(depth, _as_gray(gray), timestamp)
+            # The RGB-D VO has no raw path: convert on host.
+            res = self._vo.process(self._meters(depth), _as_gray(gray),
+                                   timestamp)
         else:
             res = self._vo.process(depth, timestamp)
         self._frame_count += 1
@@ -292,7 +314,7 @@ class SlamTracker:
                 from realsensetracker_tpu.api.tracker import _as_gray
 
                 consumed = self._vo.process_window(
-                    depths[i : i + window],
+                    [self._meters(d) for d in depths[i : i + window]],
                     [_as_gray(g) for g in grays[i : i + window]],
                     timestamps[i : i + window],
                     pad_to=window,
@@ -325,7 +347,9 @@ class SlamTracker:
         )
         reloc_edge = None
         if self.config.relocalize and self._keyframes and (reseed_fail or retry):
-            pose, precomputed, reloc_edge = self._try_relocalize(depth)
+            pose, precomputed, reloc_edge = self._try_relocalize(
+                self._meters(depth)
+            )
             if pose is not None:
                 self._vo.relocalize_to(pose)
                 self.num_relocalizations += 1
@@ -346,8 +370,8 @@ class SlamTracker:
                     self.lost = True
         if res.is_new_keyframe:
             self._on_keyframe(
-                depth, res, precomputed=precomputed, odom_weight=odom_weight,
-                reloc_edge=reloc_edge,
+                self._meters(depth), res, precomputed=precomputed,
+                odom_weight=odom_weight, reloc_edge=reloc_edge,
             )
             ev = self.config.optimize_every
             if (

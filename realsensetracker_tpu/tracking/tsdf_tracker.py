@@ -30,6 +30,7 @@ import numpy as np
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.geometry import camera, se3
 from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+from realsensetracker_tpu.ops.pyramid import depth_to_meters
 from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
@@ -142,14 +143,15 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
 
 @partial(jax.jit, static_argnames=(
     "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "photo_cfg",
-    "photo_ref"))
+    "photo_ref", "depth_scale"))
 def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None, *,
                      intr, vol_cfg, icp_cfg, min_inlier_fraction,
-                     photo_cfg=None, photo_ref="frame"):
+                     photo_cfg=None, photo_ref="frame", depth_scale=1.0):
     """One frame-to-model step as a single XLA program (see
     _tsdf_step_math)."""
     return _tsdf_step_math(
-        vol, depth, pose, color, jnp.bool_(True), prev_gray, intr=intr,
+        vol, depth_to_meters(depth, depth_scale), pose, color,
+        jnp.bool_(True), prev_gray, intr=intr,
         vol_cfg=vol_cfg, icp_cfg=icp_cfg,
         min_inlier_fraction=min_inlier_fraction, photo_cfg=photo_cfg,
         photo_ref=photo_ref,
@@ -158,11 +160,11 @@ def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None, *,
 
 @partial(jax.jit, static_argnames=(
     "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "with_color",
-    "photo_cfg", "photo_ref"))
+    "photo_cfg", "photo_ref", "depth_scale"))
 def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
                        prev_gray=None, *, intr, vol_cfg, icp_cfg,
                        min_inlier_fraction, with_color, photo_cfg=None,
-                       photo_ref="frame"):
+                       photo_ref="frame", depth_scale=1.0):
     """W frame-to-model steps as ONE lax.scan dispatch.
 
     The volume and pose ride the scan carry (they never leave the
@@ -187,6 +189,7 @@ def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
         )
         return (out.vol, out.pose, out.gray), (out.relative, out.stats)
 
+    depths = depth_to_meters(depths, depth_scale)
     xs = (depths, colors, valids) if with_color else (depths, valids)
     (vol, pose, prev_gray), (rels, stats) = jax.lax.scan(
         body, (vol, pose, prev_gray), xs
@@ -194,8 +197,11 @@ def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
     return vol, pose, rels, prev_gray, stats
 
 
-@partial(jax.jit, static_argnames=("intr", "vol_cfg", "with_color"))
-def _seed_volume(depth, intr, vol_cfg, color=None, with_color=False):
+@partial(jax.jit, static_argnames=("intr", "vol_cfg", "with_color",
+                                   "depth_scale"))
+def _seed_volume(depth, intr, vol_cfg, color=None, with_color=False,
+                 depth_scale=1.0):
+    depth = depth_to_meters(depth, depth_scale)
     vol = tsdf_mod.init_volume(vol_cfg, with_color=with_color)
     return tsdf_mod.integrate(
         vol, depth, se3.identity(), intr, vol_cfg, color=color
@@ -219,6 +225,9 @@ class TsdfTracker:
     photometric_ref: str = "frame"  # "frame": photo reference = previous
     # raw gray (same camera frame as the model render; ~100x more
     # accurate); "model": photo reference = trilinear fused-color render
+    depth_scale: float = 1e-3  # meters per raw unit for INTEGER depth
+    # frames: raw uint16 uploads at half the f32 bytes and converts on
+    # device inside the fused programs (ops/pyramid.depth_to_meters)
 
     _vol: object = field(default=None, repr=False)
     _prev_gray: object = field(default=None, repr=False)  # photo ref
@@ -304,6 +313,14 @@ class TsdfTracker:
             arr = np.repeat(arr[..., None], 3, axis=-1)
         return jnp.asarray(arr, jnp.float32)
 
+    def _as_depth(self, depth):
+        """Integer (raw u16) frames stay raw for the on-device convert;
+        floats pin f32 (meters)."""
+        d = jnp.asarray(depth)
+        if jnp.issubdtype(d.dtype, jnp.integer):
+            return d
+        return d.astype(jnp.float32)
+
     def reseed(self, depth, color=None, model_depth=None) -> None:
         """Restart the model from this frame: fresh volume fused at
         identity, pose reset. Trajectory and frame index are kept -- this
@@ -318,8 +335,9 @@ class TsdfTracker:
         raw frame's color (the two geometries coincide at this pose)."""
         color = self._color_frame(color)
         self._vol = _seed_volume(
-            jnp.asarray(depth, jnp.float32), self.intr, self.volume,
+            self._as_depth(depth), self.intr, self.volume,
             color=color, with_color=self.use_color,
+            depth_scale=self.depth_scale,
         )
         if self.photometric is not None:
             self._prev_gray = self._luma(color)
@@ -339,8 +357,9 @@ class TsdfTracker:
 
         if self._vol is None:
             self._vol = _seed_volume(
-                jnp.asarray(depth, jnp.float32), self.intr, self.volume,
+                self._as_depth(depth), self.intr, self.volume,
                 color=color, with_color=self.use_color,
+                depth_scale=self.depth_scale,
             )
             if self.photometric is not None:
                 self._prev_gray = self._luma(color)
@@ -354,11 +373,12 @@ class TsdfTracker:
             return res
 
         out = _fused_tsdf_step(
-            self._vol, jnp.asarray(depth, jnp.float32), self._pose, color,
+            self._vol, self._as_depth(depth), self._pose, color,
             self._prev_gray,
             intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
             min_inlier_fraction=float(self.min_inlier_fraction),
             photo_cfg=self.photometric, photo_ref=self.photometric_ref,
+            depth_scale=self.depth_scale,
         )
         relative = out.relative
         self._prev_gray = out.gray
@@ -406,7 +426,7 @@ class TsdfTracker:
             ))
             i = 1
         while i < n:
-            chunk = [jnp.asarray(d, jnp.float32) for d in depths[i:i + window]]
+            chunk = [self._as_depth(d) for d in depths[i:i + window]]
             k = len(chunk)
             pad = window - k
             d = jnp.stack(chunk + [chunk[-1]] * pad)
@@ -423,6 +443,7 @@ class TsdfTracker:
                     min_inlier_fraction=float(self.min_inlier_fraction),
                     with_color=self.use_color, photo_cfg=self.photometric,
                     photo_ref=self.photometric_ref,
+                    depth_scale=self.depth_scale,
                 )
             self._prev_gray = new_gray
             s = np.asarray(stats)  # the window's one host transfer

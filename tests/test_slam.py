@@ -300,3 +300,32 @@ class TestHostSe3Log:
             [0, 0, 0, np.pi - 1e-8, 0, 0], jnp.float32)))
         out = _se3_log_np(near_pi)
         assert not np.isnan(out).any()
+
+
+class TestU16Slam:
+    """Raw uint16 frames through SLAM: the VO converts on device
+    (tracking/keyframe.py), host logic (keyframe features, loop closure,
+    relocalization clouds, kept depths) converts lazily at events --
+    results must match feeding identically-quantized f32 meters."""
+
+    def test_u16_matches_f32_through_loop_closure(self):
+        depths, _ = _loop_sequence(8)
+        scale = 1.0 / 5000.0
+        raw = [np.asarray(np.asarray(d) * 5000.0 + 0.5, np.uint16)
+               for d in depths]
+        quant = [r.astype(np.float32) * np.float32(scale) for r in raw]
+        a = _make_tracker()
+        b = _make_tracker()
+        b.config.depth_scale = scale
+        b._vo.depth_scale = scale
+        ra = [a.process(d, float(i)) for i, d in enumerate(quant)]
+        rb = [b.process(d, float(i)) for i, d in enumerate(raw)]
+        assert a.keyframe_count == b.keyframe_count
+        assert a.num_loop_closures == b.num_loop_closures
+        for x, y in zip(ra, rb):
+            assert x.success == y.success
+            np.testing.assert_allclose(x.pose, y.pose, atol=1e-5)
+        # kept state (keyframe clouds) converted: optimize agrees too
+        oa, ob = a.optimize(), b.optimize()
+        if oa is not None:
+            np.testing.assert_allclose(oa, ob, atol=1e-4)

@@ -700,3 +700,35 @@ class TestSmallResolutionSchedule:
         # Pre-fix: 2/16 frames tracked, 90 mm endpoint error.
         assert successes >= 9
         assert err < 0.06
+
+
+class TestU16Tsdf:
+    """Raw uint16 frames through the dense tracker: seed, per-frame step
+    and the windowed scan convert on device (depth_scale static arg) and
+    must match identically-quantized f32 meters exactly."""
+
+    def test_u16_matches_f32_per_frame_and_windowed(self):
+        from realsensetracker_tpu.align.projective import ProjectiveIcpConfig
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        icp = ProjectiveIcpConfig(
+            iters=(3, 3), inner_iters=2, samples=768, min_samples=192
+        )
+        scene = synthetic.default_scene(seed=3)
+        depths, _ = synthetic.render_trajectory(
+            INTR, 5, scene=scene, seed=1, step_scale=0.01
+        )
+        scale = 1.0 / 5000.0
+        raw = [np.asarray(np.asarray(d) * 5000.0 + 0.5, np.uint16)
+               for d in depths]
+        quant = [r.astype(np.float32) * np.float32(scale) for r in raw]
+        a = TsdfTracker(INTR, volume=CFG, icp=icp)
+        b = TsdfTracker(INTR, volume=CFG, icp=icp, depth_scale=scale)
+        w = TsdfTracker(INTR, volume=CFG, icp=icp, depth_scale=scale)
+        ra = [a.process(d, float(i)) for i, d in enumerate(quant)]
+        rb = [b.process(d, float(i)) for i, d in enumerate(raw)]
+        rw = w.process_window(raw, [float(i) for i in range(5)], window=4)
+        for x, y, z in zip(ra, rb, rw):
+            assert x.success == y.success == z.success
+            np.testing.assert_allclose(x.pose, y.pose, atol=1e-6)
+            np.testing.assert_allclose(x.pose, z.pose, atol=1e-6)
