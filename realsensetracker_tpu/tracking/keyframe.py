@@ -41,6 +41,12 @@ class KeyframeResult(NamedTuple):
     rmse: float
     inlier_fraction: float
     frame_index: int
+    # Tracking failures in the keyframe span ENDING at this event (0 on
+    # non-event frames). The SLAM layer discounts the odometry edge into
+    # the new keyframe by it; carrying it on the result (rather than only
+    # tracker.last_span_failures) lets multi-event windows report the
+    # correct span for EACH promotion in the window.
+    span_failures: int = 0
 
 
 @partial(jax.jit, static_argnames=("intr", "cfg", "depth_scale"))
@@ -123,6 +129,14 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
     every ~6 frames, truncation wasted ~27% of scan rows and paid 19
     dispatches per 56 frames at W=4 (BENCHMARKS.md "windowed paradox").
 
+    With ``truncate="failures"`` only recovery re-seeds latch: successful
+    promotions track straight through in-scan, while a failure-streak
+    re-seed freezes the carry so the host can attempt relocalization at
+    that frame and re-submit the tail. This is the SLAM window mode
+    (SlamConfig.window_defer_events): the host only needs to ACT between
+    frames at failures; promotion bookkeeping (loop closure, graph
+    edges) reads the per-row stats after the dispatch.
+
     ``row_valid`` ((W,) bool, optional) marks real rows; invalid rows
     freeze the carry exactly like the latch, which is what makes PADDED
     windows inert in both modes (with truncate=True padding was
@@ -181,7 +195,15 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
                 fails2.astype(f32),
             ]),
         ])
-        done1 = (done | is_new_kf) if truncate else done
+        if truncate == "failures":
+            # Latch only at recovery re-seeds: promotions track straight
+            # through in-scan, but a failure-streak re-seed stops the
+            # window so the host (SLAM relocalization) can act on it.
+            done1 = done | (is_new_kf & ~success)
+        elif truncate:
+            done1 = done | is_new_kf
+        else:
+            done1 = done
         return (kf_lv1, kf_p1, p1, streak2, fails2, done1), stats
 
     carry0 = (kf_levels, kf_pose, pose,
@@ -323,13 +345,14 @@ class KeyframeTracker:
             rmse=rmse,
             inlier_fraction=inlier,
             frame_index=self._index,
+            span_failures=self.last_span_failures if is_new_kf else 0,
         )
         self._index += 1
         return res
 
     def process_window(self, depths, timestamps=None,
                        pad_to: int | None = None,
-                       truncate_at_events: bool = True,
+                       truncate_at_events: bool | str = True,
                        ) -> list[KeyframeResult]:
         """Process up to len(depths) frames in ONE device dispatch.
 
@@ -346,7 +369,13 @@ class KeyframeTracker:
         per window) and the final carry is adopted device-resident.
         Exactly 1/W dispatches per frame; per-frame-identical results.
         Use this whenever nothing needs to run between frames (plain
-        replay/VO); the SLAM layer needs the truncating mode.
+        replay/VO); the SLAM layer needs a truncating mode.
+
+        With ``truncate_at_events="failures"``: promotions are consumed
+        in-scan like False, but the window truncates at the first
+        recovery re-seed (failure streak), where the host must act
+        (SLAM relocalization). Event rows carry their own span_failures,
+        so deferred per-promotion bookkeeping stays exact.
 
         Per-frame semantics are replicated exactly on device
         (_fused_track_window); a window costs one scan dispatch + one
@@ -394,6 +423,7 @@ class KeyframeTracker:
         results: list[KeyframeResult] = []
         consumed = 0
         event = False
+        hard_stop = False  # the scan carry latched at the consumed tail
         last_event = -1
         for i in range(n_real):
             ts = timestamps[i] if timestamps[i] is not None else float(self._index)
@@ -409,26 +439,30 @@ class KeyframeTracker:
                 rmse=float(s[i, 0]),
                 inlier_fraction=float(s[i, 1]),
                 frame_index=self._index,
+                span_failures=int(s[i, 27]) if is_new_kf else 0,
             ))
             self._index += 1
             consumed = i + 1
             if is_new_kf:
                 event = True
                 last_event = i
-                if truncate_at_events:
+                if truncate_at_events is True or (
+                    truncate_at_events == "failures" and not success
+                ):
+                    hard_stop = True
                     break
         last = consumed - 1
         self._last_depth = depths[last]
         self._last_levels = None  # rebuilt lazily from _last_depth if needed
         if event:
             # The carry holds the keyframe state at the truncation point
-            # (truncating mode) or after the LAST event (multi-event
-            # mode), device-resident -- no pyramid rebuild either way.
+            # (latched modes) or after the LAST event (multi-event mode),
+            # device-resident -- no pyramid rebuild either way.
             self._pose = pose_dev
             self._kf_levels = kf_lv_dev
             self._kf_pose = kf_pose_dev
             self.last_span_failures = int(s[last_event, 27])
-            if truncate_at_events:
+            if hard_stop:
                 self._last_levels = kf_lv_dev
                 self._fail_streak = 0
                 self._fails_since_kf = 0

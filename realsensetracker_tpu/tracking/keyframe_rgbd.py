@@ -241,6 +241,7 @@ class RgbdKeyframeTracker:
             rmse=rmse,
             inlier_fraction=inlier,
             frame_index=self._index,
+            span_failures=self.last_span_failures if is_new_kf else 0,
         )
         self._index += 1
         return res
@@ -301,6 +302,7 @@ class RgbdKeyframeTracker:
                 rmse=float(s[i, 0]),
                 inlier_fraction=float(s[i, 1]),
                 frame_index=self._index,
+                span_failures=int(s[i, 27]) if is_new_kf else 0,
             ))
             self._index += 1
             consumed = i + 1

@@ -159,6 +159,19 @@ class SlamConfig:
     # logic (relocalization clouds, keyframe features, kept depths)
     # converts lazily, only at keyframe/relocalization events.
     depth_scale: float = 1e-3
+    # Windowed processing (process_window): with True (default), keyframe
+    # PROMOTIONS are consumed in-scan (truncate_at_events="failures" --
+    # the window only truncates at recovery re-seeds, where relocalization
+    # must act) and their host bookkeeping (loop closure, graph edges)
+    # runs after the dispatch from the per-row stats. Exactly 1/W
+    # dispatches per frame instead of truncating at every ~6th frame
+    # (measured +27% scan waste, BENCHMARKS.md "windowed paradox").
+    # Semantics are identical to per-frame processing EXCEPT when
+    # optimize_every > 0: the online drift correction then applies at the
+    # window boundary instead of mid-window (bounded by one window of
+    # staleness). Set False for strict per-frame-identical behavior.
+    # Depth-only VO only; the RGB-D window always truncates at events.
+    window_defer_events: bool = True
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -285,12 +298,20 @@ class SlamTracker:
         process_window; SlamConfig.use_rgb selects RGB-D and requires
         `grays`).
 
-        Semantics match per-frame process(): the VO scan truncates at
-        every keyframe event, so all host-side SLAM logic (loop closure,
-        relocalization, online optimization) runs at exactly the same
-        frames with the same state. While lost (un-relocalized tracking
-        loss) processing falls back to per-frame so the relocalization
-        retry cadence is preserved. Returns one result per frame.
+        With window_defer_events=True (default, depth-only VO): the scan
+        truncates only at recovery re-seeds (relocalization must act
+        there); keyframe promotions are consumed in-scan and their host
+        bookkeeping (loop closure, graph edges, optimize cadence) runs
+        after the dispatch from the per-row stats -- exactly 1/W
+        dispatches per frame. Identical to per-frame processing except
+        that optimize_every>0 corrections apply at window boundaries.
+
+        With window_defer_events=False (and always for use_rgb): the VO
+        scan truncates at every keyframe event, so all host-side SLAM
+        logic runs at exactly the same frames with the same state. While
+        lost (un-relocalized tracking loss) processing falls back to
+        per-frame so the relocalization retry cadence is preserved.
+        Returns one result per frame.
         """
         if self.config.use_rgb and grays is None:
             raise ValueError(
@@ -298,6 +319,7 @@ class SlamTracker:
             )
         if timestamps is None:
             timestamps = [None] * len(depths)
+        defer = self.config.window_defer_events and not self.config.use_rgb
         results = []
         i = 0
         while i < len(depths):
@@ -323,11 +345,24 @@ class SlamTracker:
                 consumed = self._vo.process_window(
                     depths[i : i + window], timestamps[i : i + window],
                     pad_to=window,
+                    truncate_at_events="failures" if defer else True,
                 )
             self._frame_count += len(consumed)
-            res = consumed[-1]
-            if res.is_new_keyframe:
-                consumed[-1] = self._post_frame(depths[i + len(consumed) - 1], res)
+            if defer:
+                # Promotions were consumed in-scan: run each one's host
+                # bookkeeping now, in frame order. Only the LAST row can
+                # be a failure re-seed (the scan latches there), so the
+                # relocalization branch inside _post_frame still acts at
+                # the truncation point exactly as per-frame would.
+                for j, res in enumerate(consumed):
+                    if res.is_new_keyframe:
+                        consumed[j] = self._post_frame(depths[i + j], res)
+            else:
+                res = consumed[-1]
+                if res.is_new_keyframe:
+                    consumed[-1] = self._post_frame(
+                        depths[i + len(consumed) - 1], res
+                    )
             results.extend(consumed)
             i += len(consumed)
         return results
@@ -452,8 +487,14 @@ class SlamTracker:
             # Discount the incoming odometry edge by the tracking failures
             # in its span: each failed frame held the pose while the
             # camera kept moving, so the measured relative motion is
-            # incomplete. Clean spans keep weight 1.0.
-            odom_weight = max(0.02, 1.0 / (1.0 + self._vo.last_span_failures))
+            # incomplete. Clean spans keep weight 1.0. The span comes from
+            # the result row (exact per event, even when a deferred window
+            # consumed several promotions); tracker.last_span_failures is
+            # the fallback for results predating the field.
+            span = getattr(res, "span_failures", None)
+            if span is None:
+                span = self._vo.last_span_failures
+            odom_weight = max(0.02, 1.0 / (1.0 + span))
         if precomputed is not None:  # reuse the relocalization attempt's work
             cloud, feats, desc = precomputed
         else:

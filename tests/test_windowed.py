@@ -433,3 +433,126 @@ class TestMultiEventWindow:
         assert len(res) == 3
         _assert_results_match(a[1:], res)
         assert win._index == ref._index
+
+
+def _run_windowed_mode(tracker, depths, window, mode):
+    """Drive KeyframeTracker.process_window in a given truncate mode,
+    re-submitting unconsumed tails; returns (results, consumed-per-call)."""
+    out, lens, i = [], [], 0
+    while i < len(depths):
+        chunk = depths[i : i + window]
+        ts = [float(j) for j in range(i, i + len(chunk))]
+        res = tracker.process_window(chunk, ts, pad_to=window,
+                                     truncate_at_events=mode)
+        out.extend(res)
+        lens.append(len(res))
+        i += len(res)
+    return out, lens
+
+
+class TestFailuresTruncateMode:
+    """truncate_at_events="failures" (the SLAM window mode): successful
+    promotions are consumed in-scan -- whole windows, 1/W dispatches --
+    while a recovery re-seed latches the carry so the host can act."""
+
+    def test_promotions_consume_whole_windows(self):
+        depths = _sequence(9)
+        kw = dict(max_translation=0.06, max_rotation=0.05)
+        ref = KeyframeTracker(INTR, CFG, **kw)
+        win = KeyframeTracker(INTR, CFG, **kw)
+        ra = _run_per_frame(ref, depths)
+        rb, lens = _run_windowed_mode(win, depths, 4, "failures")
+        _assert_results_match(ra, rb)
+        assert sum(r.is_new_keyframe for r in ra[1:]) >= 2
+        # Promotions did NOT truncate: bootstrap + two full windows.
+        assert lens == [1, 4, 4]
+        # Per-event span_failures ride the results (clean spans here).
+        for x, y in zip(ra, rb):
+            assert x.span_failures == y.span_failures == 0
+
+    def test_truncates_at_recovery_reseed(self):
+        good = _sequence(4, step=(0.01, 0.0, 0.01, 0.0, 0.01, 0.0))
+        dead = [jnp.zeros_like(good[0])] * 3
+        tail = [good[-1]] * 2
+        depths = good + dead + tail
+        kw = dict(max_consecutive_failures=2, max_translation=10.0,
+                  max_rotation=10.0)
+        ref = KeyframeTracker(INTR, CFG, **kw)
+        win = KeyframeTracker(INTR, CFG, **kw)
+        ra = _run_per_frame(ref, depths)
+        rb, lens = _run_windowed_mode(win, depths, 4, "failures")
+        _assert_results_match(ra, rb)
+        # A failure-streak re-seed fired and latched its window: the call
+        # that contains it returns early (its last row is the re-seed).
+        reseeds = [r for r in ra if r.is_new_keyframe and not r.success]
+        assert reseeds
+        assert any(n < 4 for n in lens[1:])
+        for x, y in zip(ra, rb):
+            assert x.span_failures == y.span_failures
+        assert ref.last_span_failures == win.last_span_failures
+        assert ref._fail_streak == win._fail_streak
+
+
+class TestWindowedSlamDeferred:
+    """SlamConfig.window_defer_events: promotions consumed in-scan, host
+    bookkeeping (loop closure, graph edges) deferred to after the
+    dispatch -- identical results, ~1/W dispatches."""
+
+    def _make(self, **kw):
+        cfg = SlamConfig(
+            intrinsics=INTR,
+            icp=CFG,
+            loop_min_separation=3,
+            loop_similarity=0.8,
+            keyframe_cloud_capacity=1024,
+            **kw,
+        )
+        cfg.align.fpfh_max_neighbors = 32
+        t = SlamTracker(cfg)
+        t._vo.max_translation = 0.05
+        t._vo.max_rotation = 0.05
+        return t
+
+    def _out_and_back(self, n=10):
+        scene = synthetic.default_scene(seed=21)
+        step = jnp.asarray([0.03, 0.0, 0.02, 0.0, 0.025, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for i in range(n - 1):
+            s = step if i < n // 2 else -step
+            poses.append(se3.compose(poses[-1], se3.exp(s)))
+        return [synthetic.render_depth(INTR, T, scene) for T in poses]
+
+    def test_deferred_matches_truncating_and_per_frame(self):
+        depths = self._out_and_back()
+        ref = self._make()
+        trunc = self._make(window_defer_events=False)
+        defer = self._make(window_defer_events=True)
+        ra = _run_per_frame(ref, depths)
+        rb = _run_windowed(trunc, depths, window=4)
+        rc = _run_windowed(defer, depths, window=4)
+        _assert_results_match(ra, rb)
+        _assert_results_match(ra, rc)
+        assert defer.keyframe_count == ref.keyframe_count >= 2
+        assert defer.num_loop_closures == ref.num_loop_closures
+        for pa, pc in zip(ref.trajectory.poses, defer.trajectory.poses):
+            np.testing.assert_allclose(pa, pc, atol=1e-5)
+        oa, oc = ref.optimize(), defer.optimize()
+        if oa is not None:
+            np.testing.assert_allclose(oa, oc, atol=1e-4)
+
+    def test_deferred_with_online_optimize(self):
+        # optimize_every > 0: deferred corrections apply at window
+        # boundaries instead of mid-window -- trajectories stay close
+        # (bounded by one window of staleness), graph structure identical.
+        depths = self._out_and_back(12)
+        ref = self._make(optimize_every=2)
+        defer = self._make(optimize_every=2, window_defer_events=True)
+        ra = _run_per_frame(ref, depths)
+        rc = _run_windowed(defer, depths, window=4)
+        assert len(ra) == len(rc)
+        assert defer.keyframe_count == ref.keyframe_count
+        assert defer.num_loop_closures == ref.num_loop_closures
+        if ref.num_online_optimizations:
+            assert defer.num_online_optimizations
+        for pa, pc in zip(ref.trajectory.poses, defer.trajectory.poses):
+            np.testing.assert_allclose(pa, pc, atol=5e-2)
