@@ -68,7 +68,9 @@ class TsdfConfig(NamedTuple):
     raycast_coarse: int = 1  # >1: coarse-to-fine raycast (the tracker's
     # render path); cuts the gather-bound march cost ~coarse^2-fold on
     # the full-budget phase at the cost of sub-coarse-cell structures
-    refine_steps: int = 12  # full-res refinement steps when coarse > 1
+    refine_steps: int = 12  # full-res refinement steps when coarse > 1;
+    # must cover the seed window (2 pre-steps + the coarse neighborhood's
+    # depth spread)
     subvoxel_iters: int = 1  # trilinear secant refinements of each ray
     # hit AFTER the march: the march samples the TSDF nearest-neighbor,
     # so its interpolated crossing carries voxel-scale staircase error

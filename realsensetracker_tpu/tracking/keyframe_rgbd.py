@@ -61,10 +61,10 @@ def _fused_rgbd_track_step(depth, gray, kf_levels, kf_grays, kf_pose, pose,
     return levels, grays, new_pose, stats
 
 
-@partial(jax.jit, static_argnames=("intr", "cfg"))
+@partial(jax.jit, static_argnames=("intr", "cfg", "truncate"))
 def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
                              pose, streak0, fails0, thresholds, max_fails,
-                             *, intr, cfg):
+                             row_valid=None, *, intr, cfg, truncate=True):
     """A window of RGB-D tracked frames as one XLA program.
 
     The colored counterpart of keyframe.py _fused_track_window: lax.scan
@@ -72,15 +72,19 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
     target (plane-table levels + intensity pyramid) on device and
     replicating the promotion/failure logic with where-selects. Returns
     only the per-frame (W, 30) stats matrix -- same row layout as the
-    depth-only window scan. The carry latches at the first keyframe
-    event (see keyframe.py _fused_track_window): the returned
-    (kf_levels, kf_grays, kf_pose, pose) are the state at the truncation
-    point, adopted device-resident by the host."""
+    depth-only window scan. ``truncate`` modes and ``row_valid`` padding
+    semantics match keyframe.py _fused_track_window exactly: True
+    latches the carry at the first keyframe event, "failures" latches
+    only at recovery re-seeds (promotions track through in-scan), False
+    never latches; invalid rows freeze the carry in every mode."""
     f32, i32 = jnp.float32, jnp.int32
+    if row_valid is None:
+        row_valid = jnp.ones((depths.shape[0],), bool)
 
-    def body(carry, frame):
-        depth, gray = frame
+    def body(carry, xs):
+        depth, gray, valid = xs
         kf_lv, kf_gr, kf_p, p, streak, fails, done = carry
+        dead = done | ~valid
         levels, grs, intrs = rgbd_mod.build_rgbd_target(depth, gray, intr, cfg)
         levels, grs = tuple(levels), tuple(grs)
         src_samples = rgbd_mod.sample_rgbd_source(depth, gray, intrs, cfg)
@@ -102,14 +106,14 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
         fails1 = jnp.where(success, fails, fails + i32(1))
         reseed = (~success) & (streak1 >= max_fails)
         is_new_kf = promote | reseed
-        event_now = is_new_kf & ~done
-        p1 = jnp.where(success & ~done, new_pose, p).astype(f32)
+        event_now = is_new_kf & ~dead
+        p1 = jnp.where(success & ~dead, new_pose, p).astype(f32)
         kf_p1 = jnp.where(event_now, p1, kf_p).astype(f32)
         sel = lambda a, b: jnp.where(event_now, a, b)
         kf_lv1 = jax.tree_util.tree_map(sel, levels, kf_lv)
         kf_gr1 = jax.tree_util.tree_map(sel, grs, kf_gr)
-        streak2 = jnp.where(done, streak, jnp.where(reseed, i32(0), streak1))
-        fails2 = jnp.where(done, fails, jnp.where(is_new_kf, i32(0), fails1))
+        streak2 = jnp.where(dead, streak, jnp.where(reseed, i32(0), streak1))
+        fails2 = jnp.where(dead, fails, jnp.where(is_new_kf, i32(0), fails1))
         stats = jnp.concatenate([
             jnp.stack([out.rmse.astype(f32), inlier, ok.astype(f32)]),
             tw,
@@ -122,14 +126,19 @@ def _fused_rgbd_track_window(depths, grays_in, kf_levels, kf_grays, kf_pose,
                 fails2.astype(f32),
             ]),
         ])
-        return (kf_lv1, kf_gr1, kf_p1, p1, streak2, fails2,
-                done | is_new_kf), stats
+        if truncate == "failures":
+            done1 = done | (is_new_kf & ~success)
+        elif truncate:
+            done1 = done | is_new_kf
+        else:
+            done1 = done
+        return (kf_lv1, kf_gr1, kf_p1, p1, streak2, fails2, done1), stats
 
     carry0 = (kf_levels, kf_grays, kf_pose, pose,
               jnp.asarray(streak0, i32), jnp.asarray(fails0, i32),
               jnp.asarray(False))
     (kf_lv, kf_gr, kf_p, p, _, _, _), stats = jax.lax.scan(
-        body, carry0, (depths, grays_in)
+        body, carry0, (depths, grays_in, row_valid)
     )
     return kf_lv, kf_gr, kf_p, p, stats
 
@@ -247,19 +256,24 @@ class RgbdKeyframeTracker:
         return res
 
     def process_window(self, depths, grays, timestamps=None,
-                       pad_to: int | None = None) -> list[KeyframeResult]:
+                       pad_to: int | None = None,
+                       truncate_at_events: bool | str = True,
+                       ) -> list[KeyframeResult]:
         """Process up to len(depths) RGB-D frames in ONE device dispatch.
 
-        Same contract as KeyframeTracker.process_window: consumes frames
-        up to and INCLUDING the first keyframe event (or the whole window)
-        and returns their results; a shorter return means the caller
-        should re-submit the unconsumed tail. pad_to fixes the compiled
-        window shape (padded rows ignored)."""
+        Same contract as KeyframeTracker.process_window, including the
+        truncate modes: True consumes up to and INCLUDING the first
+        keyframe event (a shorter return means the caller should
+        re-submit the unconsumed tail); "failures" consumes promotions
+        in-scan and truncates only at recovery re-seeds (the SLAM
+        deferred-window mode); False always consumes the whole window.
+        pad_to fixes the compiled window shape (padded rows are inert)."""
         if timestamps is None:
             timestamps = [None] * len(depths)
         if self._kf_target is None:
             return [self.process(depths[0], grays[0], timestamps[0])]
         kf_levels, kf_grays = self._kf_target
+        n_real = len(depths)
 
         def stacked(frames):
             s = np.stack([np.asarray(f) for f in frames])
@@ -269,6 +283,8 @@ class RgbdKeyframeTracker:
                 )
             return jnp.asarray(s, jnp.float32)
 
+        n_rows = max(pad_to or 0, n_real)
+        valid = np.arange(n_rows) < n_real
         if self._thresholds_dev is None:
             self._thresholds_dev = jnp.asarray([
                 self.min_inlier_fraction, self.max_translation,
@@ -282,13 +298,17 @@ class RgbdKeyframeTracker:
                 kf_levels, kf_grays, self._kf_pose, self._pose,
                 self._fail_streak, self._fails_since_kf,
                 self._thresholds_dev, self._max_fails_dev,
+                jnp.asarray(valid),
                 intr=self.intr, cfg=self.cfg,
+                truncate=truncate_at_events,
             )
         s = np.asarray(stats)  # the window's ONE host transfer
         results: list[KeyframeResult] = []
         consumed = 0
         event = False
-        for i in range(len(depths)):
+        hard_stop = False  # the scan carry latched at the consumed tail
+        last_event = -1
+        for i in range(n_real):
             ts = timestamps[i] if timestamps[i] is not None else float(self._index)
             pose_np = s[i, 9:25].reshape(4, 4).astype(np.float32)
             success = s[i, 25] > 0.5
@@ -308,20 +328,30 @@ class RgbdKeyframeTracker:
             consumed = i + 1
             if is_new_kf:
                 event = True
-                break
+                last_event = i
+                if truncate_at_events is True or (
+                    truncate_at_events == "failures" and not success
+                ):
+                    hard_stop = True
+                    break
         last = consumed - 1
         self._last_frame = (depths[last], grays[last])
         self._last_target = None  # rebuilt lazily from _last_frame if needed
         if event:
-            # The scan latched at this event: adopt the device-resident
-            # carry directly (no target rebuild dispatch).
+            # The carry holds the keyframe state at the truncation point
+            # (latched modes) or after the LAST event (multi-event mode),
+            # device-resident -- no target rebuild dispatch either way.
             self._pose = pose_dev
             self._kf_target = (kf_lv_dev, kf_gr_dev)
-            self._last_target = self._kf_target
             self._kf_pose = kf_pose_dev
-            self.last_span_failures = int(s[last, 27])
-            self._fail_streak = 0
-            self._fails_since_kf = 0
+            self.last_span_failures = int(s[last_event, 27])
+            if hard_stop:
+                self._last_target = self._kf_target
+                self._fail_streak = 0
+                self._fails_since_kf = 0
+            else:
+                self._fail_streak = int(s[last, 28])
+                self._fails_since_kf = int(s[last, 29])
         else:
             self._pose = jnp.asarray(self._pose_np)
             self._fail_streak = int(s[last, 28])

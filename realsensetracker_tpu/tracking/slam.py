@@ -170,7 +170,6 @@ class SlamConfig:
     # optimize_every > 0: the online drift correction then applies at the
     # window boundary instead of mid-window (bounded by one window of
     # staleness). Set False for strict per-frame-identical behavior.
-    # Depth-only VO only; the RGB-D window always truncates at events.
     window_defer_events: bool = True
 
 
@@ -298,20 +297,21 @@ class SlamTracker:
         process_window; SlamConfig.use_rgb selects RGB-D and requires
         `grays`).
 
-        With window_defer_events=True (default, depth-only VO): the scan
-        truncates only at recovery re-seeds (relocalization must act
-        there); keyframe promotions are consumed in-scan and their host
-        bookkeeping (loop closure, graph edges, optimize cadence) runs
-        after the dispatch from the per-row stats -- exactly 1/W
-        dispatches per frame. Identical to per-frame processing except
-        that optimize_every>0 corrections apply at window boundaries.
+        With window_defer_events=True (default; depth-only and RGB-D):
+        the scan truncates only at recovery re-seeds (relocalization
+        must act there); keyframe promotions are consumed in-scan and
+        their host bookkeeping (loop closure, graph edges, optimize
+        cadence) runs after the dispatch from the per-row stats --
+        exactly 1/W dispatches per frame. Identical to per-frame
+        processing except that optimize_every>0 corrections apply at
+        window boundaries.
 
-        With window_defer_events=False (and always for use_rgb): the VO
-        scan truncates at every keyframe event, so all host-side SLAM
-        logic runs at exactly the same frames with the same state. While
-        lost (un-relocalized tracking loss) processing falls back to
-        per-frame so the relocalization retry cadence is preserved.
-        Returns one result per frame.
+        With window_defer_events=False: the VO scan truncates at every
+        keyframe event, so all host-side SLAM logic runs at exactly the
+        same frames with the same state. While lost (un-relocalized
+        tracking loss) processing falls back to per-frame so the
+        relocalization retry cadence is preserved. Returns one result
+        per frame.
         """
         if self.config.use_rgb and grays is None:
             raise ValueError(
@@ -319,7 +319,7 @@ class SlamTracker:
             )
         if timestamps is None:
             timestamps = [None] * len(depths)
-        defer = self.config.window_defer_events and not self.config.use_rgb
+        defer = self.config.window_defer_events
         results = []
         i = 0
         while i < len(depths):
@@ -340,6 +340,7 @@ class SlamTracker:
                     [_as_gray(g) for g in grays[i : i + window]],
                     timestamps[i : i + window],
                     pad_to=window,
+                    truncate_at_events="failures" if defer else True,
                 )
             else:
                 consumed = self._vo.process_window(

@@ -556,3 +556,82 @@ class TestWindowedSlamDeferred:
             assert defer.num_online_optimizations
         for pa, pc in zip(ref.trajectory.poses, defer.trajectory.poses):
             np.testing.assert_allclose(pa, pc, atol=5e-2)
+
+    def test_rgbd_deferred_matches_per_frame_and_truncating(self):
+        from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+
+        scene = synthetic.default_scene(seed=13)
+        step = jnp.asarray([0.025, 0.0, 0.02, 0.0, 0.02, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for _ in range(7):
+            poses.append(se3.compose(poses[-1], se3.exp(step)))
+        depths, grays = [], []
+        for T in poses:
+            d, rgb = synthetic.render_rgbd(INTR, T, scene)
+            depths.append(d)
+            grays.append(synthetic.intensity_from_rgb(rgb))
+
+        def make(**kw):
+            cfg = SlamConfig(
+                intrinsics=INTR, use_rgb=True,
+                rgbd=RgbdIcpConfig(iters=(4, 4), samples=768),
+                keyframe_cloud_capacity=1024, **kw,
+            )
+            cfg.align.fpfh_max_neighbors = 32
+            t = SlamTracker(cfg)
+            t._vo.max_translation = 0.05
+            t._vo.max_rotation = 0.05
+            return t
+
+        def windowed(t):
+            out, i = [], 0
+            while i < len(depths):
+                res = t.process_window(
+                    depths[i:], [float(j) for j in range(i, len(depths))],
+                    window=4, grays=grays[i:],
+                )
+                out.extend(res)
+                i += len(res)
+            return out
+
+        ref = make()
+        ra = [ref.process(d, float(i), gray=g)
+              for i, (d, g) in enumerate(zip(depths, grays))]
+        trunc, defer = make(window_defer_events=False), make()
+        rb, rc = windowed(trunc), windowed(defer)
+        _assert_results_match(ra, rb)
+        _assert_results_match(ra, rc)
+        assert sum(r.is_new_keyframe for r in ra[1:]) >= 1
+        assert defer.keyframe_count == ref.keyframe_count
+
+    def test_rgbd_padding_inert_without_events(self):
+        # RGB-D windows now freeze padded rows via row_valid (previously
+        # padded duplicates were live and only host discarding hid them):
+        # a short event-free window padded to 8 must match per-frame.
+        from realsensetracker_tpu.align.rgbd import RgbdIcpConfig
+        from realsensetracker_tpu.tracking.keyframe_rgbd import (
+            RgbdKeyframeTracker,
+        )
+
+        scene = synthetic.default_scene(seed=13)
+        step = jnp.asarray([0.004, 0.0, 0.004, 0.0, 0.0, 0.0], jnp.float32)
+        poses = [se3.identity()]
+        for _ in range(3):
+            poses.append(se3.compose(poses[-1], se3.exp(step)))
+        depths, grays = [], []
+        for T in poses:
+            d, rgb = synthetic.render_rgbd(INTR, T, scene)
+            depths.append(d)
+            grays.append(synthetic.intensity_from_rgb(rgb))
+        cfg = RgbdIcpConfig(iters=(4, 4), samples=768)
+        ref = RgbdKeyframeTracker(INTR, cfg)
+        win = RgbdKeyframeTracker(INTR, cfg)
+        ra = [ref.process(d, g, float(i))
+              for i, (d, g) in enumerate(zip(depths, grays))]
+        win.process(depths[0], grays[0], 0.0)
+        res = win.process_window(depths[1:], grays[1:], [1.0, 2.0, 3.0],
+                                 pad_to=8, truncate_at_events=False)
+        assert len(res) == 3
+        _assert_results_match(ra[1:], res)
+        assert win._index == ref._index
+        assert win._fail_streak == ref._fail_streak

@@ -62,11 +62,13 @@ np.asarray(vol.tsdf[0, 0, :2])
 field_fn = jax.jit(lambda v, T: tsdf.march_field(v).reshape(
     cfg.resolution, -1).sum(axis=1) + T[0, 3])
 coarse_fn = jax.jit(lambda v, T: tsdf.raycast(v, T, intr_c, cfg))
+# NOTE: raycast_coarse must be set IN the config (the first probe run
+# left it at 1 for three variants, silently measuring the exact march).
 variants = {
-    "c2f": cfg,
-    "c2f_nosub": cfg._replace(subvoxel_iters=0),
+    "c2f": cfg._replace(raycast_coarse=4),
+    "c2f_nosub": cfg._replace(raycast_coarse=4, subvoxel_iters=0),
     "c2f_8_16": cfg._replace(raycast_coarse=8, refine_steps=16),
-    "c2f_4_8": cfg._replace(refine_steps=8),
+    "c2f_4_8": cfg._replace(raycast_coarse=4, refine_steps=8),
 }
 ray_fns = {
     k: jax.jit(lambda v, T, c=c: tsdf.raycast_coarse_to_fine(
@@ -76,7 +78,7 @@ ray_fns = {
 
 poses = [jnp.asarray(se3.exp(jnp.asarray(
     np.r_[1e-4 * (i + 1), 0, 0, 0, 2e-4 * (i + 1), 0], np.float32)))
-    for i in range(14)]
+    for i in range(16)]
 
 # warm compiles
 np.asarray(field_fn(vol, poses[0]))
