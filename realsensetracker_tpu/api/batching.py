@@ -251,12 +251,13 @@ class BatchedExecutor:
         against a stale facade writing into a reacquired slot."""
         intr = self.config.intrinsics
         shape = (int(intr.height), int(intr.width))
-        depths = np.asarray(depths)
         # Integer frames stay RAW (uint16: half the f32 upload bytes;
-        # meters = raw * config.depth_scale on device); floats are meters.
-        depths = (depths.astype(np.uint16)
-                  if np.issubdtype(depths.dtype, np.integer)
-                  else depths.astype(np.float32))
+        # meters = raw * config.depth_scale on device); floats are
+        # meters. Integers that do NOT fit uint16 convert to meters here
+        # instead of wrapping (data/depth_units.stage_depth_np).
+        from realsensetracker_tpu.data.depth_units import stage_depth_np
+
+        depths, _ = stage_depth_np(depths, self.config.depth_scale)
         if depths.ndim != 3 or depths.shape[1:] != shape:
             raise ValueError(
                 f"frame batch shape {depths.shape} != (n,) + service shape "
@@ -541,6 +542,12 @@ class BatchedSessionTracker:
     # them at half the f32 bytes and converts on device
     # (BatchingConfig.depth_scale).
     accepts_raw_depth = True
+
+    @property
+    def depth_scale(self) -> float:
+        """The executor's meters-per-raw-unit -- lets the service verify
+        its own depth_scale agrees before passing raw frames through."""
+        return self._ex.config.depth_scale
 
     def __init__(self, executor: BatchedExecutor, slot: int, gen: int):
         self._ex = executor

@@ -309,13 +309,27 @@ class TrackingService:
     def _ingest_depth(self, depth, tracker):
         """Raw integer depth bodies pass through to trackers that accept
         them (accepts_raw_depth: api.Tracker via config.depth_scale,
-        BatchedSessionTracker via BatchingConfig.depth_scale -- both
-        convert ON DEVICE at half the f32 upload bytes); anything else
-        gets host-converted meters at this service's depth_scale."""
+        SlamTracker via SlamConfig.depth_scale, BatchedSessionTracker via
+        BatchingConfig.depth_scale -- all convert ON DEVICE at half the
+        f32 upload bytes); anything else gets host-converted meters at
+        this service's depth_scale.
+
+        Raw passthrough happens ONLY when the tracker's own depth_scale
+        agrees with the service's: a raw-accepting tracker converts at
+        ITS scale, so a mismatch (e.g. a SlamTracker left at the 1e-3
+        default behind a 1/5000 service) would silently misread every
+        frame by the ratio. Meters are unambiguous, so on mismatch (or
+        when the tracker's scale is undiscoverable) the service converts
+        on host instead."""
         if not np.issubdtype(np.asarray(depth).dtype, np.integer):
             return depth
         if getattr(tracker, "accepts_raw_depth", False):
-            return depth
+            ts = getattr(tracker, "depth_scale", None)
+            if ts is None:
+                ts = getattr(getattr(tracker, "config", None),
+                             "depth_scale", None)
+            if ts is not None and float(ts) == float(self._depth_scale):
+                return depth
         return np.asarray(depth).astype(np.float32) * self._depth_scale
 
     def _run_tracked(self, sess: _Session, call):
@@ -437,8 +451,22 @@ def _decode_frame(body: bytes):
 
 
 def _as_depth(arr) -> np.ndarray:
+    """Integer bodies stage as uint16 RAW units, floats as f32 meters.
+
+    Wider integer dtypes are accepted only when their VALUES fit uint16
+    (a bare astype would silently wrap 100000 -> 34464 / -1 -> 65535 and
+    the tracker would register against garbage); out-of-range integers
+    are a 400 to the client, who should send uint16 raw units or f32
+    meters."""
     a = np.asarray(arr)
     if np.issubdtype(a.dtype, np.integer):
+        if a.dtype != np.uint16 and a.size and (
+            int(a.min()) < 0 or int(a.max()) > 65535
+        ):
+            raise ValueError(
+                "integer depth exceeds the uint16 raw-unit range; send "
+                "uint16 raw units or float32 meters"
+            )
         return a.astype(np.uint16)
     return a.astype(np.float32)
 

@@ -119,9 +119,11 @@ class Tracker:
             and self.config.tsdf_submap_radius <= 0
         ):
             return depth
+        from realsensetracker_tpu.data.depth_units import to_meters_np
+
         a = np.asarray(depth)
         if np.issubdtype(a.dtype, np.integer):
-            return a.astype(np.float32) * self.config.depth_scale
+            return to_meters_np(a, self.config.depth_scale)
         return depth
 
     def process(self, depth, timestamp: float | None = None, color=None):

@@ -333,15 +333,12 @@ def main(argv=None) -> int:
         if buf:
             yield from flush()
 
-    import numpy as _np
+    from realsensetracker_tpu.data.depth_units import to_meters_np
 
     def _meters(d):
         """Raw integer frames -> f32 meters for host-side consumers
         (viewer PNG, orbit unprojection); float frames pass through."""
-        a = _np.asarray(d)
-        if _np.issubdtype(a.dtype, _np.integer):
-            return a.astype(_np.float32) * (depth_scale or 1.0)
-        return a
+        return to_meters_np(d, depth_scale or 1.0)
 
     n = 0
     t_start = time.perf_counter()

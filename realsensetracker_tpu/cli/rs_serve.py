@@ -116,7 +116,12 @@ def main(argv=None) -> int:
         if args.method == "slam":
             from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
-            return SlamTracker(SlamConfig(intrinsics=intr))
+            # depth_scale must match the service's: raw u16 bodies pass
+            # through to SLAM (accepts_raw_depth) and convert at the
+            # TRACKER's scale; the service's mismatch guard would
+            # otherwise drop serving back to host-converted f32 uploads.
+            return SlamTracker(SlamConfig(intrinsics=intr,
+                                          depth_scale=args.depth_scale))
         from realsensetracker_tpu.api import Tracker, TrackerConfig
 
         tsdf_kw = {"tsdf": tsdf_cfg} if tsdf_cfg is not None else {}

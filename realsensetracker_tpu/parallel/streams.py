@@ -73,6 +73,10 @@ def _register_all(ref_levels, depths, intr, cfg, min_inlier_fraction):
     (precision annotation, success-gate change) lands in both. Returns
     (new_levels, icp_result, ok) with ok = finite transform & inlier gate.
     """
+    # fit_levels here is for projective_icp below (which must see the
+    # resolution-fitted schedule); _build_levels re-fits internally for
+    # its other callers -- idempotent, same min-extent rule, keep both
+    # fits in sync if fit_levels ever grows parameters.
     cfg = projective.fit_levels(cfg, *depths.shape[-2:])
     new_levels, intrs = _build_levels(depths, intr, cfg)
 

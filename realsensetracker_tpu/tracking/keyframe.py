@@ -392,7 +392,19 @@ class KeyframeTracker:
             timestamps = [None] * len(depths)
         if self._kf_levels is None:  # bootstrap: first frame seeds the keyframe
             return [self.process(depths[0], timestamps[0])]
-        stack = np.stack([np.asarray(d) for d in depths])
+        arrs = [np.asarray(d) for d in depths]
+        kinds = {bool(np.issubdtype(a.dtype, np.integer)) for a in arrs}
+        if len(kinds) > 1:
+            # Mixed raw-integer / float-meters windows: np.stack would
+            # silently promote the raw frames to float COUNTS and the
+            # scan would read them as meters (5000x off). Convert the
+            # integer frames to meters here instead.
+            arrs = [
+                a.astype(np.float32) * np.float32(self.depth_scale)
+                if np.issubdtype(a.dtype, np.integer) else a
+                for a in arrs
+            ]
+        stack = np.stack(arrs)
         if not np.issubdtype(stack.dtype, np.integer):
             stack = stack.astype(np.float32)
         # Integer (u16) windows upload raw -- half the f32 bytes, and the

@@ -256,6 +256,9 @@ class SlamTracker:
         self.num_online_optimizations = 0
         self.lost = False  # un-relocalized tracking loss: pose is stale
         self._frame_count = 0
+        # Deferred-window bookkeeping: the optimize_every cadence fired
+        # inside a window and runs once at the window boundary.
+        self._optimize_due = False
 
     @property
     def trajectory(self) -> Trajectory:
@@ -269,10 +272,9 @@ class SlamTracker:
         """Lazy host conversion of raw integer frames to f32 meters --
         called only where SLAM logic consumes depth on host (keyframe
         events, relocalization), so the per-frame hot path never pays it."""
-        a = np.asarray(depth)
-        if np.issubdtype(a.dtype, np.integer):
-            return a.astype(np.float32) * self.config.depth_scale
-        return a
+        from realsensetracker_tpu.data.depth_units import to_meters_np
+
+        return to_meters_np(depth, self.config.depth_scale)
 
     def process(self, depth, timestamp: float | None = None, gray=None):
         if self.config.use_rgb:
@@ -355,9 +357,23 @@ class SlamTracker:
                 # be a failure re-seed (the scan latches there), so the
                 # relocalization branch inside _post_frame still acts at
                 # the truncation point exactly as per-frame would.
+                # Online optimization is held until ALL of the window's
+                # keyframes are booked: running it between two same-window
+                # events would rewrite keyframe k's stored pose while
+                # k+1's in-scan pose is already fixed, contaminating the
+                # odometry edge between them with the correction delta --
+                # the edges must be measured in ONE drift frame, and the
+                # correction then applies once at the window boundary.
+                opt_due = False
                 for j, res in enumerate(consumed):
                     if res.is_new_keyframe:
-                        consumed[j] = self._post_frame(depths[i + j], res)
+                        consumed[j] = self._post_frame(
+                            depths[i + j], res, defer_optimize=True
+                        )
+                        opt_due = opt_due or self._optimize_due
+                        self._optimize_due = False
+                if opt_due:
+                    self._optimize_online()
             else:
                 res = consumed[-1]
                 if res.is_new_keyframe:
@@ -368,9 +384,14 @@ class SlamTracker:
             i += len(consumed)
         return results
 
-    def _post_frame(self, depth, res):
+    def _post_frame(self, depth, res, defer_optimize=False):
         """Everything process() does after the VO step: relocalization,
-        keyframe events (loop closure + graph edges), online optimization."""
+        keyframe events (loop closure + graph edges), online optimization.
+
+        defer_optimize: record that the optimize_every cadence fired
+        (self._optimize_due) instead of running it -- the deferred-window
+        path batches all of a window's keyframe bookkeeping first and
+        optimizes once at the boundary (see process_window)."""
         precomputed = None
         odom_weight = None  # None -> derive from the span's failure count
         # A failure-streak re-seed means the held pose is stale: attempt
@@ -416,7 +437,10 @@ class SlamTracker:
                 and len(self._keyframes) % ev == 0
                 and self._loop_edges
             ):
-                self._optimize_online()
+                if defer_optimize:
+                    self._optimize_due = True
+                else:
+                    self._optimize_online()
         return res
 
     def _optimize_online(self) -> None:

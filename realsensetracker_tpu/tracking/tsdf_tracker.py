@@ -427,6 +427,14 @@ class TsdfTracker:
             i = 1
         while i < n:
             chunk = [self._as_depth(d) for d in depths[i:i + window]]
+            kinds = {bool(jnp.issubdtype(c.dtype, jnp.integer))
+                     for c in chunk}
+            if len(kinds) > 1:
+                # Mixed raw/meters chunks: jnp.stack would promote the
+                # raw frames to float COUNTS misread as meters -- convert
+                # the integer frames to meters first.
+                chunk = [depth_to_meters(c, self.depth_scale)
+                         for c in chunk]
             k = len(chunk)
             pad = window - k
             d = jnp.stack(chunk + [chunk[-1]] * pad)

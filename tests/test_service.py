@@ -493,7 +493,9 @@ class TestRawU16:
             assert [f["success"] for f in rec["frames"]] == [True] * 4
         finally:
             svc.close()
-        # SLAM (no accepts_raw_depth): the service converts on host
+        # SLAM accepts raw depth, but its config keeps the 1e-3 default
+        # scale while the service runs 1/5000: the scale-mismatch guard
+        # must host-convert to meters instead of passing raw through.
         from realsensetracker_tpu.tracking.slam import SlamConfig, SlamTracker
 
         svc2 = TrackingService(

@@ -635,3 +635,51 @@ class TestWindowedSlamDeferred:
         _assert_results_match(ra[1:], res)
         assert win._index == ref._index
         assert win._fail_streak == ref._fail_streak
+
+    def test_online_optimize_defers_to_window_boundary(self):
+        # Review fix: a mid-window _optimize_online between two
+        # same-window keyframe bookings would rewrite keyframe k's
+        # stored pose while k+1's in-scan pose is already fixed,
+        # contaminating the odometry edge between them. The deferred
+        # path must book ALL of a window's keyframes first and optimize
+        # once at the boundary.
+        depths = self._out_and_back(12)
+        t = self._make(optimize_every=1)
+        order = []
+        orig_win = t._vo.process_window
+        orig_kf = t._on_keyframe
+        orig_opt = t._optimize_online
+
+        def spy_win(*a, **k):
+            order.append("win")
+            return orig_win(*a, **k)
+
+        def spy_kf(*a, **k):
+            order.append("kf")
+            return orig_kf(*a, **k)
+
+        def spy_opt():
+            order.append("opt")
+            return orig_opt()
+
+        t._vo.process_window = spy_win
+        t._on_keyframe = spy_kf
+        t._optimize_online = spy_opt
+        _run_windowed(t, depths, window=8)
+        assert order.count("opt") >= 1  # the cadence fired at least once
+        # Within every window (a "win".."win" segment), no optimize may
+        # run between two keyframe bookings.
+        segs, cur = [], []
+        for ev in order:
+            if ev == "win":
+                segs.append(cur)
+                cur = []
+            else:
+                cur.append(ev)
+        segs.append(cur)
+        for seg in segs:
+            if "opt" in seg:
+                assert "kf" not in seg[seg.index("opt"):], seg
+        # And at least one window booked >= 2 keyframes, so the ordering
+        # property was actually exercised.
+        assert any(seg.count("kf") >= 2 for seg in segs)
