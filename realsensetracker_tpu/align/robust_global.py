@@ -176,6 +176,11 @@ def _gnc_tls_rotation(
         R_new = solve_rotation(w)
         cost = jnp.sum(w * r2).astype(f32)
         done = jnp.abs(cost - prev_cost) <= f32(cost_threshold) * prev_cost
+        # A non-finite cost (NaN input surviving into the TIMs) can never
+        # satisfy the stability test, and under vmap (the one-dispatch
+        # batched loop-closure/atlas verify) ONE such lane would drag
+        # every lane through all max_iters rounds -- bail out instead.
+        done = done | ~jnp.isfinite(cost)
         return (R_new, mu * gnc_factor, cost, i + i32(1), done)
 
     # prev_cost starts NEGATIVE: |cost - prev| <= thr * prev is then false

@@ -422,7 +422,11 @@ class BatchedExecutor:
             def as_staged(d):
                 if all_int or not np.issubdtype(d.dtype, np.integer):
                     return d
-                return d.astype(np.float32) * cfg.depth_scale
+                from realsensetracker_tpu.data.depth_units import (
+                    to_meters_np,
+                )
+
+                return to_meters_np(d, cfg.depth_scale)
 
             if windowed:
                 wlen = cfg.window
@@ -617,7 +621,21 @@ class BatchedSessionTracker:
             chunk = max(1, min(window, self._ex.config.window))
             out: list[FrameResult] = []
             for i in range(0, len(depths), chunk):
-                part = np.asarray(depths[i : i + chunk])
+                arrs = [np.asarray(d) for d in depths[i : i + chunk]]
+                kinds = {bool(np.issubdtype(a.dtype, np.integer))
+                         for a in arrs}
+                if len(kinds) > 1:
+                    # Mixed raw-integer / float-meters chunks: np.asarray
+                    # would promote the raw frames to float COUNTS that
+                    # the step reads as meters. Convert the integer
+                    # frames to meters at the executor's scale first.
+                    from realsensetracker_tpu.data.depth_units import (
+                        to_meters_np,
+                    )
+
+                    arrs = [to_meters_np(a, self._ex.config.depth_scale)
+                            for a in arrs]
+                part = np.asarray(arrs)
                 if not np.issubdtype(part.dtype, np.integer):
                     part = part.astype(np.float32)  # raw u16 stays raw
                 gpart = (np.stack(grays[i : i + chunk])

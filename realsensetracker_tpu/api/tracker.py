@@ -108,16 +108,15 @@ class Tracker:
             raise ValueError(f"unknown tracking method: {method}")
 
     def _ingest(self, depth):
-        """Integer (u16) depth frames -> f32 meters on host, for methods
-        without a device-side raw path. method='keyframe' and plain
-        (non-submap) method='tsdf' upload raw uint16 and convert on
-        device (tracking/keyframe.py, tracking/tsdf_tracker.py); the
-        submap atlas consumes depth on host at handover/reactivation so
-        it takes meters."""
-        if self.config.method == "keyframe" or (
-            self.config.method == "tsdf"
-            and self.config.tsdf_submap_radius <= 0
-        ):
+        """Integer (u16) depth frames -> f32 meters on host, for impls
+        without a device-side raw path. Impls that declare
+        ``accepts_raw_depth`` (KeyframeTracker, plain TsdfTracker) get
+        raw uint16 verbatim and convert on device at the scale this
+        facade gave them; the others (e.g. the submap atlas, which
+        consumes depth on host at handover/reactivation) take meters.
+        Probing the impl -- the same protocol the HTTP service uses on
+        trackers -- keeps this correct when an impl gains a raw path."""
+        if getattr(self._impl, "accepts_raw_depth", False):
             return depth
         from realsensetracker_tpu.data.depth_units import to_meters_np
 

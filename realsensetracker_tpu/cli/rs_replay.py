@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
                    help="method=tsdf: voxel edge length in meters "
                         "(0 = default 0.04); the volume stays centered")
+    p.add_argument("--tsdf-track-scale", type=int, default=0, metavar="S",
+                   help="method=tsdf: register each frame against a "
+                        "model render at 1/S resolution (power of 2; "
+                        "integration stays full-res, so map quality is "
+                        "unchanged) -- cuts the raycast-dominated "
+                        "tracked-step cost ~S^2-fold (0 = full res)")
     p.add_argument("--submap-radius", type=float, default=0.0, metavar="M",
                    help="method=tsdf: > 0 enables the submap atlas "
                         "(unbounded dense mapping from fixed-shape "
@@ -136,9 +142,10 @@ def main(argv=None) -> int:
     if args.tsdf_color and args.method != "tsdf":
         print("--tsdf-color requires --method tsdf", file=sys.stderr)
         return 1
-    if (args.tsdf_resolution or args.tsdf_voxel) and args.method != "tsdf":
-        print("--tsdf-resolution/--tsdf-voxel require --method tsdf",
-              file=sys.stderr)
+    if (args.tsdf_resolution or args.tsdf_voxel
+            or args.tsdf_track_scale) and args.method != "tsdf":
+        print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale require "
+              "--method tsdf", file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb or args.tsdf_color
 
@@ -242,11 +249,16 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         tsdf_kw = {}
-        if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel):
+        if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel
+                                      or args.tsdf_track_scale):
             from realsensetracker_tpu.mapping.tsdf import sized_config
 
-            tsdf_kw["tsdf"] = sized_config(args.tsdf_resolution,
-                                           args.tsdf_voxel)
+            cfg_tsdf = sized_config(args.tsdf_resolution, args.tsdf_voxel)
+            if args.tsdf_track_scale:
+                cfg_tsdf = cfg_tsdf._replace(
+                    track_scale=args.tsdf_track_scale
+                )
+            tsdf_kw["tsdf"] = cfg_tsdf
         if depth_scale is not None:
             tsdf_kw["depth_scale"] = depth_scale
         cfg = TrackerConfig(intrinsics=intr, method=args.method,
@@ -387,11 +399,20 @@ def main(argv=None) -> int:
                     if m is not None:
                         pts = np.asarray(m.points)[np.asarray(m.mask)]
                     else:
-                        from realsensetracker_tpu.geometry import camera as cam_mod
-
+                        # Host-NumPy unprojection: this is viewer
+                        # decoration on the TIMED replay path -- a jnp
+                        # call here would pay a fresh relay compile
+                        # (30-90 s, gotcha 8) plus ~45 ms/dispatch and a
+                        # full-frame device round-trip for ~1 ms of
+                        # broadcasting.
                         d = _meters(depth).astype(np.float32)
-                        local = np.asarray(
-                            cam_mod.unproject_depth(d, intr)
+                        h_, w_ = d.shape
+                        us = (np.arange(w_, dtype=np.float32) - intr.cx) \
+                            / intr.fx
+                        vs = (np.arange(h_, dtype=np.float32) - intr.cy) \
+                            / intr.fy
+                        local = np.stack(
+                            [d * us[None, :], d * vs[:, None], d], axis=-1
                         ).reshape(-1, 3)[d.reshape(-1) > 0]
                         pts = local @ pose_np[:3, :3].T + pose_np[:3, 3]
                     if pts.shape[0] > 60000:

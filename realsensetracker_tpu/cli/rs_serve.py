@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-voxel", type=float, default=0.0, metavar="M",
                    help="--method tsdf: voxel size in meters (0 = default "
                         "0.04)")
+    p.add_argument("--tsdf-track-scale", type=int, default=0, metavar="S",
+                   help="--method tsdf: register against a model render "
+                        "at 1/S resolution (power of 2; integration stays "
+                        "full-res) -- cuts the per-frame raycast cost "
+                        "~S^2-fold (0 = full res)")
     p.add_argument("--tsdf-submap-radius", type=float, default=0.0,
                    metavar="M",
                    help="--batched --method tsdf: unbounded session extent "
@@ -101,16 +106,18 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     tsdf_cfg = None
-    if args.tsdf_resolution or args.tsdf_voxel:
+    if args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale:
         if args.method != "tsdf":
             import sys
 
-            print("--tsdf-resolution/--tsdf-voxel require --method tsdf",
-                  file=sys.stderr)
+            print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale "
+                  "require --method tsdf", file=sys.stderr)
             return 1
         from realsensetracker_tpu.mapping.tsdf import sized_config
 
         tsdf_cfg = sized_config(args.tsdf_resolution, args.tsdf_voxel)
+        if args.tsdf_track_scale:
+            tsdf_cfg = tsdf_cfg._replace(track_scale=args.tsdf_track_scale)
 
     def make_tracker():
         if args.method == "slam":

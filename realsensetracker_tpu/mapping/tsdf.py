@@ -78,6 +78,15 @@ class TsdfConfig(NamedTuple):
     # drops to 97.7%, hits bias 1.6 mm, and it is only ~8% faster: the
     # coarse march is NOT where the time goes) and kept subvoxel_iters=1
     # IN (31% of the raycast but an 11 mm render accuracy swing).
+    track_scale: int = 1  # frame-to-model TRACKING resolution divisor
+    # (power of two). Read by tracking/tsdf_tracker.py's step math, not
+    # by the mapping ops: with track_scale=s the model renders and the
+    # ICP runs at (H/s, W/s) -- the raycast's gather bill (the tracked
+    # step's dominant cost, BENCHMARKS.md "Raycast phase split") drops
+    # ~s^2-fold -- while integration still fuses the FULL-resolution
+    # frame, so map quality is unchanged. The live frame downsamples
+    # with the same validity-aware 2x2 pooling the ICP pyramid uses.
+    # Combine with raycast_coarse only while (H/s) % coarse == 0.
     subvoxel_iters: int = 1  # trilinear secant refinements of each ray
     # hit AFTER the march: the march samples the TSDF nearest-neighbor,
     # so its interpolated crossing carries voxel-scale staircase error

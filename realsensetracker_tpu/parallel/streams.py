@@ -636,9 +636,17 @@ def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
             lambda e, v: jnp.where(sd, e, v), empty, vol
         )
         base_pose = jnp.where(sd, eye, pose)
-        render = tsdf_mod.render_model_depth(base_vol, base_pose, intr,
+        # Registration honors TsdfConfig.track_scale exactly like the
+        # single-stream step (tracking/tsdf_tracker._tsdf_step_math):
+        # render + ICP at the reduced resolution, full-res integration.
+        from realsensetracker_tpu.tracking.tsdf_tracker import _track_views
+
+        t_d, t_intr = _track_views(
+            d, intr, int(getattr(vol_cfg, "track_scale", 1))
+        )
+        render = tsdf_mod.render_model_depth(base_vol, base_pose, t_intr,
                                              vol_cfg)
-        res = projective.register_depth_pair(d, render, intr, icp_cfg)
+        res = projective.register_depth_pair(t_d, render, t_intr, icp_cfg)
         ok = (
             jnp.all(jnp.isfinite(res.transform))
             & (res.inlier_fraction >= min_inlier_fraction)

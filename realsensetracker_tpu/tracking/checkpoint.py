@@ -54,6 +54,37 @@ def _restore_levels(data) -> list | None:
     ]
 
 
+def _check_format_version(data, tracker) -> None:
+    """Accept the current version, plus v3 snapshots that are actually
+    bit-compatible. v3 -> v4 changed only the resolution-FITTED level
+    count (projective.fit_levels, a no-op at >= VGA): a v3 checkpoint
+    whose stored pyramid matches this tracker's fitted schedule resumes
+    identically, so refusing it (e.g. every existing 640x480 snapshot)
+    would be a gratuitous break. Snapshots with no stored pyramid are
+    version-independent."""
+    version = int(data["format_version"])
+    if version == FORMAT_VERSION:
+        return
+    if version == 3 and "num_levels" in data:
+        from realsensetracker_tpu.align.projective import fit_levels
+
+        cfg = getattr(tracker, "cfg", None)
+        intr = getattr(tracker, "intr", None)
+        if cfg is not None and intr is not None:
+            want = len(fit_levels(cfg, intr.height, intr.width).iters)
+            if int(data["num_levels"]) == want:
+                return
+            raise ValueError(
+                f"v3 checkpoint stores {int(data['num_levels'])} pyramid "
+                f"levels but this tracker's resolution-fitted schedule "
+                f"builds {want} (v4, projective.fit_levels); re-record "
+                "the snapshot"
+            )
+    elif version == 3:
+        return  # no pyramid stored: nothing v4 changed
+    raise ValueError(f"checkpoint version {version} != {FORMAT_VERSION}")
+
+
 def save_tracker(path: str, tracker) -> None:
     """Snapshot a FrameToFrameTracker (or compatible) to `path` (.npz)."""
     payload = {
@@ -81,9 +112,7 @@ def load_tracker(path: str, tracker) -> None:
     from realsensetracker_tpu.tracking.accumulator import MapAccumulator
 
     data = np.load(path, allow_pickle=False)
-    version = int(data["format_version"])
-    if version != FORMAT_VERSION:
-        raise ValueError(f"checkpoint version {version} != {FORMAT_VERSION}")
+    _check_format_version(data, tracker)
     tracker._index = int(data["frame_index"])
     traj = Trajectory()
     for ts, T in zip(data["traj_timestamps"], data["traj_poses"]):
@@ -204,11 +233,8 @@ def load_slam(path: str, tracker) -> None:
     sv = int(data["slam_version"])
     if sv != SLAM_FORMAT_VERSION:
         raise ValueError(f"slam checkpoint version {sv} != {SLAM_FORMAT_VERSION}")
-    version = int(data["format_version"])
-    if version != FORMAT_VERSION:
-        raise ValueError(f"checkpoint version {version} != {FORMAT_VERSION}")
-
     vo = tracker._vo
+    _check_format_version(data, vo)
     vo._index = int(data["frame_index"])
     vo._fail_streak = int(data["fail_streak"])
     vo._fails_since_kf = int(data["fails_since_kf"])

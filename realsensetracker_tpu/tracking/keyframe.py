@@ -217,6 +217,12 @@ def _fused_track_window(depths, kf_levels, kf_pose, pose, streak0, fails0,
 
 @dataclass
 class KeyframeTracker:
+    # Raw integer (u16) frames upload verbatim and convert to meters ON
+    # DEVICE at self.depth_scale (half the f32 upload bytes) -- the
+    # protocol attribute the api facade / HTTP service probe before
+    # passing raw frames through (api/service.py _ingest_depth).
+    accepts_raw_depth = True
+
     intr: camera.Intrinsics
     cfg: projective.ProjectiveIcpConfig = projective.ProjectiveIcpConfig()
     min_inlier_fraction: float = 0.2
@@ -399,11 +405,9 @@ class KeyframeTracker:
             # silently promote the raw frames to float COUNTS and the
             # scan would read them as meters (5000x off). Convert the
             # integer frames to meters here instead.
-            arrs = [
-                a.astype(np.float32) * np.float32(self.depth_scale)
-                if np.issubdtype(a.dtype, np.integer) else a
-                for a in arrs
-            ]
+            from realsensetracker_tpu.data.depth_units import to_meters_np
+
+            arrs = [to_meters_np(a, self.depth_scale) for a in arrs]
         stack = np.stack(arrs)
         if not np.issubdtype(stack.dtype, np.integer):
             stack = stack.astype(np.float32)

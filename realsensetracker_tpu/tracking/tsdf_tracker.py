@@ -30,9 +30,48 @@ import numpy as np
 from realsensetracker_tpu.align import projective
 from realsensetracker_tpu.geometry import camera, se3
 from realsensetracker_tpu.mapping import tsdf as tsdf_mod
-from realsensetracker_tpu.ops.pyramid import depth_to_meters
+from realsensetracker_tpu.ops.pyramid import depth_to_meters, downsample_depth
 from realsensetracker_tpu.tracking.frame_to_frame import FrameResult
 from realsensetracker_tpu.tracking.trajectory import Trajectory
+
+
+def _track_views(depth, intr, track_scale):
+    """(tracking-resolution depth, intrinsics) for a live frame.
+
+    ``track_scale`` (TsdfConfig.track_scale, power of two) halves the
+    frame that many times with the ICP pyramid's validity-aware 2x2
+    pooling (invalid pixels stay 0, the registration stack's missing-
+    depth convention) and scales the intrinsics with the SAME odd-
+    dimension rule (Intrinsics.halved matches downsample_depth's
+    floor-halving). The solved transform is metric, so registering at
+    reduced resolution changes nothing downstream -- it only cuts the
+    model-render raycast and GN gather bills ~track_scale^2-fold."""
+    if track_scale <= 1:
+        return depth, intr
+    if track_scale & (track_scale - 1):
+        raise ValueError(f"track_scale={track_scale} must be a power of 2")
+    valid = jnp.isfinite(depth) & (depth > 0)
+    s = track_scale
+    while s > 1:
+        depth, valid = downsample_depth(depth, valid)
+        intr = intr.halved()
+        s //= 2
+    return jnp.where(valid, depth, 0.0), intr
+
+
+def _pool_gray(gray, track_scale):
+    """Plain 2x2 mean pooling of an intensity image to the tracking
+    resolution (intensity has no invalid sentinel; the RGB-D aligner
+    gates by DEPTH validity internally)."""
+    s = track_scale
+    while s > 1:
+        h = gray.shape[-2] // 2 * 2
+        w = gray.shape[-1] // 2 * 2
+        gray = gray[..., :h, :w].reshape(
+            *gray.shape[:-2], h // 2, 2, w // 2, 2
+        ).mean(axis=(-3, -1))
+        s //= 2
+    return gray
 
 
 class TsdfStepOut(NamedTuple):
@@ -85,25 +124,34 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
     pose.
     """
     new_gray = None
+    # Registration runs at the TRACKING resolution (TsdfConfig.track_scale;
+    # 1 = full). The model renders directly at the reduced intrinsics (the
+    # raycast is the step's dominant gather bill), the live frame pools
+    # down validity-aware, and the full-resolution frame still integrates
+    # below -- map quality is unaffected by the tracking resolution.
+    track_scale = int(getattr(vol_cfg, "track_scale", 1))
+    t_depth, t_intr = _track_views(depth, intr, track_scale)
     if photo_cfg is not None:
         from realsensetracker_tpu.align import rgbd as rgbd_mod
 
         luma = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
         gray = jnp.sum(color * luma, axis=-1)
         if photo_ref == "frame":
-            model_depth = tsdf_mod.render_model_depth(vol, pose, intr,
+            model_depth = tsdf_mod.render_model_depth(vol, pose, t_intr,
                                                       vol_cfg)
-            ref_gray = prev_gray
+            ref_gray = _pool_gray(prev_gray, track_scale)
         else:
             model_depth, ref_gray = tsdf_mod.render_model_rgbd(
-                vol, pose, intr, vol_cfg
+                vol, pose, t_intr, vol_cfg
             )
         res = rgbd_mod.register_rgbd_pair(
-            depth, gray, model_depth, ref_gray, intr, photo_cfg
+            t_depth, _pool_gray(gray, track_scale), model_depth, ref_gray,
+            t_intr, photo_cfg
         )
     else:
-        model_depth = tsdf_mod.render_model_depth(vol, pose, intr, vol_cfg)
-        res = projective.register_depth_pair(depth, model_depth, intr,
+        model_depth = tsdf_mod.render_model_depth(vol, pose, t_intr,
+                                                  vol_cfg)
+        res = projective.register_depth_pair(t_depth, model_depth, t_intr,
                                              icp_cfg)
     ok = (
         jnp.all(jnp.isfinite(res.transform))
@@ -211,6 +259,11 @@ def _seed_volume(depth, intr, vol_cfg, color=None, with_color=False,
 @dataclass
 class TsdfTracker:
     """Streaming dense frame-to-model tracker (KinectFusion loop)."""
+
+    # Raw integer (u16) frames convert to meters ON DEVICE at
+    # self.depth_scale (the probe protocol of api/service.py
+    # _ingest_depth / api/tracker.Tracker._ingest).
+    accepts_raw_depth = True
 
     intr: camera.Intrinsics
     volume: tsdf_mod.TsdfConfig = tsdf_mod.TsdfConfig()

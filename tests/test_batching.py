@@ -1090,6 +1090,33 @@ class TestU16Batched:
                 assert a.success == b.success
                 np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
 
+    def test_mixed_window_list_converts_to_meters(self, stream_data):
+        """One process_window call mixing raw u16 and f32-meters frames:
+        np.asarray over the mixed list would promote the raw frames to
+        float COUNTS read as meters (5000x off) -- the session tracker
+        must convert the integer frames at the executor's scale instead,
+        matching the all-quantized-meters run."""
+        scale = 1.0 / 5000.0
+        raw = np.asarray(stream_data * 5000.0 + 0.5, np.uint16)
+        quant = raw.astype(np.float32) * np.float32(scale)
+        outs = []
+        for mixed in (False, True):
+            ex = BatchedExecutor(BatchingConfig(
+                intrinsics=INTR, icp=CFG, capacity=1, window=4,
+                depth_scale=scale))
+            try:
+                tr = ex.make_session_tracker()
+                frames = [quant[f, 0] for f in range(4)]
+                if mixed:
+                    frames[1] = raw[1, 0]
+                    frames[2] = raw[2, 0]
+                outs.append(tr.process_window(frames, window=4))
+            finally:
+                ex.close()
+        for a, b in zip(outs[0], outs[1]):
+            assert a.success == b.success
+            np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+
     def test_mixed_round_host_converts(self, stream_data):
         # One session posts raw u16, another f32 meters, in the SAME
         # linger-coalesced round: the executor stages f32 and converts

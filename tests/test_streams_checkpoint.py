@@ -169,6 +169,41 @@ class TestCheckpoint:
         except ValueError:
             pass
 
+    def test_v3_compatible_snapshot_loads(self, tmp_path):
+        """v3 -> v4 changed only the resolution-FITTED level count: a v3
+        snapshot whose stored pyramid matches this tracker's fitted
+        schedule must still resume (refusing it would break every
+        existing >= VGA checkpoint for no reason)."""
+        import pytest
+
+        depths, _ = _stream_data(s=1, frames=3)
+        seq = depths[:, 0]
+        t1 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        t1.process(seq[0], 0.0)
+        t1.process(seq[1], 1.0)
+        path = os.path.join(tmp_path, "v3.npz")
+        checkpoint.save_tracker(path, t1)
+        data = dict(np.load(path, allow_pickle=False))
+        data["format_version"] = np.int64(3)  # same payload, old stamp
+        np.savez(path, **data)
+
+        t2 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        checkpoint.load_tracker(path, t2)
+        r1 = t1.process(seq[2], 2.0)
+        r2 = t2.process(seq[2], 2.0)
+        np.testing.assert_allclose(
+            np.asarray(r1.pose), np.asarray(r2.pose), atol=1e-6
+        )
+
+        # An INCOMPATIBLE v3 snapshot (level count != the fitted
+        # schedule) still fails loudly.
+        data["num_levels"] = np.int64(int(data["num_levels"]) + 1)
+        data["format_version"] = np.int64(3)
+        np.savez(path, **data)
+        t3 = FrameToFrameTracker(INTR, CFG, map_capacity=4096)
+        with pytest.raises(ValueError, match="re-record"):
+            checkpoint.load_tracker(path, t3)
+
 
 class TestSlamCheckpoint:
     def test_slam_save_load_resume(self, tmp_path):
