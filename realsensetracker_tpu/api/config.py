@@ -68,6 +68,10 @@ class TrackerConfig:
     # submap atlas (mapping/submaps.py) -- unbounded dense mapping from
     # fixed-shape volumes, spawning a new one every this-many meters of
     # camera/view-center drift; 0 = single volume
+    tsdf_track_scale_fallback: float = 0.0  # method="tsdf" with
+    # tsdf.track_scale > 1: constraint-coverage floor below which
+    # reduced-resolution tracking auto-falls-back to full resolution
+    # (TsdfTracker.track_scale_fallback); 0 = off
     align: AlignConfig = field(default_factory=AlignConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
     min_inlier_fraction: float = 0.2

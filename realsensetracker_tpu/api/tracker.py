@@ -80,6 +80,9 @@ class Tracker:
                     icp=self.config.projective,
                     min_inlier_fraction=self.config.min_inlier_fraction,
                     use_color=self.config.tsdf_color,
+                    track_scale_fallback=(
+                        self.config.tsdf_track_scale_fallback
+                    ),
                     **photo_kw,
                 )
             else:
@@ -92,6 +95,9 @@ class Tracker:
                     min_inlier_fraction=self.config.min_inlier_fraction,
                     use_color=self.config.tsdf_color,
                     depth_scale=self.config.depth_scale,
+                    track_scale_fallback=(
+                        self.config.tsdf_track_scale_fallback
+                    ),
                     **photo_kw,
                 )
         elif method == "rgbd":

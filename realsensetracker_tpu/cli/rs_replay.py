@@ -78,6 +78,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "integration stays full-res, so map quality is "
                         "unchanged) -- cuts the raycast-dominated "
                         "tracked-step cost ~S^2-fold (0 = full res)")
+    p.add_argument("--tsdf-track-scale-fallback", type=float, default=0.0,
+                   metavar="C",
+                   help="method=tsdf with --tsdf-track-scale: constraint-"
+                        "coverage floor (valid render px / valid frame px "
+                        "at the tracking resolution) below which the "
+                        "tracker auto-falls-back to full-resolution "
+                        "registration -- the safety net for scenes whose "
+                        "structures vanish from the reduced render "
+                        "(0 = off)")
+    p.add_argument("--tsdf-integrate-every", type=int, default=0,
+                   metavar="N",
+                   help="method=tsdf: fuse every Nth tracked frame "
+                        "(KinectFusion integrate decimation; pose still "
+                        "solves every frame) -- divides the ~47 ms "
+                        "full-res integrate floor by N (0/1 = every "
+                        "frame)")
     p.add_argument("--submap-radius", type=float, default=0.0, metavar="M",
                    help="method=tsdf: > 0 enables the submap atlas "
                         "(unbounded dense mapping from fixed-shape "
@@ -142,10 +158,16 @@ def main(argv=None) -> int:
     if args.tsdf_color and args.method != "tsdf":
         print("--tsdf-color requires --method tsdf", file=sys.stderr)
         return 1
-    if (args.tsdf_resolution or args.tsdf_voxel
-            or args.tsdf_track_scale) and args.method != "tsdf":
-        print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale require "
+    if (args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale
+            or args.tsdf_integrate_every
+            or args.tsdf_track_scale_fallback) and args.method != "tsdf":
+        print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale/"
+              "--tsdf-integrate-every/--tsdf-track-scale-fallback require "
               "--method tsdf", file=sys.stderr)
+        return 1
+    if args.tsdf_track_scale_fallback and not args.tsdf_track_scale:
+        print("--tsdf-track-scale-fallback requires --tsdf-track-scale",
+              file=sys.stderr)
         return 1
     wants_color = args.method == "rgbd" or args.slam_rgb or args.tsdf_color
 
@@ -250,7 +272,8 @@ def main(argv=None) -> int:
             return 1
         tsdf_kw = {}
         if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel
-                                      or args.tsdf_track_scale):
+                                      or args.tsdf_track_scale
+                                      or args.tsdf_integrate_every):
             from realsensetracker_tpu.mapping.tsdf import sized_config
 
             cfg_tsdf = sized_config(args.tsdf_resolution, args.tsdf_voxel)
@@ -258,7 +281,14 @@ def main(argv=None) -> int:
                 cfg_tsdf = cfg_tsdf._replace(
                     track_scale=args.tsdf_track_scale
                 )
+            if args.tsdf_integrate_every > 1:
+                cfg_tsdf = cfg_tsdf._replace(
+                    integrate_every=args.tsdf_integrate_every
+                )
             tsdf_kw["tsdf"] = cfg_tsdf
+        if args.tsdf_track_scale_fallback:
+            tsdf_kw["tsdf_track_scale_fallback"] = \
+                args.tsdf_track_scale_fallback
         if depth_scale is not None:
             tsdf_kw["depth_scale"] = depth_scale
         cfg = TrackerConfig(intrinsics=intr, method=args.method,

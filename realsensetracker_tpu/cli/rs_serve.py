@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "at 1/S resolution (power of 2; integration stays "
                         "full-res) -- cuts the per-frame raycast cost "
                         "~S^2-fold (0 = full res)")
+    p.add_argument("--tsdf-integrate-every", type=int, default=0,
+                   metavar="N",
+                   help="--method tsdf: fuse every Nth tracked frame per "
+                        "session (KinectFusion integrate decimation; pose "
+                        "still solves every frame). NOTE: the batched "
+                        "(vmapped) executor computes-and-masks the "
+                        "integrate, so this changes map semantics only; "
+                        "serialized sessions also save its cost "
+                        "(0/1 = every frame)")
     p.add_argument("--tsdf-submap-radius", type=float, default=0.0,
                    metavar="M",
                    help="--batched --method tsdf: unbounded session extent "
@@ -106,18 +115,24 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     tsdf_cfg = None
-    if args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale:
+    if (args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale
+            or args.tsdf_integrate_every):
         if args.method != "tsdf":
             import sys
 
-            print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale "
-                  "require --method tsdf", file=sys.stderr)
+            print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale/"
+                  "--tsdf-integrate-every require --method tsdf",
+                  file=sys.stderr)
             return 1
         from realsensetracker_tpu.mapping.tsdf import sized_config
 
         tsdf_cfg = sized_config(args.tsdf_resolution, args.tsdf_voxel)
         if args.tsdf_track_scale:
             tsdf_cfg = tsdf_cfg._replace(track_scale=args.tsdf_track_scale)
+        if args.tsdf_integrate_every > 1:
+            tsdf_cfg = tsdf_cfg._replace(
+                integrate_every=args.tsdf_integrate_every
+            )
 
     def make_tracker():
         if args.method == "slam":

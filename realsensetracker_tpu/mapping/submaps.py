@@ -114,6 +114,7 @@ class SubmapTsdfTracker:
         use_color: bool = False,
         photometric: object = None,  # RgbdIcpConfig | None
         photometric_ref: str = "frame",
+        track_scale_fallback: float = 0.0,
     ):
         from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
 
@@ -128,6 +129,7 @@ class SubmapTsdfTracker:
             min_inlier_fraction=min_inlier_fraction,
             surface_capacity=surface_capacity, use_color=use_color,
             photometric=photometric, photometric_ref=photometric_ref,
+            track_scale_fallback=track_scale_fallback,
         )
         self._anchor = np.eye(4, dtype=np.float32)  # world_from_submap
         self._frames_in_active = 0
@@ -213,6 +215,12 @@ class SubmapTsdfTracker:
         )
         self._t._pose = jnp.asarray(local2)
         self._t._pose_np = local2
+        # Re-entry is a fresh episode for the inner tracker's cadence
+        # state: the re-entry frame fused (slot 0), and reduced-res
+        # tracking re-arms (the fallback latch is per-map).
+        self._t._fuse_counter = 1
+        self._t._track_cfg = self._t.volume
+        self._t._low_cov_streak = 0
         if self._t.photometric is not None:
             # The re-entry frame becomes the next photometric reference.
             self._t._prev_gray = self._t._luma(

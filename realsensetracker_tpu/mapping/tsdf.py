@@ -87,6 +87,20 @@ class TsdfConfig(NamedTuple):
     # frame, so map quality is unchanged. The live frame downsamples
     # with the same validity-aware 2x2 pooling the ICP pyramid uses.
     # Combine with raycast_coarse only while (H/s) % coarse == 0.
+    integrate_every: int = 1  # fuse every Nth tracked frame (standard
+    # KinectFusion integrate decimation). The full-resolution integrate
+    # pass (~47 ms at 128^3 / 640x480) is the dense tracked step's floor
+    # once the render is reduced (track_scale); decimating it divides
+    # that floor by N. Cadence: the frame counter since the (re)seed --
+    # frames 0 (the seed), N, 2N, ... fuse; a due frame whose
+    # registration FAILS simply misses its slot (failures never fuse).
+    # Pose estimation still runs EVERY frame against the (up to N-1
+    # frames stale) render; the fused map is a strict subsample of the
+    # N=1 map, so drift grows only through render staleness. NOTE: in
+    # the vmapped multi-stream/serving paths the integrate is computed
+    # and masked (vmap turns lax.cond into select), so decimation saves
+    # nothing there; the win is on the single-stream tracked step and
+    # the submap atlas, where the cond genuinely skips the pass.
     subvoxel_iters: int = 1  # trilinear secant refinements of each ray
     # hit AFTER the march: the march samples the TSDF nearest-neighbor,
     # so its interpolated crossing carries voxel-scale staircase error

@@ -522,14 +522,25 @@ def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
                        min_inlier_fraction):
     from realsensetracker_tpu.tracking.tsdf_tracker import _tsdf_step_math
 
-    def one(vol, d, pose):
+    # integrate_every cadence keyed on the per-slot frame counter (the
+    # same phase as TsdfTracker's counter from a fresh seed: both read 1
+    # at the first tracked frame). Under vmap the cond is a select, so
+    # decimation saves no compute here -- this only keeps the fused-map
+    # SEMANTICS identical to the single-stream tracker.
+    n_every = int(getattr(vol_cfg, "integrate_every", 1))
+    fuses = (
+        state.frame_count % n_every == 0 if n_every > 1
+        else jnp.ones(state.poses.shape[0], bool)
+    )
+
+    def one(vol, d, pose, fd):
         return _tsdf_step_math(
             vol, d, pose, None, jnp.bool_(True), intr=intr,
             vol_cfg=vol_cfg, icp_cfg=icp_cfg,
-            min_inlier_fraction=min_inlier_fraction,
+            min_inlier_fraction=min_inlier_fraction, fuse=fd,
         )
 
-    out = jax.vmap(one)(state.volume, depths, state.poses)
+    out = jax.vmap(one)(state.volume, depths, state.poses, fuses)
     new_state = TsdfStreamState(
         poses=out.pose,
         volume=out.vol,
@@ -626,8 +637,13 @@ def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
 
     eye = jnp.eye(4, dtype=jnp.float32)
     empty = tsdf_mod.init_volume(vol_cfg)
+    n_every = int(getattr(vol_cfg, "integrate_every", 1))
+    fuses = (
+        state.frame_count % n_every == 0 if n_every > 1
+        else jnp.ones(state.poses.shape[0], bool)
+    )
 
-    def one(vol, d, pose, act, sd):
+    def one(vol, d, pose, act, sd, fd):
         # A seeding slot restarts from an EMPTY volume at identity; its
         # registration (against the empty render) fails by construction
         # and is discarded by _masked_finish's seeding branch, so seed +
@@ -656,13 +672,19 @@ def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
         )
         # Integrate unconditionally (vmap turns cond into select anyway);
         # _masked_finish keeps the OLD volume wherever the slot neither
-        # seeded nor tracked.
+        # seeded nor tracked. integrate_every decimation: a tracked slot
+        # whose fuse cadence is not due keeps base_vol (seeding slots
+        # always fuse -- their empty volume needs the first surface).
         vol_new = tsdf_mod.integrate(base_vol, d, pose_cand, intr, vol_cfg)
+        keep_new = sd | fd
+        vol_new = jax.tree.map(
+            lambda a, b: jnp.where(keep_new, a, b), vol_new, base_vol
+        )
         safe_t = jnp.where(jnp.isfinite(res.transform), res.transform, eye)
         return vol_new, safe_t, ok, res.rmse, res.inlier_fraction
 
     vol_new, transform, ok, rmse, inlier = jax.vmap(one)(
-        state.volume, depths, state.poses, active, seed
+        state.volume, depths, state.poses, active, seed, fuses
     )
     poses, initialized, count, (volume,), stats = _masked_finish(
         state, transform, ok, active, seed, rmse, inlier, [],

@@ -74,6 +74,10 @@ def _pool_gray(gray, track_scale):
     return gray
 
 
+TSDF_STATS_WIDTH = 21  # [rmse, inlier_fraction, ok, pose(16),
+# track_cov, fused] -- see TsdfStepOut.stats
+
+
 class TsdfStepOut(NamedTuple):
     """Result of one frame-to-model step. Keyword-stable on purpose:
     every call site (the per-frame jit, the windowed scan body, and the
@@ -85,12 +89,19 @@ class TsdfStepOut(NamedTuple):
     pose: jnp.ndarray  # (4,4) new world_from_cam
     relative: jnp.ndarray  # (4,4) accepted relative transform (I on fail)
     gray: object  # next photometric reference (None when photo off)
-    stats: jnp.ndarray  # (19,) [rmse, inlier_fraction, ok, pose(16)]
+    stats: jnp.ndarray  # (TSDF_STATS_WIDTH,) [rmse, inlier_fraction, ok,
+    # pose(16), track_cov, fused]. track_cov = valid model-render pixels
+    # / valid live-frame pixels at the TRACKING resolution -- the
+    # constraint-coverage diagnostic behind the track_scale auto-
+    # fallback (structures thinner than the reduced pixel footprint
+    # vanish from the render, so coverage collapses while the solve
+    # still "succeeds"). fused = 1.0 when this frame integrated
+    # (integrate_every cadence AND registration ok).
 
 
 def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
                     intr, vol_cfg, icp_cfg, min_inlier_fraction,
-                    photo_cfg=None, photo_ref="frame"):
+                    photo_cfg=None, photo_ref="frame", fuse=None):
     """One frame-to-model step (traced body, shared by the per-frame jit
     and the windowed lax.scan).
 
@@ -118,10 +129,14 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
     trilinear fused-color render carries voxel-scale intensity error
     (measured 56 mm vs 0.9 mm drift on a 0.2 m wall slide).
 
+    ``fuse`` (traced bool; required iff vol_cfg.integrate_every > 1)
+    gates the integration pass on the decimation cadence: a successful
+    frame with fuse False updates the pose but not the volume.
+
     Returns a TsdfStepOut; stats = [rmse, inlier_fraction, ok,
-    new_pose(16)]; gray is the photometric reference for the NEXT step
-    (None when photo_cfg is None), holding on failure exactly like the
-    pose.
+    new_pose(16), track_cov, fused]; gray is the photometric reference
+    for the NEXT step (None when photo_cfg is None), holding on failure
+    exactly like the pose.
     """
     new_gray = None
     # Registration runs at the TRACKING resolution (TsdfConfig.track_scale;
@@ -158,19 +173,28 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
         & (res.inlier_fraction >= min_inlier_fraction)
         & valid
     )
+    # Constraint coverage at the tracking resolution: the fraction of
+    # valid live pixels the model render can constrain. This is the
+    # signal track-scale reduction silently erodes on thin structures.
+    f32 = jnp.float32
+    track_cov = jnp.sum((model_depth > 0).astype(f32)) / jnp.maximum(
+        jnp.sum((t_depth > 0).astype(f32)), 1.0
+    )
+    n_every = int(getattr(vol_cfg, "integrate_every", 1))
+    do_int = (ok & fuse) if n_every > 1 else ok
     new_pose = se3.orthonormalize(se3.compose(pose, res.transform))
     new_pose = jnp.where(ok, new_pose, pose)
-    # cond, not select: on failure the integration pass (the volume's
-    # full-HBM traversal) is skipped entirely, not computed-and-discarded.
+    # cond, not select: on failure (or a decimated-out frame) the
+    # integration pass (the volume's full-HBM traversal) is skipped
+    # entirely, not computed-and-discarded.
     new_vol = jax.lax.cond(
-        ok,
+        do_int,
         lambda v: tsdf_mod.integrate(
             v, depth, new_pose, intr, vol_cfg, color=color
         ),
         lambda v: v,
         vol,
     )
-    f32 = jnp.float32
     stats = jnp.concatenate([
         jnp.stack([
             res.rmse.astype(f32),
@@ -178,6 +202,7 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
             ok.astype(f32),
         ]),
         new_pose.reshape(-1).astype(f32),
+        jnp.stack([track_cov.astype(f32), do_int.astype(f32)]),
     ])
     relative = jnp.where(ok, res.transform, jnp.eye(4, dtype=f32))
     if photo_cfg is not None:
@@ -192,9 +217,10 @@ def _tsdf_step_math(vol, depth, pose, color, valid, prev_gray=None, *,
 @partial(jax.jit, static_argnames=(
     "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "photo_cfg",
     "photo_ref", "depth_scale"))
-def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None, *,
-                     intr, vol_cfg, icp_cfg, min_inlier_fraction,
-                     photo_cfg=None, photo_ref="frame", depth_scale=1.0):
+def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None,
+                     fuse=None, *, intr, vol_cfg, icp_cfg,
+                     min_inlier_fraction, photo_cfg=None,
+                     photo_ref="frame", depth_scale=1.0):
     """One frame-to-model step as a single XLA program (see
     _tsdf_step_math)."""
     return _tsdf_step_math(
@@ -202,7 +228,7 @@ def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None, *,
         jnp.bool_(True), prev_gray, intr=intr,
         vol_cfg=vol_cfg, icp_cfg=icp_cfg,
         min_inlier_fraction=min_inlier_fraction, photo_cfg=photo_cfg,
-        photo_ref=photo_ref,
+        photo_ref=photo_ref, fuse=fuse,
     )
 
 
@@ -210,9 +236,10 @@ def _fused_tsdf_step(vol, depth, pose, color=None, prev_gray=None, *,
     "intr", "vol_cfg", "icp_cfg", "min_inlier_fraction", "with_color",
     "photo_cfg", "photo_ref", "depth_scale"))
 def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
-                       prev_gray=None, *, intr, vol_cfg, icp_cfg,
-                       min_inlier_fraction, with_color, photo_cfg=None,
-                       photo_ref="frame", depth_scale=1.0):
+                       prev_gray=None, fuses=None, *, intr, vol_cfg,
+                       icp_cfg, min_inlier_fraction, with_color,
+                       photo_cfg=None, photo_ref="frame",
+                       depth_scale=1.0):
     """W frame-to-model steps as ONE lax.scan dispatch.
 
     The volume and pose ride the scan carry (they never leave the
@@ -221,24 +248,29 @@ def _fused_tsdf_window(vol, depths, pose, valids, colors=None,
     (tracking/keyframe.py process_window). Per-frame results are
     IDENTICAL to W process() calls: the body is the same traced step
     math, and padded tail frames (valids False) hold state exactly like
-    failed frames. Returns (vol, pose, relatives (W,4,4), stats (W,19)).
+    failed frames. ``fuses`` is the (W,) integrate_every cadence (None
+    when decimation is off). Returns (vol, pose, relatives (W,4,4),
+    gray, stats (W, TSDF_STATS_WIDTH)).
     """
     def body(carry, x):
         vol, pose, pg = carry
         if with_color:
-            depth, color, valid = x
+            depth, color, valid, fuse = x
         else:
-            (depth, valid), color = x, None
+            (depth, valid, fuse), color = x, None
         out = _tsdf_step_math(
             vol, depth, pose, color, valid, pg, intr=intr,
             vol_cfg=vol_cfg, icp_cfg=icp_cfg,
             min_inlier_fraction=min_inlier_fraction, photo_cfg=photo_cfg,
-            photo_ref=photo_ref,
+            photo_ref=photo_ref, fuse=fuse,
         )
         return (out.vol, out.pose, out.gray), (out.relative, out.stats)
 
     depths = depth_to_meters(depths, depth_scale)
-    xs = (depths, colors, valids) if with_color else (depths, valids)
+    xs = (
+        (depths, colors, valids, fuses) if with_color
+        else (depths, valids, fuses)
+    )
     (vol, pose, prev_gray), (rels, stats) = jax.lax.scan(
         body, (vol, pose, prev_gray), xs
     )
@@ -281,12 +313,32 @@ class TsdfTracker:
     depth_scale: float = 1e-3  # meters per raw unit for INTEGER depth
     # frames: raw uint16 uploads at half the f32 bytes and converts on
     # device inside the fused programs (ops/pyramid.depth_to_meters)
+    track_scale_fallback: float = 0.0  # constraint-coverage floor for
+    # reduced-resolution tracking (TsdfConfig.track_scale > 1): when the
+    # per-frame track_cov diagnostic (valid render px / valid frame px
+    # at the tracking resolution) stays below this for
+    # fallback_patience consecutive frames, the tracker PERMANENTLY
+    # (until the next reseed) switches registration back to full
+    # resolution -- the safety net for scenes whose structures are
+    # thinner than the reduced pixel footprint (they vanish from the
+    # reduced render while the solve still reports success). 0 = off.
+    # One extra compiled program on the first fallback. The windowed
+    # path applies the switch at the next chunk boundary.
+    fallback_patience: int = 3
 
     _vol: object = field(default=None, repr=False)
     _prev_gray: object = field(default=None, repr=False)  # photo ref
     _pose: object = field(default=None, repr=False)  # device copy
     _pose_np: object = field(default=None, repr=False)  # host mirror
     _index: int = 0
+    # integrate_every cadence counter: frames since the (re)seed (the
+    # seed itself is fuse slot 0). Host-side -- the due flag is data.
+    _fuse_counter: int = 0
+    # track_scale fallback state: the ACTIVE tracking config (may have
+    # track_scale forced to 1 after a fallback) + low-coverage streak.
+    _track_cfg: object = field(default=None, repr=False)
+    _low_cov_streak: int = 0
+    num_track_scale_fallbacks: int = 0
     trajectory: Trajectory = field(default_factory=Trajectory)
 
     def __post_init__(self):
@@ -297,6 +349,36 @@ class TsdfTracker:
             )
         if self.photometric_ref not in ("frame", "model"):
             raise ValueError("photometric_ref must be 'frame' or 'model'")
+        self._track_cfg = self.volume
+
+    @property
+    def track_scale_active(self) -> int:
+        """The tracking-resolution divisor currently in effect (drops to
+        1 after a track_scale_fallback trigger)."""
+        return int(getattr(self._track_cfg, "track_scale", 1))
+
+    def _fuse_due(self) -> object:
+        """Traced integrate_every due flag for the next frame (None when
+        decimation is off)."""
+        n = int(getattr(self.volume, "integrate_every", 1))
+        if n <= 1:
+            return None
+        return jnp.bool_(self._fuse_counter % n == 0)
+
+    def _monitor_track_cov(self, cov: float) -> None:
+        """Feed one frame's constraint-coverage diagnostic into the
+        track_scale fallback monitor."""
+        thresh = float(self.track_scale_fallback)
+        if thresh <= 0 or self.track_scale_active <= 1:
+            return
+        if cov < thresh:
+            self._low_cov_streak += 1
+            if self._low_cov_streak >= int(self.fallback_patience):
+                self._track_cfg = self.volume._replace(track_scale=1)
+                self.num_track_scale_fallbacks += 1
+                self._low_cov_streak = 0
+        else:
+            self._low_cov_streak = 0
 
     def _luma(self, color):
         luma = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
@@ -401,6 +483,11 @@ class TsdfTracker:
             )
         self._pose = se3.identity()
         self._pose_np = np.eye(4, dtype=np.float32)
+        # Fresh episode: restart the fuse cadence (the seed fused) and
+        # re-arm reduced-resolution tracking (the fallback is per-map).
+        self._fuse_counter = 1
+        self._track_cfg = self.volume
+        self._low_cov_streak = 0
 
     def process(self, depth, timestamp: float | None = None,
                 color=None) -> FrameResult:
@@ -418,6 +505,9 @@ class TsdfTracker:
                 self._prev_gray = self._luma(color)
             self._pose = se3.identity()
             self._pose_np = np.eye(4, dtype=np.float32)
+            self._fuse_counter = 1
+            self._track_cfg = self.volume
+            self._low_cov_streak = 0
             self.trajectory.append(timestamp, self._pose_np)
             res = FrameResult(
                 self._pose_np, se3.identity(), True, 0.0, 1.0, self._index
@@ -427,16 +517,18 @@ class TsdfTracker:
 
         out = _fused_tsdf_step(
             self._vol, self._as_depth(depth), self._pose, color,
-            self._prev_gray,
-            intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
+            self._prev_gray, self._fuse_due(),
+            intr=self.intr, vol_cfg=self._track_cfg, icp_cfg=self.icp,
             min_inlier_fraction=float(self.min_inlier_fraction),
             photo_cfg=self.photometric, photo_ref=self.photometric_ref,
             depth_scale=self.depth_scale,
         )
+        self._fuse_counter += 1
         relative = out.relative
         self._prev_gray = out.gray
         s = np.asarray(out.stats)  # the frame's one host transfer
         rmse, inlier, ok = float(s[0]), float(s[1]), bool(s[2] > 0.5)
+        self._monitor_track_cov(float(s[19]))
         self._vol = out.vol
         self._pose = out.pose
         if ok:
@@ -492,6 +584,13 @@ class TsdfTracker:
             pad = window - k
             d = jnp.stack(chunk + [chunk[-1]] * pad)
             valids = jnp.arange(window) < k
+            n_every = int(getattr(self.volume, "integrate_every", 1))
+            fuses = None
+            if n_every > 1:
+                fuses = jnp.asarray([
+                    (self._fuse_counter + j) % n_every == 0
+                    for j in range(window)
+                ])
             cols = None
             if self.use_color:
                 cc = [self._color_frame(c) for c in colors[i:i + k]]
@@ -499,13 +598,15 @@ class TsdfTracker:
             new_vol, new_pose_dev, rels, new_gray, stats = \
                 _fused_tsdf_window(
                     self._vol, d, self._pose, valids, cols,
-                    self._prev_gray,
-                    intr=self.intr, vol_cfg=self.volume, icp_cfg=self.icp,
+                    self._prev_gray, fuses,
+                    intr=self.intr, vol_cfg=self._track_cfg,
+                    icp_cfg=self.icp,
                     min_inlier_fraction=float(self.min_inlier_fraction),
                     with_color=self.use_color, photo_cfg=self.photometric,
                     photo_ref=self.photometric_ref,
                     depth_scale=self.depth_scale,
                 )
+            self._fuse_counter += k
             self._prev_gray = new_gray
             s = np.asarray(stats)  # the window's one host transfer
             r = np.asarray(rels)
@@ -513,6 +614,7 @@ class TsdfTracker:
             self._pose = new_pose_dev
             for j in range(k):
                 ok = bool(s[j, 2] > 0.5)
+                self._monitor_track_cov(float(s[j, 19]))
                 if ok:
                     self._pose_np = s[j, 3:19].reshape(4, 4)
                 ts = timestamps[i + j]

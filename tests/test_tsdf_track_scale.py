@@ -125,6 +125,25 @@ class TestTrackScale:
             np.asarray(state.poses[0]), np.asarray(tr.pose), atol=1e-5
         )
 
+    def test_track_cov_diagnostic_reported(self):
+        """Every frame's stats row carries the constraint-coverage
+        diagnostic (valid render px / valid frame px at the tracking
+        resolution) in [0, ~1+eps]."""
+        from realsensetracker_tpu.tracking import tsdf_tracker as tt
+
+        depths, _ = _trajectory(3)
+        tr = TsdfTracker(INTR, volume=CFG._replace(track_scale=2), icp=ICP)
+        tr.process(depths[0], 0.0)
+        out = tt._fused_tsdf_step(
+            tr._vol, jnp.asarray(depths[1], jnp.float32), tr._pose,
+            intr=INTR, vol_cfg=tr._track_cfg, icp_cfg=ICP,
+            min_inlier_fraction=0.2,
+        )
+        s = np.asarray(out.stats)
+        assert s.shape == (tt.TSDF_STATS_WIDTH,)
+        assert 0.0 <= s[19] <= 1.5
+        assert s[20] in (0.0, 1.0)
+
     def test_photometric_smoke(self):
         """Joint geo+photo registration also runs at the tracking
         resolution (grays mean-pool; the gray CARRY stays full-res)."""
@@ -144,3 +163,87 @@ class TestTrackScale:
             assert res.success, f"frame {i} lost tracking"
         # The carried photometric reference stays FULL resolution.
         assert tuple(tr._prev_gray.shape) == (H, W)
+
+
+class TestTrackScaleFallback:
+    """track_scale auto-fallback (TsdfTracker.track_scale_fallback).
+
+    The degradation scene: ONLY small spheres (~20 full-res px across)
+    with nothing else in sensor range. At track_scale=4 the c2f raycast's
+    coarse phase runs on an 8x10 grid whose rays are 64 full-res px
+    apart, so most spheres get no coarse hit and vanish from the render
+    entirely -- constraint coverage collapses (measured 0.41 vs 0.74 at
+    full res) and the solve starves. The coverage diagnostic catches it
+    and drops the tracker back to full-resolution registration."""
+
+    W2, H2 = 160, 128  # height divisible by track_scale * raycast_coarse
+    INTR2 = camera.Intrinsics(fx=128.0, fy=128.0, cx=(W2 - 1) / 2,
+                              cy=(H2 - 1) / 2, width=W2, height=H2)
+    CFG2 = CFG._replace(raycast_coarse=4, refine_steps=8)
+
+    @classmethod
+    def _thin_frames(cls, n=7):
+        rng = np.random.RandomState(5)
+        centers = []
+        for gx in (-1.0, -0.33, 0.33, 1.0):
+            for gy in (-0.6, 0.0, 0.6):
+                centers.append([gx + rng.uniform(-0.08, 0.08),
+                                gy + rng.uniform(-0.08, 0.08),
+                                rng.uniform(1.7, 2.5)])
+        scene = synthetic.Scene(
+            sphere_centers=jnp.asarray(centers, jnp.float32),
+            sphere_radii=jnp.full((len(centers),), 0.16, jnp.float32),
+            floor_y=100.0, wall_z=50.0,  # out of sensor range
+        )
+        poses = synthetic.render_trajectory(
+            cls.INTR2, n, scene=scene, seed=1, step_scale=0.006
+        )[1]
+        frames = []
+        for p in np.asarray(poses):
+            d = np.array(synthetic.render_depth(
+                cls.INTR2, jnp.asarray(p, jnp.float32), scene
+            ))
+            d[d > 4.0] = 0.0  # sensor range clip
+            frames.append(d)
+        return frames
+
+    def _run(self, track_scale, fallback, frames):
+        tr = TsdfTracker(
+            self.INTR2, volume=self.CFG2._replace(track_scale=track_scale),
+            icp=ICP, min_inlier_fraction=0.05,
+            track_scale_fallback=fallback, fallback_patience=2,
+        )
+        oks = [tr.process(f, float(i)).success
+               for i, f in enumerate(frames)]
+        return tr, oks
+
+    def test_reduced_res_degrades_without_fallback(self):
+        frames = self._thin_frames()
+        tr, oks = self._run(4, 0.0, frames)
+        assert not any(oks[1:]), "scene no longer degrades at scale 4"
+        assert tr.track_scale_active == 4
+
+    def test_fallback_triggers_and_recovers(self):
+        frames = self._thin_frames()
+        tr, oks = self._run(4, 0.6, frames)
+        assert tr.num_track_scale_fallbacks == 1
+        assert tr.track_scale_active == 1
+        # Patience is 2 failed-coverage frames; everything after the
+        # switch tracks again at full resolution.
+        assert all(oks[3:]), f"no recovery after fallback: {oks}"
+
+    def test_healthy_scene_keeps_reduced_res(self):
+        depths, _ = _trajectory(6)
+        tr = TsdfTracker(INTR, volume=CFG._replace(track_scale=2), icp=ICP,
+                         track_scale_fallback=0.3, fallback_patience=2)
+        for i, d in enumerate(depths):
+            assert tr.process(d, float(i)).success
+        assert tr.num_track_scale_fallbacks == 0
+        assert tr.track_scale_active == 2
+
+    def test_reseed_rearms_reduced_res(self):
+        frames = self._thin_frames()
+        tr, _ = self._run(4, 0.6, frames)
+        assert tr.track_scale_active == 1
+        tr.reseed(frames[0])
+        assert tr.track_scale_active == 4
