@@ -222,8 +222,35 @@ class KeyframeDatabase:
         compiled program -- on TPU a fresh relay compile per distinct
         candidate count would otherwise cost 30-90 s each.
         """
-        if not candidate_ids:
+        out = self.verify_batch_async(
+            frame_id_a, cloud_a, feats_a, candidate_ids,
+            noise_bound=noise_bound, min_inliers=min_inliers,
+            min_inlier_fraction=min_inlier_fraction,
+            overlap_tau=overlap_tau, min_overlap=min_overlap,
+            refine_iters=refine_iters, pad_to=pad_to,
+        )
+        if out is None:
             return []
+        return self.finish_verify(*out)
+
+    def verify_batch_async(self, frame_id_a, cloud_a, feats_a,
+                           candidate_ids: list,
+                           noise_bound: float = 0.25, min_inliers: int = 10,
+                           min_inlier_fraction: float = 0.3,
+                           overlap_tau: float = 0.05,
+                           min_overlap: float = 0.6,
+                           refine_iters: int = 64,
+                           pad_to: int | None = None):
+        """Dispatch-only half of verify_batch: submits the vmapped
+        verification program and returns (T_dev, ok_dev, kept_ids)
+        WITHOUT materializing -- the caller overlaps the device work with
+        later host/VO work and collects via finish_verify. None when
+        there are no candidates. The deferred-booking SLAM path uses
+        this to take loop verification off the tracked frame's critical
+        path (the verdicts ride the device stream behind the next
+        frame's VO dispatch)."""
+        if not candidate_ids:
+            return None
         if pad_to is not None and len(candidate_ids) > pad_to:
             # Honor the fixed program shape: verify only the first pad_to
             # candidates (callers rank them by similarity). Silently
@@ -243,9 +270,15 @@ class KeyframeDatabase:
             overlap_tau=float(overlap_tau), min_overlap=float(min_overlap),
             refine_iters=int(refine_iters),
         )
-        T = np.asarray(T)
-        ok = np.asarray(ok)
-        return [(T[i], bool(ok[i])) for i in range(len(candidate_ids))]
+        return T, ok, list(candidate_ids)
+
+    @staticmethod
+    def finish_verify(T_dev, ok_dev, kept_ids):
+        """Materialize a verify_batch_async result: [(T_ab, ok), ...]
+        aligned with kept_ids."""
+        T = np.asarray(T_dev)
+        ok = np.asarray(ok_dev)
+        return [(T[i], bool(ok[i])) for i in range(len(kept_ids))]
 
     def verify(self, frame_id_a: int, cloud_a, feats_a, candidate_id: int,
                noise_bound: float = 0.25, min_inliers: int = 10,

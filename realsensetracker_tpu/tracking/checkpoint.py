@@ -153,6 +153,10 @@ def save_slam(path: str, tracker) -> None:
     counters, so a long SLAM stream survives restarts and can migrate
     hosts. The reference never persists program state (SURVEY.md section
     5.4); this is the mapping-pipeline extension of save_tracker."""
+    # A deferred-booking pipeline in flight would otherwise vanish from
+    # the snapshot (tracking/slam.py flush_pending).
+    if hasattr(tracker, "flush_pending"):
+        tracker.flush_pending()
     vo = tracker._vo
     payload = {
         "slam_version": np.int64(SLAM_FORMAT_VERSION),

@@ -34,18 +34,21 @@ from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 @partial(jax.jit, static_argnames=("intr", "voxel_size", "normal_k",
                                    "feature_radius", "max_neighbors",
-                                   "capacity"))
+                                   "capacity", "depth_scale"))
 def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
-                         feature_radius, max_neighbors, capacity):
+                         feature_radius, max_neighbors, capacity,
+                         depth_scale=1.0):
     """Depth frame -> (keyframe cloud, FPFH features, place descriptor) as
     ONE XLA program: unproject, voxel downsample, capacity slice, FPFH,
     descriptor pooling. Through the axon relay every eager op costs ~45 ms
     (CLAUDE.md gotcha 11), so the op-by-op version of this path dominated
-    keyframe-event latency on the real chip; fused it is one dispatch."""
-    from realsensetracker_tpu.ops.pyramid import build_pyramid
+    keyframe-event latency on the real chip; fused it is one dispatch.
+    Raw integer frames convert to meters IN-program (half the upload
+    bytes; float frames pass through)."""
+    from realsensetracker_tpu.ops.pyramid import build_pyramid, depth_to_meters
 
     levels, _ = build_pyramid(
-        jnp.asarray(depth, jnp.float32), intr, 1,
+        depth_to_meters(jnp.asarray(depth), depth_scale), intr, 1,
         with_normals=False, use_kernel=False,
     )
     h, w = levels[0].vertex_valid.shape
@@ -171,6 +174,24 @@ class SlamConfig:
     # window boundary instead of mid-window (bounded by one window of
     # staleness). Set False for strict per-frame-identical behavior.
     window_defer_events: bool = True
+    # PER-FRAME keyframe booking pipeline (the serving pending_seed
+    # pattern applied to SLAM): on a clean keyframe promotion the prep
+    # dispatch fires WITHOUT materializing and the event's host work
+    # spreads over the next two frames -- frame t+1 runs place
+    # recognition (the prep finished behind t+1's VO dispatch), inserts
+    # the keyframe, and FIRES loop verification; frame t+2 collects the
+    # verdicts (computed behind t+2's VO) and books the loop edges. The
+    # ~265 ms p90 spike of paying prep + query + verify + booking on one
+    # frame spreads into three ~dispatch-sized slices; every quantity is
+    # measured at event time (pose/span snapshots), so keyframes, loop
+    # edges, and the optimized trajectory are IDENTICAL to synchronous
+    # booking -- only the frame on which the host learns each verdict
+    # moves (and optimize_every corrections land <= 2 frames later).
+    # Reads (keyframe_count, optimize, world maps) and events that need
+    # current state (new keyframes, relocalization, lost mode) flush the
+    # pipeline first. Windowed processing ignores this (windows already
+    # amortize events).
+    defer_keyframe_booking: bool = True
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -251,14 +272,17 @@ class SlamTracker:
         )
         self._keyframes: list[_Keyframe] = []
         self._loop_edges: list[tuple] = []  # (kf_i, kf_j, T_ij, weight)
-        self.num_loop_closures = 0
+        self._num_loop_closures = 0
         self.num_relocalizations = 0
-        self.num_online_optimizations = 0
+        self._num_online_optimizations = 0
         self.lost = False  # un-relocalized tracking loss: pose is stale
         self._frame_count = 0
         # Deferred-window bookkeeping: the optimize_every cadence fired
         # inside a window and runs once at the window boundary.
         self._optimize_due = False
+        # Per-frame booking pipeline (SlamConfig.defer_keyframe_booking):
+        # at most one in-flight keyframe, advancing one stage per frame.
+        self._pending_kf: dict | None = None
 
     @property
     def trajectory(self) -> Trajectory:
@@ -266,7 +290,29 @@ class SlamTracker:
 
     @property
     def keyframe_count(self) -> int:
+        self.flush_pending()
         return len(self._keyframes)
+
+    # Counters read by CLIs/tests after a stream: flush so a still-
+    # pipelined final keyframe's loop edges are never missing from the
+    # count. Setters keep checkpoint restore (load_slam) working.
+    @property
+    def num_loop_closures(self) -> int:
+        self.flush_pending()
+        return self._num_loop_closures
+
+    @num_loop_closures.setter
+    def num_loop_closures(self, v) -> None:
+        self._num_loop_closures = int(v)
+
+    @property
+    def num_online_optimizations(self) -> int:
+        self.flush_pending()
+        return self._num_online_optimizations
+
+    @num_online_optimizations.setter
+    def num_online_optimizations(self, v) -> None:
+        self._num_online_optimizations = int(v)
 
     def _meters(self, depth):
         """Lazy host conversion of raw integer frames to f32 meters --
@@ -290,7 +336,10 @@ class SlamTracker:
         else:
             res = self._vo.process(depth, timestamp)
         self._frame_count += 1
-        return self._post_frame(depth, res)
+        return self._post_frame(
+            depth, res,
+            defer_booking=self.config.defer_keyframe_booking,
+        )
 
     def process_window(self, depths, timestamps=None, window: int = 8,
                        grays=None):
@@ -319,6 +368,9 @@ class SlamTracker:
             raise ValueError(
                 "SlamConfig.use_rgb=True: process_window() needs grays"
             )
+        # Mixed process()/process_window() use: windowed bookkeeping
+        # needs fully-booked state.
+        self.flush_pending()
         if timestamps is None:
             timestamps = [None] * len(depths)
         defer = self.config.window_defer_events
@@ -384,14 +436,122 @@ class SlamTracker:
             i += len(consumed)
         return results
 
-    def _post_frame(self, depth, res, defer_optimize=False):
+    def flush_pending(self) -> None:
+        """Run the deferred-booking pipeline to completion (no-op when
+        empty). Called before anything that must see current keyframe /
+        loop-edge state: new events, relocalization, optimization, map
+        extraction, keyframe_count."""
+        while self._pending_kf is not None:
+            self._advance_pending()
+
+    def _advance_pending(self) -> None:
+        """Advance the deferred keyframe one pipeline stage."""
+        p = self._pending_kf
+        if p is None:
+            return
+        if p["stage"] == 1:
+            self._pending_stage2()
+        else:
+            self._pending_stage3()
+
+    def _defer_keyframe(self, depth, res) -> None:
+        """Stage 1 (the event frame): fire the fused prep dispatch
+        without materializing and snapshot every event-time quantity the
+        later stages need. Costs the event frame only the dispatch
+        submission."""
+        span = getattr(res, "span_failures", None)
+        if span is None:
+            span = self._vo.last_span_failures
+        self._pending_kf = {
+            "stage": 1,
+            "prep": self._prepare(depth),  # async: device arrays
+            "pose": np.asarray(res.pose, np.float64),
+            "frame_index": int(res.frame_index),
+            "span": int(span),
+            "depth": depth if self.config.keep_depths else None,
+        }
+
+    def _pending_stage2(self) -> None:
+        """Stage 2 (one frame later): place recognition on the (now
+        device-complete) prep, keyframe + odometry-edge insertion, and
+        the loop-verification dispatch -- fired, not materialized."""
+        cfg = self.config
+        p = self._pending_kf
+        cloud, feats, desc = p["prep"]
+        kf_idx = len(self._keyframes)
+        pose = p["pose"]
+        kf = _Keyframe(
+            index=kf_idx,
+            frame_index=p["frame_index"],
+            pose=pose.astype(np.float32),
+            cloud=cloud,
+            feats=feats,
+            odom_from_prev=(
+                (np.linalg.inv(self._keyframes[-1].pose.astype(np.float64))
+                 @ pose).astype(np.float32)
+                if self._keyframes else None
+            ),
+            odom_weight=max(0.02, 1.0 / (1.0 + p["span"])),
+            depth=(
+                np.asarray(self._meters(p["depth"]), np.float32)
+                if cfg.keep_depths else None
+            ),
+        )
+        hits = self._db.query(kf_idx, cloud, feats, desc=desc)
+        p["verify"] = self._db.verify_batch_async(
+            kf_idx, cloud, feats, [c for c, _ in hits],
+            noise_bound=cfg.loop_noise_bound,
+            overlap_tau=cfg.loop_overlap_tau,
+            min_overlap=cfg.loop_min_overlap,
+            pad_to=3,
+        )
+        self._db.add(kf_idx, cloud, feats)
+        self._keyframes.append(kf)
+        p["kf_idx"] = kf_idx
+        p["stage"] = 2
+
+    def _pending_stage3(self) -> None:
+        """Stage 3 (two frames after the event): collect the loop
+        verdicts (device-complete behind the intervening VO dispatch),
+        book accepted edges, run the optimize cadence."""
+        from realsensetracker_tpu.loop_closure.detector import (
+            KeyframeDatabase,
+        )
+
+        cfg = self.config
+        p = self._pending_kf
+        self._pending_kf = None
+        kf_idx = p["kf_idx"]
+        if p["verify"] is not None:
+            T_dev, ok_dev, kept = p["verify"]
+            verdicts = KeyframeDatabase.finish_verify(T_dev, ok_dev, kept)
+            self._book_loop_edges(
+                kf_idx, p["pose"].astype(np.float32),
+                list(zip(kept, verdicts)), reloc_edge=None,
+            )
+        ev = cfg.optimize_every
+        if (
+            ev
+            and len(self._keyframes) >= 2
+            and len(self._keyframes) % ev == 0
+            and self._loop_edges
+        ):
+            self._optimize_online()
+
+    def _post_frame(self, depth, res, defer_optimize=False,
+                    defer_booking=False):
         """Everything process() does after the VO step: relocalization,
         keyframe events (loop closure + graph edges), online optimization.
 
         defer_optimize: record that the optimize_every cadence fired
         (self._optimize_due) instead of running it -- the deferred-window
         path batches all of a window's keyframe bookkeeping first and
-        optimizes once at the boundary (see process_window)."""
+        optimizes once at the boundary (see process_window).
+
+        defer_booking: clean keyframe promotions enter the 3-stage
+        booking pipeline (SlamConfig.defer_keyframe_booking) instead of
+        booking synchronously; every path that needs current state
+        flushes first, so results are identical."""
         precomputed = None
         odom_weight = None  # None -> derive from the span's failure count
         # A failure-streak re-seed means the held pose is stale: attempt
@@ -402,11 +562,15 @@ class SlamTracker:
             res.is_new_keyframe
             or self._frame_count % max(self.config.reloc_retry_every, 1) == 0
         )
+        if res.is_new_keyframe or reseed_fail or retry or self.lost:
+            # Events must see fully-booked state (candidate stores, graph
+            # indices, keyframe list).
+            self.flush_pending()
+        else:
+            self._advance_pending()
         reloc_edge = None
         if self.config.relocalize and self._keyframes and (reseed_fail or retry):
-            pose, precomputed, reloc_edge = self._try_relocalize(
-                self._meters(depth)
-            )
+            pose, precomputed, reloc_edge = self._try_relocalize(depth)
             if pose is not None:
                 self._vo.relocalize_to(pose)
                 self.num_relocalizations += 1
@@ -426,8 +590,19 @@ class SlamTracker:
                 if reseed_fail:
                     self.lost = True
         if res.is_new_keyframe:
+            if (
+                defer_booking
+                and res.success
+                and precomputed is None
+                and odom_weight is None
+                and reloc_edge is None
+            ):
+                # Clean promotion: pipeline it (stages 2-3 run on the
+                # next two frames, overlapped with their VO dispatches).
+                self._defer_keyframe(depth, res)
+                return res
             self._on_keyframe(
-                self._meters(depth), res, precomputed=precomputed,
+                depth, res, precomputed=precomputed,
                 odom_weight=odom_weight, reloc_edge=reloc_edge,
             )
             ev = self.config.optimize_every
@@ -454,7 +629,7 @@ class SlamTracker:
             return
         delta = opt[-1].astype(np.float64) @ np.linalg.inv(old_last)
         self._vo.apply_world_correction(delta.astype(np.float32))
-        self.num_online_optimizations += 1
+        self._num_online_optimizations += 1
 
     def _try_relocalize(self, depth):
         """Robust global registration of the current frame against the most
@@ -492,7 +667,9 @@ class SlamTracker:
         return None, (cloud, feats, desc), None
 
     def _prepare(self, depth):
-        """(cloud, feats, descriptor) for the current frame -- one dispatch."""
+        """(cloud, feats, descriptor) for the current frame -- one
+        dispatch. Raw integer frames upload as-is and convert in-program
+        (half the event-path upload bytes)."""
         cfg = self.config
         return _fused_keyframe_prep(
             depth,
@@ -502,10 +679,13 @@ class SlamTracker:
             feature_radius=float(cfg.align.feature_radius),
             max_neighbors=int(cfg.align.fpfh_max_neighbors),
             capacity=int(cfg.keyframe_cloud_capacity),
+            depth_scale=float(cfg.depth_scale),
         )
 
     def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None,
                      reloc_edge=None) -> None:
+        """Synchronous keyframe booking (``depth`` may be raw integer:
+        the prep converts in-program; keep_depths converts on host)."""
         cfg = self.config
         kf_idx = len(self._keyframes)
         if odom_weight is None:
@@ -539,7 +719,8 @@ class SlamTracker:
             ),
             odom_weight=float(odom_weight),
             depth=(
-                np.asarray(depth, np.float32) if cfg.keep_depths else None
+                np.asarray(self._meters(depth), np.float32)
+                if cfg.keep_depths else None
             ),
         )
         # Query BEFORE adding (never match self). All candidates of this
@@ -553,8 +734,23 @@ class SlamTracker:
             min_overlap=cfg.loop_min_overlap,
             pad_to=3,  # one compiled program regardless of candidate count
         )
+        self._book_loop_edges(
+            kf_idx, np.asarray(res.pose),
+            list(zip([c for c, _ in hits], verdicts)), reloc_edge,
+        )
+        self._db.add(kf_idx, cloud, feats)
+        self._keyframes.append(kf)
+
+    def _book_loop_edges(self, kf_idx, kf_pose, cand_verdicts,
+                         reloc_edge=None) -> None:
+        """Gate + record accepted loop edges for keyframe kf_idx.
+        cand_verdicts: [(cand_idx, (T_ab, ok)), ...]; kf_pose is the
+        keyframe's EVENT-TIME world pose (the odometry gate must compare
+        in the drift frame the measurement was made in). Shared by
+        synchronous booking and pipeline stage 3."""
+        cfg = self.config
         added_pairs = set()
-        for (cand_idx, _sim), (T_ab, ok) in zip(hits, verdicts):
+        for cand_idx, (T_ab, ok) in cand_verdicts:
             if ok:
                 # verify() registers this kf (src) onto the candidate (dst),
                 # returning T mapping this-kf coords -> candidate coords.
@@ -565,8 +761,8 @@ class SlamTracker:
                 # current estimate up to accumulated drift; confidently
                 # wrong global registrations do not. Host-side log: one
                 # device se3.log here costs ~20 eager relay dispatches.
-                pred = np.linalg.inv(self._keyframes[cand_idx].pose) @ np.asarray(
-                    res.pose
+                pred = np.linalg.inv(self._keyframes[cand_idx].pose) @ (
+                    np.asarray(kf_pose)
                 )
                 delta = _se3_log_np(np.linalg.inv(T_meas) @ pred)
                 allowed = cfg.loop_odometry_gate + (
@@ -578,7 +774,7 @@ class SlamTracker:
                     (cand_idx, kf_idx, T_meas, cfg.loop_weight)
                 )
                 added_pairs.add((int(cand_idx), kf_idx))
-                self.num_loop_closures += 1
+                self._num_loop_closures += 1
         if reloc_edge is not None and (
             (int(reloc_edge[0]), kf_idx) not in added_pairs
         ):
@@ -595,9 +791,7 @@ class SlamTracker:
                 (int(cand_idx), kf_idx, np.asarray(T_reloc, np.float32),
                  cfg.loop_weight)
             )
-            self.num_loop_closures += 1
-        self._db.add(kf_idx, cloud, feats)
-        self._keyframes.append(kf)
+            self._num_loop_closures += 1
 
     def optimize(self, gn_iters: int = 10, cg_iters: int = 60, pad: bool = False):
         """Run pose-graph optimization over keyframes; returns optimized
@@ -613,6 +807,7 @@ class SlamTracker:
         shape repeats across calls, so ONLINE optimization (which runs
         every few keyframes) costs one relay compile per capacity
         doubling instead of one per keyframe count."""
+        self.flush_pending()
         if len(self._keyframes) < 2:
             return np.stack([k.pose for k in self._keyframes]) if self._keyframes else None
         K = len(self._keyframes)
@@ -660,6 +855,7 @@ class SlamTracker:
         """World model from (optimized) keyframe poses + clouds."""
         from realsensetracker_tpu.tracking import accumulator as acc_mod
 
+        self.flush_pending()
         acc = acc_mod.init_map(capacity)
         for kf in self._keyframes:
             acc = acc_mod.add_cloud(
@@ -692,6 +888,7 @@ class SlamTracker:
         """
         from realsensetracker_tpu.mapping import tsdf as tsdf_mod
 
+        self.flush_pending()
         if not self._keyframes:
             return None
         if any(kf.depth is None for kf in self._keyframes):

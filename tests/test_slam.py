@@ -102,6 +102,75 @@ class TestSlam:
             )
             assert err < 0.05, f"wrong loop edge {i}<-{j} accepted (err {err:.3f})"
 
+    def test_deferred_booking_matches_synchronous(self):
+        """SlamConfig.defer_keyframe_booking pipelines keyframe prep +
+        loop verification over the two frames after each promotion; every
+        quantity is snapshotted at event time, so keyframes, loop edges,
+        counters, trajectory, and the optimized poses must be IDENTICAL
+        to synchronous booking."""
+        depths, _ = _loop_sequence(10)
+        out = {}
+        for defer in (False, True):
+            tracker = _make_tracker()
+            tracker.config.defer_keyframe_booking = defer
+            for i in range(10):
+                tracker.process(depths[i], float(i))
+            opt = tracker.optimize(gn_iters=6, cg_iters=30)
+            out[defer] = (
+                tracker.keyframe_count,
+                tracker.num_loop_closures,
+                [(i, j, np.asarray(T), w)
+                 for (i, j, T, w) in tracker._loop_edges],
+                np.stack(tracker.trajectory.poses),
+                np.asarray(opt),
+            )
+        assert out[False][0] == out[True][0]
+        assert out[False][1] == out[True][1]
+        for (i0, j0, T0, w0), (i1, j1, T1, w1) in zip(out[False][2],
+                                                      out[True][2]):
+            assert (i0, j0, w0) == (i1, j1, w1)
+            np.testing.assert_allclose(T0, T1, atol=1e-6)
+        np.testing.assert_allclose(out[False][3], out[True][3], atol=1e-6)
+        np.testing.assert_allclose(out[False][4], out[True][4], atol=1e-5)
+
+    def test_deferred_booking_matches_synchronous_natural_cadence(self):
+        """With NATURAL promotion thresholds (events every few frames)
+        the pipeline genuinely advances one stage per non-event frame
+        (_advance_pending) instead of being flushed at every event; the
+        results must still match synchronous booking exactly."""
+        depths, _ = _loop_sequence(12)
+        out = {}
+        for defer in (False, True):
+            tracker = _make_tracker(force_keyframes=False)
+            tracker.config.defer_keyframe_booking = defer
+            tracker._vo.max_translation = 0.05
+            tracker._vo.max_rotation = 0.05
+            for i in range(12):
+                tracker.process(depths[i], float(i))
+            out[defer] = (
+                tracker.keyframe_count,
+                tracker.num_loop_closures,
+                np.stack(tracker.trajectory.poses),
+            )
+        assert out[False][0] == out[True][0]
+        assert out[False][0] >= 2, "cadence produced no natural keyframes"
+        assert out[False][1] == out[True][1]
+        np.testing.assert_allclose(out[False][2], out[True][2], atol=1e-6)
+
+    def test_deferred_booking_flushes_on_reads(self):
+        """keyframe_count / num_loop_closures mid-stream must include a
+        still-pipelined promotion (the properties flush)."""
+        depths, _ = _loop_sequence(6)
+        tracker = _make_tracker()
+        tracker.config.defer_keyframe_booking = True
+        counts = []
+        for i in range(6):
+            tracker.process(depths[i], float(i))
+            counts.append(tracker.keyframe_count)
+        # force_keyframes promotes every frame; the flushing property
+        # must never lag the frame count.
+        assert counts == list(range(1, 7))
+
     def test_optimize_improves_endpoint(self):
         depths, poses_gt = _loop_sequence(10)
         tracker = _make_tracker()
