@@ -495,7 +495,8 @@ class SubmapTsdfTracker:
 
 
 def _verify_submap_pairs(surfs, feats, pairs, *, noise_bound,
-                         overlap_tau, min_overlap, refine_iters):
+                         overlap_tau, min_overlap, refine_iters,
+                         mesh=None, mesh_axis: str = "data"):
     """Geometric verification of candidate submap pairs in ONE dispatch.
 
     Same recipe as the keyframe loop-closure verifier
@@ -505,15 +506,59 @@ def _verify_submap_pairs(surfs, feats, pairs, *, noise_bound,
     not lose overlap. Registers surface_j ONTO surface_i, so the
     accepted transform is i_from_j = T_i^-1 T_j -- exactly the
     pose-graph edge measurement.
+
+    The pair axis pads to a power of two (inert (0, 0) self-pairs, rows
+    dropped from the result) so repeated atlas optimizations reuse one
+    compiled program per capacity doubling instead of one per pair
+    count. With ``mesh`` the padded pair axis shards over the mesh's
+    ``mesh_axis`` (stores replicated -- a few MB; each chip verifies
+    pairs/N candidates with zero hot-loop collectives), the same
+    data-parallel shape as the serving slot axis.
     """
-    from realsensetracker_tpu.align import icp as icp_mod
-    from realsensetracker_tpu.align import robust_global
+    n_pairs = len(pairs)
+    cap = max(4, 1 << (n_pairs - 1).bit_length())
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        cap = max(cap, n_dev)
+        if cap % n_dev:
+            cap = ((cap + n_dev - 1) // n_dev) * n_dev
+    padded = list(pairs) + [(0, 0)] * (cap - n_pairs)
 
     pts = jnp.stack([s.points for s in surfs])
     msk = jnp.stack([s.mask for s in surfs])
     fts = jnp.stack(feats)
-    pi = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    pj = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    pi = jnp.asarray([p[0] for p in padded], jnp.int32)
+    pj = jnp.asarray([p[1] for p in padded], jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh_axis))
+        repl = NamedSharding(mesh, P())
+        pi = jax.device_put(pi, shard)
+        pj = jax.device_put(pj, shard)
+        pts, msk, fts = (jax.device_put(x, repl) for x in (pts, msk, fts))
+
+    T, ok, ov = _verify_pairs_jit(
+        pts, msk, fts, pi, pj, noise_bound=float(noise_bound),
+        overlap_tau=float(overlap_tau), min_overlap=float(min_overlap),
+        refine_iters=int(refine_iters),
+    )
+    return T[:n_pairs], ok[:n_pairs], ov[:n_pairs]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("noise_bound", "overlap_tau",
+                                    "min_overlap", "refine_iters"))
+def _verify_pairs_jit(pts, msk, fts, pi, pj, *, noise_bound, overlap_tau,
+                      min_overlap, refine_iters):
+    """Vmapped pair-verification program (one compiled program per
+    (submap-count, pair-capacity, sharding) combination; the XLA SPMD
+    partitioner splits the vmapped batch along the sharded pair axis
+    when the operands carry a mesh sharding)."""
+    from realsensetracker_tpu.align import icp as icp_mod
+    from realsensetracker_tpu.align import robust_global
 
     def one(i, j):
         src = cloud_mod.Cloud(points=pts[j], mask=msk[j])  # submap j
@@ -541,12 +586,73 @@ def _verify_submap_pairs(surfs, feats, pairs, *, noise_bound,
     return jax.vmap(one)(pi, pj)
 
 
+def _occupancy_signature(vol, cfg: tsdf_mod.TsdfConfig,
+                         pool: int = 8) -> np.ndarray:
+    """Coarse (G, G, G) near-surface occupancy mass of a volume, host
+    NumPy: fraction of each pool^3 block whose voxels are observed AND
+    within half the truncation band of the surface. Reads the HOST copy
+    when the volume is offloaded -- no upload, no surface extraction.
+
+    This is the cheap mid-gate signal for atlas loop closure: the
+    pooled-FPFH place descriptor was measured NON-discriminative at
+    submap scale (revisit cosine 0.986 vs 0.988 max over unrelated
+    anchor-near pairs -- curvature statistics look alike everywhere on
+    sphere/plane worlds), while warped-occupancy overlap separates
+    cleanly (0.96 revisit / <= 0.08 unrelated; BENCHMARKS.md)."""
+    w = np.asarray(vol.weight) > 0
+    t = np.abs(np.asarray(vol.tsdf)) < 0.5
+    v = w.shape[0]
+    g = max(v // pool, 1)
+    trim = g * pool
+    m = (w & t)[:trim, :trim, :trim]
+    return m.reshape(g, pool, g, pool, g, pool).mean(axis=(1, 3, 5))
+
+
+def _pair_overlap_score(ci: np.ndarray, cj: np.ndarray, T_ji: np.ndarray,
+                        cfg: tsdf_mod.TsdfConfig, pool: int = 8) -> float:
+    """Anchor-warped occupancy overlap of two submaps, in [0, 1]:
+    sum(min(Ci, Cj o T_ji)) / min(mass_i, mass_j), where submap i's
+    coarse cell centers warp into j's frame through the known relative
+    anchor transform. A true revisit shares nearly all its observed mass
+    (score ~1); anchor-near pairs that observed DIFFERENT geometry share
+    almost none (~0.06-0.08 measured). Uses the CURRENT (drift-carrying)
+    anchors, so it tolerates drift up to about one coarse cell
+    (pool * voxel_size meters) -- the same assumption the anchor-distance
+    gate already makes."""
+    g = ci.shape[0]
+    cell = cfg.voxel_size * pool
+    o = np.asarray(cfg.origin, np.float64)
+    idx = np.stack(
+        np.meshgrid(*([np.arange(g)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    centers = o + (idx + 0.5) * cell
+    T = np.asarray(T_ji, np.float64)
+    p = centers @ T[:3, :3].T + T[:3, 3]
+    jidx = np.floor((p - o) / cell).astype(int)
+    inside = np.all((jidx >= 0) & (jidx < g), axis=1)
+    cj_at = np.zeros(len(idx))
+    cj_at[inside] = cj[tuple(jidx[inside].T)]
+    ci_f = ci.ravel()
+    inter = float(np.minimum(ci_f, cj_at).sum())
+    return inter / (min(float(ci_f.sum()), float(cj.sum())) + 1e-9)
+
+
 def optimize_atlas(
     tracker: "SubmapTsdfTracker",
     *,
     surface_capacity: int = 2048,
     min_separation: int = 2,
     gate: float = 0.0,  # anchor-distance candidate gate; 0 = auto (extent)
+    occupancy_gate: float = 0.25,  # warped-occupancy overlap mid-gate
+    # between the (free) anchor gate and the (expensive) register+ICP
+    # verification (see _pair_overlap_score): computed on HOST volume
+    # copies BEFORE any upload/extraction, so at 20+ submaps both the
+    # per-pair registration bill AND the per-submap surface+FPFH bill
+    # shrink to the handful of genuinely-overlapping candidates.
+    # 0 disables. Measured on a 20-submap corridor-with-revisit atlas:
+    # 20 anchor-gated pairs -> 2 verified, identical accepted edges.
+    occupancy_pool: int = 8,  # coarse-cell edge in voxels (drift
+    # tolerance of the occupancy gate ~ pool * voxel_size meters)
     noise_bound: float = 0.0,  # 0 = auto (4 * voxel)
     overlap_tau: float = 0.0,  # 0 = auto (2 * voxel)
     min_overlap: float = 0.7,  # corridor floors/walls are translation-
@@ -559,6 +665,9 @@ def optimize_atlas(
     max_neighbors: int = 64,
     gn_iters: int = 10,
     cg_iters: int = 50,
+    mesh=None,  # jax.sharding.Mesh: shard the pair verification over its
+    # "data" axis (pure data parallelism -- see _verify_submap_pairs)
+    mesh_axis: str = "data",
 ) -> int:
     """Loop-close and optimize the submap atlas IN PLACE; returns the
     number of accepted loop edges (0 = nothing changed).
@@ -588,12 +697,18 @@ def optimize_atlas(
     overlap_tau = overlap_tau or 2 * voxel
     feature_radius = feature_radius or 6 * voxel
 
-    entries = tracker._all_volumes()  # id order, active volume live
-    k = len(entries)
+    # tracker.submaps substitutes the live anchor/volume for the active
+    # entry but does NOT upload offloaded volumes -- the gates below run
+    # on host copies, and only gate-surviving submaps pay the
+    # upload + surface-extraction + FPFH bill.
+    subs = tracker.submaps
+    k = len(subs)
     if k < min_separation + 1:
         return 0
 
-    anchors = np.stack([e[0] for e in entries]).astype(np.float32)
+    anchors = np.stack(
+        [s.world_from_submap for s in subs]
+    ).astype(np.float32)
     pairs = []
     for i in range(k):
         for j in range(i + min_separation, k):
@@ -602,19 +717,43 @@ def optimize_atlas(
     if not pairs:
         return 0
 
+    if occupancy_gate > 0:
+        sigs = {}
+        for idx in sorted({i for p in pairs for i in p}):
+            sigs[idx] = _occupancy_signature(subs[idx].volume, cfgv,
+                                             occupancy_pool)
+        kept = []
+        for i, j in pairs:
+            T_ji = np.linalg.inv(
+                anchors[j].astype(np.float64)
+            ) @ anchors[i].astype(np.float64)
+            score = _pair_overlap_score(sigs[i], sigs[j], T_ji, cfgv,
+                                        occupancy_pool)
+            if score >= occupancy_gate:
+                kept.append((i, j))
+        pairs = kept
+        if not pairs:
+            return 0
+
+    # Upload + extract surfaces + FPFH only for submaps in surviving
+    # pairs (at 20+ submaps most volumes never pay this).
+    active = sorted({idx for p in pairs for idx in p})
+    slot = {idx: s for s, idx in enumerate(active)}
     surfs, feats = [], []
-    for _, vol in entries:
-        c, n = tsdf_mod.extract_surface_oriented(vol, cfgv,
-                                                 surface_capacity)
+    for idx in active:
+        c, n = tsdf_mod.extract_surface_oriented(
+            _to_device(subs[idx].volume), cfgv, surface_capacity
+        )
         surfs.append(c)
         feats.append(fpfh_mod.compute_fpfh_from_normals(
             c, n, feature_radius, max_neighbors
         ))
 
     T, ok, _ov = _verify_submap_pairs(
-        surfs, feats, pairs, noise_bound=noise_bound,
+        surfs, feats, [(slot[i], slot[j]) for i, j in pairs],
+        noise_bound=noise_bound,
         overlap_tau=overlap_tau, min_overlap=min_overlap,
-        refine_iters=refine_iters,
+        refine_iters=refine_iters, mesh=mesh, mesh_axis=mesh_axis,
     )
     ok = np.asarray(ok)
     T = np.asarray(T)

@@ -406,3 +406,145 @@ class TestCheckpointAndFacade:
             "--frame-interval", "0", "--submap-radius", "0.6",
         ])
         assert rc == 1  # submaps require the dense method
+
+
+class TestAtlasScaling:
+    """optimize_atlas at 20 submaps: the warped-occupancy mid-gate must
+    prune geometry-dissimilar anchor-near pairs BEFORE the expensive
+    register+ICP dispatch (and before any volume upload / surface
+    extraction), while keeping true revisits; the sharded pair verify
+    must match the single-device result."""
+
+    N = 20
+
+    @classmethod
+    def _atlas(cls, n=None):
+        """A synthetic n-submap corridor atlas whose LAST submap revisits
+        the first place (anchors 1 m apart, per-meter sphere clusters,
+        no wall in range). Volumes are built directly (one frame fused
+        per submap) -- tracking 20 submaps' worth of frames would
+        dominate the test's runtime without exercising anything new."""
+        import jax
+
+        from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+        from realsensetracker_tpu.mapping.submaps import Submap
+
+        n = n or cls.N
+        rng = np.random.RandomState(7)
+        centers, radii = [], []
+        for m in range(n + 2):
+            for _ in range(3):
+                centers.append([m * 1.0 + rng.uniform(-0.4, 0.4),
+                                rng.uniform(-0.3, 0.5),
+                                rng.uniform(0.9, 1.6)])
+                radii.append(rng.uniform(0.16, 0.3))
+        scene = synthetic.Scene(
+            sphere_centers=jnp.asarray(centers, jnp.float32),
+            sphere_radii=jnp.asarray(radii, jnp.float32),
+            floor_y=0.9, wall_z=50.0,
+        )
+        xs = [float(i) for i in range(n - 1)] + [0.02]
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        for i, x in enumerate(xs):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = x
+            depth = synthetic.render_depth(INTR, jnp.asarray(pose), scene)
+            from realsensetracker_tpu.mapping import tsdf as tm
+
+            vol = tm.integrate(tm.init_volume(VOL), depth, jnp.eye(4),
+                               INTR, VOL)
+            tr._subs.append(Submap(world_from_submap=pose.copy(),
+                                   volume=jax.tree.map(np.asarray, vol),
+                                   frames=1))
+            tr._span_log.append((i, i))
+            tr.trajectory.append(float(i), pose.copy())
+            last_vol, last_pose = vol, pose
+        tr._active_id = len(xs) - 1
+        tr._anchor = last_pose.copy()
+        tr._t._vol = last_vol
+        tr._t._pose = jnp.eye(4)
+        tr._t._pose_np = np.eye(4, dtype=np.float32)
+        tr._pose_np = last_pose.copy()
+        return tr
+
+    def test_occupancy_gate_prunes_pairs_and_keeps_revisit(self):
+        from realsensetracker_tpu.mapping import submaps as sm
+
+        tr = self._atlas()
+        orig = sm._verify_submap_pairs
+        seen = {}
+
+        def spy(surfs, feats, pairs, **kw):
+            seen["verified"] = len(pairs)
+            seen["extracted"] = len(surfs)
+            return orig(surfs, feats, pairs, **kw)
+
+        sm._verify_submap_pairs = spy
+        try:
+            edges = sm.optimize_atlas(tr, surface_capacity=1024)
+        finally:
+            sm._verify_submap_pairs = orig
+        # 20 anchor-gated candidates collapse to the genuinely
+        # overlapping few; only those submaps pay extraction.
+        assert seen["verified"] <= 4, seen
+        assert seen["extracted"] <= 6, seen
+        # The revisit edge (0 <- last) must survive the gate and verify.
+        assert edges >= 1
+        # After optimization the revisited anchors must coincide (the
+        # loop edge pulls the drifted 2 cm offset together).
+        d = np.linalg.norm(
+            tr._subs[0].world_from_submap[:3, 3]
+            - tr._anchor[:3, 3]
+        )
+        assert d < 0.05
+
+    def test_gate_disabled_verifies_all_anchor_pairs(self):
+        from realsensetracker_tpu.mapping import submaps as sm
+
+        tr = self._atlas(8)
+        orig = sm._verify_submap_pairs
+        seen = {}
+
+        def spy(surfs, feats, pairs, **kw):
+            seen["verified"] = len(pairs)
+            return orig(surfs, feats, pairs, **kw)
+
+        sm._verify_submap_pairs = spy
+        try:
+            sm.optimize_atlas(tr, surface_capacity=1024,
+                              occupancy_gate=0.0)
+        finally:
+            sm._verify_submap_pairs = orig
+        # Without the mid-gate every anchor-gated pair pays verification.
+        assert seen["verified"] >= 6, seen
+
+    def test_sharded_pair_verify_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from realsensetracker_tpu.mapping import submaps as sm
+        from realsensetracker_tpu.mapping import tsdf as tm
+        from realsensetracker_tpu.ops import fpfh as fpfh_mod
+
+        tr = self._atlas(6)
+        surfs, feats = [], []
+        for s in tr.submaps[:4]:
+            vol = jax.tree.map(jnp.asarray, s.volume)
+            c, n = tm.extract_surface_oriented(vol, VOL, 512)
+            surfs.append(c)
+            feats.append(fpfh_mod.compute_fpfh_from_normals(
+                c, n, 6 * VOL.voxel_size, 64
+            ))
+        pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)]
+        kw = dict(noise_bound=4 * VOL.voxel_size,
+                  overlap_tau=2 * VOL.voxel_size, min_overlap=0.7,
+                  refine_iters=8)
+        T0, ok0, ov0 = sm._verify_submap_pairs(surfs, feats, pairs, **kw)
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        T1, ok1, ov1 = sm._verify_submap_pairs(surfs, feats, pairs,
+                                               mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(T0), np.asarray(T1),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        np.testing.assert_allclose(np.asarray(ov0), np.asarray(ov1),
+                                   atol=1e-5)
