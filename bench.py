@@ -34,7 +34,76 @@ def _probe_backend(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _fresh_e2e_child() -> None:
+    """Companion end-to-end figure, run in a FRESH subprocess: u16
+    windowed keyframe registration through the production Tracker facade
+    with per-call FRESH uploaded inputs.
+
+    The headline loop below uploads its f32 batch ONCE and salts only the
+    execution; the relay dedupes repeated uploads and its per-dispatch
+    cost for upload-heavy programs grows with process age (CLAUDE.md
+    gotcha 12), so the headline is honest for resident-input registration
+    compute but says nothing about host->device streaming. This child
+    measures the number a skeptic asks for first: every frame is a
+    DISTINCT u16 buffer (salted bytes, not just salted execution),
+    uploaded inside the timed window dispatch, in the first slots of a
+    fresh process. Prints one JSON line consumed by the parent.
+    """
+    import numpy as np
+
+    import jax  # noqa: F401  (backend init)
+    import jax.numpy as jnp
+
+    from realsensetracker_tpu.api import Tracker, TrackerConfig
+    from realsensetracker_tpu.data import synthetic
+    from realsensetracker_tpu.geometry import camera
+
+    intr = camera.TUM_FR1  # 640x480
+    window = 8
+    n_windows = 10  # timed; first-slot protocol keeps process-age drift low
+
+    # Smooth synthetic trajectory rendered once; per-frame u16 conversion
+    # adds +-2 mm integer noise so every frame's BYTES are unique.
+    scene = synthetic.default_scene(seed=5)
+    total = window * (n_windows + 1)
+    depths, _poses = synthetic.render_trajectory(
+        intr, total, scene=scene, seed=3, step_scale=0.004
+    )
+    rng = np.random.RandomState(11)
+    frames = []
+    for i in range(total):
+        d = np.asarray(depths[i])
+        mm = np.clip(d * 1000.0, 0, 65000).astype(np.int32)
+        mm = np.where(
+            mm > 0, mm + rng.randint(-2, 3, size=mm.shape), 0
+        )
+        frames.append(mm.astype(np.uint16))
+
+    tracker = Tracker(TrackerConfig(
+        intrinsics=intr, method="keyframe", depth_scale=1e-3,
+    ))
+    # Warmup window: pays the scan compile, excluded from timing.
+    tracker.process_window(frames[:window], window=window)
+
+    t0 = time.perf_counter()
+    for w in range(1, n_windows + 1):
+        # The facade materializes the window's stats row per chunk --
+        # the same fence rs_replay pays.
+        tracker.process_window(
+            frames[w * window:(w + 1) * window], window=window
+        )
+    dt = time.perf_counter() - t0
+    n_frames = window * n_windows
+    print(json.dumps({
+        "fresh_u16_window8_ms_per_frame": round(dt * 1000.0 / n_frames, 2),
+        "fresh_u16_window8_frames_per_sec": round(n_frames / dt, 1),
+    }))
+
+
 def main() -> None:
+    if "--fresh-e2e-child" in sys.argv:
+        _fresh_e2e_child()
+        return
     if not _probe_backend():
         time.sleep(60.0)  # transient relay hiccups recover quickly
         if not _probe_backend():
@@ -46,6 +115,25 @@ def main() -> None:
                 file=sys.stderr,
             )
             raise SystemExit(1)
+
+    # Companion end-to-end figure in a FRESH subprocess, run BEFORE this
+    # process initializes its own backend: only one process can hold the
+    # TPU tunnel at a time (gotcha 3), and the fresh-process first-slot
+    # protocol is exactly what upload-honest numbers need (gotcha 12).
+    companion = {}
+    try:
+        import os
+        import subprocess as _sp
+
+        child = _sp.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--fresh-e2e-child"],
+            capture_output=True, text=True, timeout=1500,
+        )
+        line = child.stdout.strip().splitlines()[-1] if child.stdout else ""
+        companion = json.loads(line)
+    except Exception as e:  # never fail the headline for the companion
+        companion = {"fresh_e2e_error": f"{type(e).__name__}: {e}"[:200]}
 
     import jax
     import jax.numpy as jnp
@@ -116,16 +204,14 @@ def main() -> None:
     # rate IS the total rate (dividing by len(jax.devices()) would
     # under-report N-fold on a multi-chip host).
     value = pairs_per_sec = batch * n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "registered_640x480_pairs_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(value / 1000.0, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "registered_640x480_pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / 1000.0, 4),
+    }
+    record.update(companion)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
