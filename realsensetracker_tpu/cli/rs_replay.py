@@ -94,6 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "solves every frame) -- divides the ~47 ms "
                         "full-res integrate floor by N (0/1 = every "
                         "frame)")
+    p.add_argument("--tsdf-integrate-slab", type=int, default=0,
+                   metavar="S",
+                   help="method=tsdf: frustum-restricted integration -- "
+                        "update only a dynamic S^3 sub-grid positioned "
+                        "over each frame's observed AABB ((V/S)^3-fold "
+                        "fewer depth gathers; bit-identical fusion, with "
+                        "an automatic full-volume fallback when the AABB "
+                        "does not fit; 0 = full volume)")
     p.add_argument("--submap-radius", type=float, default=0.0, metavar="M",
                    help="method=tsdf: > 0 enables the submap atlas "
                         "(unbounded dense mapping from fixed-shape "
@@ -159,10 +167,11 @@ def main(argv=None) -> int:
         print("--tsdf-color requires --method tsdf", file=sys.stderr)
         return 1
     if (args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale
-            or args.tsdf_integrate_every
+            or args.tsdf_integrate_every or args.tsdf_integrate_slab
             or args.tsdf_track_scale_fallback) and args.method != "tsdf":
         print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale/"
-              "--tsdf-integrate-every/--tsdf-track-scale-fallback require "
+              "--tsdf-integrate-every/--tsdf-integrate-slab/"
+              "--tsdf-track-scale-fallback require "
               "--method tsdf", file=sys.stderr)
         return 1
     if args.tsdf_track_scale_fallback and not args.tsdf_track_scale:
@@ -273,7 +282,8 @@ def main(argv=None) -> int:
         tsdf_kw = {}
         if args.method == "tsdf" and (args.tsdf_resolution or args.tsdf_voxel
                                       or args.tsdf_track_scale
-                                      or args.tsdf_integrate_every):
+                                      or args.tsdf_integrate_every
+                                      or args.tsdf_integrate_slab):
             from realsensetracker_tpu.mapping.tsdf import sized_config
 
             cfg_tsdf = sized_config(args.tsdf_resolution, args.tsdf_voxel)
@@ -284,6 +294,10 @@ def main(argv=None) -> int:
             if args.tsdf_integrate_every > 1:
                 cfg_tsdf = cfg_tsdf._replace(
                     integrate_every=args.tsdf_integrate_every
+                )
+            if args.tsdf_integrate_slab:
+                cfg_tsdf = cfg_tsdf._replace(
+                    integrate_slab=args.tsdf_integrate_slab
                 )
             tsdf_kw["tsdf"] = cfg_tsdf
         if args.tsdf_track_scale_fallback:

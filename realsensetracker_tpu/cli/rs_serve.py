@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "integrate, so this changes map semantics only; "
                         "serialized sessions also save its cost "
                         "(0/1 = every frame)")
+    p.add_argument("--tsdf-integrate-slab", type=int, default=0,
+                   metavar="S",
+                   help="--method tsdf: frustum-restricted integration "
+                        "over a dynamic S^3 sub-grid (bit-identical "
+                        "fusion, automatic full-volume fallback). NOTE: "
+                        "like --tsdf-integrate-every, the batched "
+                        "executor computes both cond branches under "
+                        "vmap; the win is serialized sessions "
+                        "(0 = full volume)")
     p.add_argument("--tsdf-submap-radius", type=float, default=0.0,
                    metavar="M",
                    help="--batched --method tsdf: unbounded session extent "
@@ -116,12 +125,13 @@ def main(argv=None) -> int:
         return 1
     tsdf_cfg = None
     if (args.tsdf_resolution or args.tsdf_voxel or args.tsdf_track_scale
-            or args.tsdf_integrate_every):
+            or args.tsdf_integrate_every or args.tsdf_integrate_slab):
         if args.method != "tsdf":
             import sys
 
             print("--tsdf-resolution/--tsdf-voxel/--tsdf-track-scale/"
-                  "--tsdf-integrate-every require --method tsdf",
+                  "--tsdf-integrate-every/--tsdf-integrate-slab require "
+                  "--method tsdf",
                   file=sys.stderr)
             return 1
         from realsensetracker_tpu.mapping.tsdf import sized_config
@@ -132,6 +142,10 @@ def main(argv=None) -> int:
         if args.tsdf_integrate_every > 1:
             tsdf_cfg = tsdf_cfg._replace(
                 integrate_every=args.tsdf_integrate_every
+            )
+        if args.tsdf_integrate_slab:
+            tsdf_cfg = tsdf_cfg._replace(
+                integrate_slab=args.tsdf_integrate_slab
             )
 
     def make_tracker():

@@ -101,6 +101,22 @@ class TsdfConfig(NamedTuple):
     # and masked (vmap turns lax.cond into select), so decimation saves
     # nothing there; the win is on the single-stream tracked step and
     # the submap atlas, where the cond genuinely skips the pass.
+    integrate_slab: int = 0  # static edge length (voxels) of the
+    # frustum-restricted integration sub-grid; 0 = full-volume update.
+    # The integrate pass is GATHER-ISSUE-RATE bound (V^3 gathers from the
+    # depth image at ~40 M gathers/s on-chip ~= 47 ms at 128^3), so its
+    # cost scales with the number of voxels VISITED, not updated. With a
+    # slab, each frame computes the world AABB of its observed frustum
+    # segment (camera center -> backprojected surface points + trunc
+    # margin) on device and updates only a dynamic_slice'd S^3 sub-grid
+    # positioned over it -- (V/S)^3-fold fewer gathers. If the AABB does
+    # not fit in S^3 (wide scene at full range) the frame falls back to
+    # the full-volume pass inside the same program (lax.cond), so the
+    # fused result is ALWAYS identical to the full pass: voxels outside
+    # the AABB cannot satisfy the update predicate (out of frustum, or
+    # farther than trunc behind every observed surface). NOTE: like
+    # integrate_every, the win is single-stream only -- under vmap the
+    # cond becomes a select and both paths are paid.
     subvoxel_iters: int = 1  # trilinear secant refinements of each ray
     # hit AFTER the march: the march samples the TSDF nearest-neighbor,
     # so its interpolated crossing carries voxel-scale staircase error
@@ -173,22 +189,38 @@ def init_volume(cfg: TsdfConfig, with_color: bool = False) -> TsdfVolume:
     )
 
 
-def _grid_cam_coords(pose_cam_from_world: jnp.ndarray, cfg: TsdfConfig):
-    """Camera-frame coordinates of every voxel center, as three (V, V, V)
-    arrays assembled from broadcast (V,) vectors.
+def _grid_cam_coords(pose_cam_from_world: jnp.ndarray, cfg: TsdfConfig,
+                     start=None, size: int | None = None):
+    """Camera-frame coordinates of every voxel center, as three (S, S, S)
+    arrays assembled from broadcast (S,) vectors (S = ``size`` or the
+    full resolution; ``start`` = traced (3,) int sub-grid offset for the
+    frustum-slab path).
 
     cam = R @ world + t with world[i,j,k] = origin + (idx + 0.5) * vs is
-    affine per grid axis: cam_a[i,j,k] = X_a[i] + Y_a[j] + Z_a[k] + t_a.
+    affine per grid axis: cam_a[i,j,k] = X_a[i] + Y_a[j] + Z_a[k] + t_a
+    -- the offset only shifts the per-axis line vectors, so the slab
+    path stays affine-in-index (never materialize (S^3, 3) coords).
     """
-    v = cfg.resolution
+    v = size if size is not None else cfg.resolution
     R = pose_cam_from_world[:3, :3].astype(jnp.float32)
     t = pose_cam_from_world[:3, 3].astype(jnp.float32)
     o = jnp.asarray(cfg.origin, jnp.float32)
-    line = (jnp.arange(v, dtype=jnp.float32) + 0.5) * jnp.float32(cfg.voxel_size)
+    vs = jnp.float32(cfg.voxel_size)
+    # The slab path SLICES the full-resolution line vector instead of
+    # recomputing it shifted: o + start*vs + (j+0.5)*vs rounds
+    # differently from o + (idx+0.5)*vs in f32 and the last-ulp
+    # difference flips boundary voxels across the update predicate --
+    # slicing keeps the slab bit-identical to the full pass.
+    line = (jnp.arange(cfg.resolution, dtype=jnp.float32) + 0.5) * vs
     # world axis 0 -> x, axis 1 -> y, axis 2 -> z
-    wx = o[0] + line
-    wy = o[1] + line
-    wz = o[2] + line
+    if start is None:
+        wx = o[0] + line
+        wy = o[1] + line
+        wz = o[2] + line
+    else:
+        wx = jax.lax.dynamic_slice(o[0] + line, (start[0],), (v,))
+        wy = jax.lax.dynamic_slice(o[1] + line, (start[1],), (v,))
+        wz = jax.lax.dynamic_slice(o[2] + line, (start[2],), (v,))
 
     def axis_coord(a):
         return (
@@ -230,8 +262,26 @@ def integrate(
             f"color={'set' if color is not None else 'None'}"
         )
     depth = jnp.asarray(depth, jnp.float32)
+    pose_cam_from_world = se3.inverse(pose_world_from_cam)
+    s = int(cfg.integrate_slab)
+    if s <= 0 or s >= cfg.resolution:
+        blk = _fuse_block(
+            (vol.tsdf, vol.weight, vol.color, vol.color_weight),
+            depth, color, pose_cam_from_world, intr, cfg,
+        )
+        return TsdfVolume(*blk)
+    return _integrate_slab(vol, depth, pose_world_from_cam,
+                           pose_cam_from_world, intr, cfg, color)
+
+
+def _fuse_block(block, depth, color, pose_cam_from_world, intr,
+                cfg: TsdfConfig, start=None, size: int | None = None):
+    """KinectFusion running-average update of one (S, S, S) grid block
+    (the full volume when ``start``/``size`` are None). Returns the
+    updated (tsdf, weight, color, color_weight) tuple."""
+    tsdf_b, weight_b, color_b, cw_b = block
     h, w = depth.shape
-    cx_, cy_, cz_ = _grid_cam_coords(se3.inverse(pose_world_from_cam), cfg)
+    cx_, cy_, cz_ = _grid_cam_coords(pose_cam_from_world, cfg, start, size)
 
     z_safe = jnp.where(cz_ > 1e-6, cz_, 1e-6)
     u = intr.fx * cx_ / z_safe + intr.cx
@@ -243,7 +293,7 @@ def integrate(
         & (u >= -0.5) & (u < w - 0.5)
         & (v_ >= -0.5) & (v_ < h - 0.5)
     )
-    d = depth[vi, ui]  # the ONE (V, V, V) gather
+    d = depth[vi, ui]  # the ONE (S, S, S) gather
     d_ok = jnp.isfinite(d) & (d > cfg.min_depth) & (d < cfg.max_depth)
     d = jnp.where(d_ok, d, 0.0)
 
@@ -252,31 +302,113 @@ def integrate(
     obs = jnp.minimum(sdf / jnp.float32(cfg.trunc), 1.0)  # [-1, 1]
 
     m = upd.astype(jnp.float32)
-    w_new = vol.weight + m
-    tsdf = jnp.where(
+    w_new = weight_b + m
+    tsdf_new = jnp.where(
         upd,
-        (vol.tsdf * vol.weight + obs * m) / jnp.maximum(w_new, 1.0),
-        vol.tsdf,
+        (tsdf_b * weight_b + obs * m) / jnp.maximum(w_new, 1.0),
+        tsdf_b,
     )
-    new_color, new_cw = vol.color, vol.color_weight
-    if vol.color is not None:
+    new_color, new_cw = color_b, cw_b
+    if color_b is not None:
         band = upd & (sdf <= cfg.trunc)  # |sdf| <= trunc with upd's floor
         mc = band.astype(jnp.float32)
-        cw_new = vol.color_weight + mc
-        rgb = jnp.asarray(color, jnp.float32)[vi, ui]  # (V, V, V, 3)
+        cw_new = cw_b + mc
+        rgb = jnp.asarray(color, jnp.float32)[vi, ui]  # (S, S, S, 3)
         new_color = jnp.where(
             band[..., None],
-            (vol.color * vol.color_weight[..., None] + rgb * mc[..., None])
+            (color_b * cw_b[..., None] + rgb * mc[..., None])
             / jnp.maximum(cw_new, 1.0)[..., None],
-            vol.color,
+            color_b,
         )
         new_cw = jnp.minimum(cw_new, cfg.max_weight)
-    return TsdfVolume(
-        tsdf=tsdf,
-        weight=jnp.minimum(w_new, cfg.max_weight),
-        color=new_color,
-        color_weight=new_cw,
+    return tsdf_new, jnp.minimum(w_new, cfg.max_weight), new_color, new_cw
+
+
+def _integrate_slab(vol, depth, pose_world_from_cam, pose_cam_from_world,
+                    intr, cfg: TsdfConfig, color):
+    """Frustum-restricted integration (TsdfConfig.integrate_slab = S).
+
+    Computes the world AABB of this frame's update support -- the union
+    of camera->surface segments extended trunc past the surface, i.e.
+    the only region where ``upd`` can hold -- and updates a
+    dynamic_slice'd S^3 block positioned over it; falls back to the
+    full-volume pass (identical math, same program) when the AABB
+    exceeds S voxels on any axis. The AABB margin accounts for ray
+    obliquity: a trunc extension in camera z stretches to at most
+    trunc * max ||dir||_inf over the image, plus a voxel for the
+    nearest-pixel rounding.
+    """
+    v = cfg.resolution
+    s = int(cfg.integrate_slab)
+    dir_x, dir_y, dir_z = _ray_dirs(pose_world_from_cam, intr)
+    t = pose_world_from_cam[:3, 3].astype(jnp.float32)
+    d_ok = (
+        jnp.isfinite(depth) & (depth > cfg.min_depth)
+        & (depth < cfg.max_depth)
     )
+    d = jnp.where(d_ok, depth, 0.0)
+    big = jnp.float32(3.0e38)
+    # Static obliquity bound from the image corners: ||dir||/z <=
+    # sqrt(((max|u-cx|)/fx)^2 + ((max|v-cy|)/fy)^2 + 1).
+    mu = max(abs(0.0 - intr.cx), abs(intr.width - 1.0 - intr.cx)) / intr.fx
+    mv = max(abs(0.0 - intr.cy), abs(intr.height - 1.0 - intr.cy)) / intr.fy
+    margin = (
+        cfg.trunc * math.sqrt(mu * mu + mv * mv + 1.0)
+        + 2.0 * cfg.voxel_size
+    )
+    o = jnp.asarray(cfg.origin, jnp.float32)
+    inv_vs = jnp.float32(1.0 / cfg.voxel_size)
+
+    starts, fits = [], jnp.bool_(True)
+    any_valid = jnp.any(d_ok)
+    for a, dir_a in enumerate((dir_x, dir_y, dir_z)):
+        pts = t[a] + d * dir_a  # surface endpoints (world axis a)
+        lo = jnp.minimum(jnp.min(jnp.where(d_ok, pts, big)), t[a])
+        hi = jnp.maximum(jnp.max(jnp.where(d_ok, pts, -big)), t[a])
+        i_lo = jnp.floor((lo - margin - o[a]) * inv_vs - 0.5).astype(
+            jnp.int32)
+        i_hi = jnp.ceil((hi + margin - o[a]) * inv_vs - 0.5).astype(
+            jnp.int32)
+        i_lo = jnp.clip(i_lo, 0, v - 1)
+        i_hi = jnp.clip(i_hi, 0, v - 1)
+        fits = fits & (i_hi - i_lo + 1 <= s)
+        starts.append(jnp.clip(i_lo, 0, v - s))
+    start = jnp.stack(starts)
+    fits = fits & any_valid  # no valid depth -> both paths are no-ops;
+    # take the full one (its update mask is all-False, nothing to place)
+
+    def slab_path(vol):
+        blk = tuple(
+            None if arr is None else
+            jax.lax.dynamic_slice(
+                arr, (start[0], start[1], start[2])
+                + (jnp.int32(0),) * (arr.ndim - 3),
+                (s, s, s) + arr.shape[3:],
+            )
+            for arr in (vol.tsdf, vol.weight, vol.color, vol.color_weight)
+        )
+        new_blk = _fuse_block(blk, depth, color, pose_cam_from_world,
+                              intr, cfg, start, s)
+        out = tuple(
+            None if new is None else jax.lax.dynamic_update_slice(
+                arr, new,
+                (start[0], start[1], start[2])
+                + (jnp.int32(0),) * (arr.ndim - 3),
+            )
+            for arr, new in zip(
+                (vol.tsdf, vol.weight, vol.color, vol.color_weight),
+                new_blk,
+            )
+        )
+        return TsdfVolume(*out)
+
+    def full_path(vol):
+        return TsdfVolume(*_fuse_block(
+            (vol.tsdf, vol.weight, vol.color, vol.color_weight),
+            depth, color, pose_cam_from_world, intr, cfg,
+        ))
+
+    return jax.lax.cond(fits, slab_path, full_path, vol)
 
 
 def _ray_dirs(pose_world_from_cam: jnp.ndarray, intr: camera.Intrinsics):

@@ -10,8 +10,15 @@ sphere field along the corridor (the tests/test_submaps.py geometry
 scaled up).
 
 Run from /root/repo:  python - < tools/tpu/submap_tpu.py
+
+Round-5 re-measure at the HEAD optimization stack (the round-3 1083
+ms/frame figure predates the fused march field, refine=8, and
+track_scale / integrate_every): select the variant with env vars,
+ONE FRESH PROCESS PER VARIANT (gotcha 12):
+  RST_TRACK_SCALE=1|2|4 (default 1)  RST_INTEGRATE_EVERY=N (default 1)
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -66,8 +73,15 @@ for k in range(0, F, CH):
 depths = np.concatenate(depth_chunks)
 print(f"rendered in {time.perf_counter() - t0:.1f}s", flush=True)
 
-tracker = SubmapTsdfTracker(INTR, SubmapConfig())
-res = {}
+SCALE = int(os.environ.get("RST_TRACK_SCALE", "1"))
+EVERY = int(os.environ.get("RST_INTEGRATE_EVERY", "1"))
+SLAB = int(os.environ.get("RST_INTEGRATE_SLAB", "0"))
+from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+vol_cfg = tsdf_mod.TsdfConfig()._replace(
+    track_scale=SCALE, integrate_every=EVERY, integrate_slab=SLAB)
+tracker = SubmapTsdfTracker(INTR, SubmapConfig(volume=vol_cfg))
+res = {"track_scale": SCALE, "integrate_every": EVERY,
+       "integrate_slab": SLAB}
 
 # --- tracking (windowed, 8 frames per dispatch) ------------------------------
 ms = []

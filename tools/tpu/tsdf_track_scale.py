@@ -10,6 +10,14 @@ RST_TRACK_SCALE env var; the driver shell serializes the runs:
   for s in 1 2 4; do RST_TRACK_SCALE=$s python - \
       < tools/tpu/tsdf_track_scale.py; done
 
+RST_INTEGRATE_EVERY=N (default 1) additionally decimates the
+integration pass (TsdfConfig.integrate_every) -- the round-5 lever for
+pushing the windowed dense step under 33 ms/frame once track_scale has
+removed the render+ICP cost and the full-res integrate is the floor.
+RST_INTEGRATE_SLAB=S (default 0) restricts each integrate to the
+frame's frustum AABB sub-grid (TsdfConfig.integrate_slab) -- the
+losslesss alternative: same fused map, (V/S)^3-fold fewer gathers.
+
 Memoization-proof per gotcha 2: distinct frames per call, results
 materialized through the tracker's stats transfer.
 """
@@ -30,7 +38,10 @@ from realsensetracker_tpu.mapping import tsdf
 from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
 
 SCALE = int(os.environ.get("RST_TRACK_SCALE", "2"))
-print("devices:", jax.devices(), "track_scale:", SCALE, flush=True)
+EVERY = int(os.environ.get("RST_INTEGRATE_EVERY", "1"))
+SLAB = int(os.environ.get("RST_INTEGRATE_SLAB", "0"))
+print("devices:", jax.devices(), "track_scale:", SCALE,
+      "integrate_every:", EVERY, "integrate_slab:", SLAB, flush=True)
 
 seq = tum.TumSequence.open("/root/repo/.data/synth640")
 N = 24
@@ -38,9 +49,12 @@ depths = [np.asarray(seq.depth(i), np.float32) for i in range(N)]
 gt_poses = seq.groundtruth_trajectory().poses
 intr = camera.Intrinsics(fx=640 * 0.8, fy=640 * 0.8, cx=(640 - 1) / 2,
                          cy=(480 - 1) / 2, width=640, height=480)
-cfg = tsdf.TsdfConfig()._replace(raycast_coarse=4, track_scale=SCALE)
+cfg = tsdf.TsdfConfig()._replace(raycast_coarse=4, track_scale=SCALE,
+                                 integrate_every=EVERY,
+                                 integrate_slab=SLAB)
 
-res = {"track_scale": SCALE}
+res = {"track_scale": SCALE, "integrate_every": EVERY,
+       "integrate_slab": SLAB}
 
 
 def record(key, value):
