@@ -92,7 +92,16 @@ def _integrate_pinned(vol, depth, pose, intr, cfg, color=None):
 def integrate(vol, depth, pose_world_from_cam, intr, cfg, color=None):
     """Sharded integrate: identical math to tsdf.integrate, with the
     input volume's buffers DONATED so each chip updates its slab in
-    place (no second volume-sized allocation per frame)."""
+    place (no second volume-sized allocation per frame).
+
+    TsdfConfig.integrate_slab is forced OFF here: the frustum slab's
+    dynamic_slice/dynamic_update_slice spans x-slab boundaries, so under
+    GSPMD XLA would materialize cross-chip gathers -- the sharded pass
+    is already per-voxel local, and each chip only visits its own slab,
+    which is the same (V/n)-fold visit reduction the frustum slab buys
+    single-chip."""
+    if getattr(cfg, "integrate_slab", 0):
+        cfg = cfg._replace(integrate_slab=0)
     return _integrate_pinned(vol, depth, pose_world_from_cam, intr, cfg,
                              color=color)
 

@@ -522,6 +522,13 @@ def _tsdf_streams_impl(state, depths, intr, vol_cfg, icp_cfg,
                        min_inlier_fraction):
     from realsensetracker_tpu.tracking.tsdf_tracker import _tsdf_step_math
 
+    # Frustum-slab integration is forced OFF under vmap: the slab's
+    # lax.cond becomes a select that computes BOTH the slab and the
+    # full pass per slot (strictly slower), and its fused result is
+    # bit-identical to the full pass by construction.
+    if getattr(vol_cfg, "integrate_slab", 0):
+        vol_cfg = vol_cfg._replace(integrate_slab=0)
+
     # integrate_every cadence keyed on the per-slot frame counter (the
     # same phase as TsdfTracker's counter from a fresh seed: both read 1
     # at the first tracked frame). Under vmap the cond is a select, so
@@ -634,6 +641,10 @@ def blank_tsdf_streams(
 def _tsdf_masked_impl(state, depths, active, seed, intr, vol_cfg, icp_cfg,
                       min_inlier_fraction):
     from realsensetracker_tpu.mapping import tsdf as tsdf_mod
+
+    # Frustum-slab integration off under vmap (see _tsdf_streams_impl).
+    if getattr(vol_cfg, "integrate_slab", 0):
+        vol_cfg = vol_cfg._replace(integrate_slab=0)
 
     eye = jnp.eye(4, dtype=jnp.float32)
     empty = tsdf_mod.init_volume(vol_cfg)
