@@ -6,6 +6,7 @@ ONE TPU process at a time; run from /root/repo as cwd:
     nohup python - < tools/tpu/atlas20_tpu.py > .data/tpu_logs/atlas20.log 2>&1 &
 """
 
+import os
 import time
 
 import numpy as np
@@ -77,7 +78,14 @@ def main():
         return orig(surfs, feats, pairs, **kw)
 
     sm._verify_submap_pairs = spy
-    for gate in (0.25, 0.0):
+    # Variant order is compile-biased (the first run pays every
+    # first-use compile); RST_GATES reverses it for a fair A/B across
+    # two fresh processes.
+    gates = tuple(
+        float(g) for g in
+        os.environ.get("RST_GATES", "0.25,0.0").split(",")
+    )
+    for gate in gates:
         tr = build_atlas()
         seen.clear()
         t0 = time.time()
