@@ -28,4 +28,15 @@ RST_INTEGRATE_SLAB=96 RST_TRACK_SCALE=4 \
 
 RST_TRACK_SCALE=2 run submap_s2_only python - < tools/tpu/submap_tpu.py
 
+# The 30 FPS push with the production u16 ingestion (half the upload
+# bytes of the f32 wave-2 runs) + deeper integrate decimation.
+RST_U16=1 RST_TRACK_SCALE=4 RST_INTEGRATE_EVERY=2 \
+  run ts_u16_s4_e2 python - < tools/tpu/tsdf_track_scale.py
+RST_U16=1 RST_TRACK_SCALE=4 RST_INTEGRATE_EVERY=4 \
+  run ts_u16_s4_e4 python - < tools/tpu/tsdf_track_scale.py
+
+# Per-frame SLAM again with the spike profile printed (which frames
+# carry the 135 ms p90 tail).
+run slam_pf2 python - pf < tools/tpu/slam_defer_tpu.py
+
 echo "=== campaign5c complete $(date +%T)"

@@ -48,6 +48,11 @@ def run(method, extra, tag):
     p90 = steady[int(0.9 * len(steady))]
     n = len(ms)
     wall = sum(ms)
+    # Spike profile: which frames carry the tail (keyframe cadence ~6 --
+    # pipeline stages land on event+1 / event+2 frames).
+    spikes = sorted(enumerate(ms), key=lambda kv: -kv[1])[:15]
+    print("top frames (idx, ms):",
+          [(i, round(v, 1)) for i, v in sorted(spikes)], flush=True)
     print(f"== {tag}: frames={n} median={med:.1f} ms p90={p90:.1f} ms "
           f"agg={n / (wall / 1e3):.1f} fps ate={ate}", flush=True)
     return {"median_ms": round(med, 2), "p90_ms": round(p90, 2),

@@ -40,12 +40,21 @@ from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
 SCALE = int(os.environ.get("RST_TRACK_SCALE", "2"))
 EVERY = int(os.environ.get("RST_INTEGRATE_EVERY", "1"))
 SLAB = int(os.environ.get("RST_INTEGRATE_SLAB", "0"))
+U16 = int(os.environ.get("RST_U16", "0"))  # feed RAW uint16 counts (the
+# production rs_replay ingestion: half the upload bytes, on-device
+# conversion) instead of f32 meters
 print("devices:", jax.devices(), "track_scale:", SCALE,
-      "integrate_every:", EVERY, "integrate_slab:", SLAB, flush=True)
+      "integrate_every:", EVERY, "integrate_slab:", SLAB,
+      "u16:", U16, flush=True)
 
 seq = tum.TumSequence.open("/root/repo/.data/synth640")
 N = 24
-depths = [np.asarray(seq.depth(i), np.float32) for i in range(N)]
+if U16:
+    depths = [seq.depth_raw(i) for i in range(N)]
+    DEPTH_KW = {"depth_scale": 1.0 / tum.DEPTH_SCALE}
+else:
+    depths = [np.asarray(seq.depth(i), np.float32) for i in range(N)]
+    DEPTH_KW = {}
 gt_poses = seq.groundtruth_trajectory().poses
 intr = camera.Intrinsics(fx=640 * 0.8, fy=640 * 0.8, cx=(640 - 1) / 2,
                          cy=(480 - 1) / 2, width=640, height=480)
@@ -54,7 +63,7 @@ cfg = tsdf.TsdfConfig()._replace(raycast_coarse=4, track_scale=SCALE,
                                  integrate_slab=SLAB)
 
 res = {"track_scale": SCALE, "integrate_every": EVERY,
-       "integrate_slab": SLAB}
+       "integrate_slab": SLAB, "u16": U16}
 
 
 def record(key, value):
@@ -63,7 +72,7 @@ def record(key, value):
 
 
 # --- per-frame tracked step (FIRST slot of the fresh process) --------------
-tr = TsdfTracker(intr=intr, volume=cfg)
+tr = TsdfTracker(intr=intr, volume=cfg, **DEPTH_KW)
 ts = []
 for i in range(N):
     t0 = time.perf_counter()
@@ -77,7 +86,7 @@ record("final_drift_mm",
 
 # --- windowed step (second slot; compare windowed numbers ACROSS the
 # per-scale processes, which all place it second) ----------------------------
-tr2 = TsdfTracker(intr=intr, volume=cfg)
+tr2 = TsdfTracker(intr=intr, volume=cfg, **DEPTH_KW)
 tr2.process(depths[0], seq.timestamp(0))
 tr2.process_window(depths[1:9], [seq.timestamp(i) for i in range(1, 9)],
                    window=8)  # pays the scan compile
