@@ -59,11 +59,44 @@ def run(method, extra, tag):
             "fps": round(n / (wall / 1e3), 1), "ate": ate}
 
 
+def _instrument_stages():
+    """Monkeypatch per-stage wall timers onto SlamTracker (variant
+    'pfstage'): which pipeline stage carries the ~130 ms p90 frames?"""
+    import time as _t
+
+    from realsensetracker_tpu.tracking import slam as slam_mod
+
+    acc = {}
+    for name in ("_defer_keyframe", "_pending_stage2", "_pending_stage3",
+                 "_optimize_online"):
+        orig = getattr(slam_mod.SlamTracker, name)
+
+        def wrap(orig=orig, name=name):
+            def f(self, *a, **kw):
+                t0 = _t.perf_counter()
+                out = orig(self, *a, **kw)
+                acc.setdefault(name, []).append(
+                    (_t.perf_counter() - t0) * 1e3)
+                return out
+            return f
+
+        setattr(slam_mod.SlamTracker, name, wrap())
+    return acc
+
+
 if __name__ == "__main__":
     import jax
     print("devices:", jax.devices(), flush=True)
     variant = sys.argv[1] if len(sys.argv) > 1 else "pf"
-    extra = {"pf": [], "w4": ["--window", "4"], "w8": ["--window", "8"]}
+    acc = _instrument_stages() if variant == "pfstage" else None
+    extra = {"pf": [], "pfstage": [], "w4": ["--window", "4"],
+             "w8": ["--window", "8"]}
     res = run("slam", extra[variant],
               f"slam {variant} (u16, deferred events)")
+    if acc is not None:
+        for name, ts in sorted(acc.items()):
+            arr = sorted(ts)
+            print(f"stage {name}: n={len(arr)} "
+                  f"median={arr[len(arr) // 2]:.1f} max={arr[-1]:.1f} "
+                  f"all={[round(v, 1) for v in arr[-8:]]}", flush=True)
     print("SLAM_DEFER_" + variant.upper(), json.dumps(res), flush=True)
