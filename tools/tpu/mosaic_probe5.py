@@ -137,15 +137,38 @@ print("OK 4-plane output write")
 """
 
 
+def _error_line(out: str) -> str:
+    """The most informative line of a failed probe's output: the last
+    exception line, skipping JAX's traceback-filtering banner."""
+    lines = [ln.strip() for ln in out.strip().splitlines() if ln.strip()]
+    for ln in reversed(lines):
+        low = ln.lower()
+        if ("removed its internal frames" in low
+                or low.startswith("set jax_traceback")
+                or ln.startswith("-")):
+            continue
+        if ("error" in low or "unsupported" in low or "unimplemented"
+                in low or "not implemented" in low or "exception" in low
+                or "failed" in low):
+            return ln[:240]
+    return lines[-1][:240] if lines else ""
+
+
 def main():
     results = {}
     for name, src in PROBES.items():
-        r = subprocess.run([sys.executable, "-"], input=src, text=True,
-                           capture_output=True, timeout=600,
-                           cwd="/root/repo")
-        ok = r.returncode == 0
-        tail = (r.stdout + r.stderr).strip().splitlines()
-        msg = tail[-1][:160] if tail else ""
+        try:
+            r = subprocess.run([sys.executable, "-"], input=src,
+                               text=True, capture_output=True,
+                               timeout=420, cwd="/root/repo")
+            ok = r.returncode == 0
+            out = r.stdout + r.stderr
+        except subprocess.TimeoutExpired as e:
+            ok = False
+            out = ((e.stdout or "") if isinstance(e.stdout, str) else ""
+                   ) + "\nTIMEOUT after 420s (compile hang)"
+        msg = (out.strip().splitlines()[-1][:160] if ok
+               else _error_line(out))
         results[name] = {"ok": ok, "msg": msg}
         print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}", flush=True)
     print("MOSAIC_PROBE5", json.dumps(results), flush=True)
