@@ -548,3 +548,22 @@ class TestAtlasScaling:
         np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
         np.testing.assert_allclose(np.asarray(ov0), np.asarray(ov1),
                                    atol=1e-5)
+
+
+class TestAutoSlab:
+    """SubmapConfig.auto_slab: submap volumes default integrate_slab to
+    3V/4 (bounded local scenes are the slab's regime; BENCHMARKS round-5
+    corridor isolation measured the win with bit-identical ATE)."""
+
+    def test_defaults_on(self):
+        tr = SubmapTsdfTracker(INTR, SubmapConfig(volume=VOL), icp=ICP)
+        assert tr.config.volume.integrate_slab == 3 * VOL.resolution // 4
+        assert tr._t.volume.integrate_slab == 3 * VOL.resolution // 4
+
+    def test_respects_explicit_and_opt_out(self):
+        explicit = SubmapConfig(volume=VOL._replace(integrate_slab=20))
+        tr = SubmapTsdfTracker(INTR, explicit, icp=ICP)
+        assert tr.config.volume.integrate_slab == 20
+        off = SubmapConfig(volume=VOL, auto_slab=False)
+        tr2 = SubmapTsdfTracker(INTR, off, icp=ICP)
+        assert tr2.config.volume.integrate_slab == 0
