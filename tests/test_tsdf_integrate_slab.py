@@ -123,3 +123,46 @@ class TestIntegrateSlab:
                 tr.process(depths[i], float(i))
             outs.append(np.stack(tr.trajectory.poses))
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    def test_windowed_scan_parity(self):
+        """The slab's lax.cond composes with the windowed lax.scan:
+        per-frame results identical to the full-pass windowed run."""
+        from realsensetracker_tpu.tracking.tsdf_tracker import TsdfTracker
+
+        depths, _ = synthetic.render_trajectory(
+            INTR, 7, scene=SCENE, seed=3, step_scale=0.01
+        )
+        frames = [np.asarray(depths[i], np.float32) for i in range(7)]
+        trajs = []
+        for slab in (0, 48):
+            tr = TsdfTracker(intr=INTR, volume=CFG._replace(
+                integrate_slab=slab))
+            tr.process(frames[0], 0.0)
+            tr.process_window(frames[1:], [float(i) for i in range(1, 7)],
+                              window=3)
+            trajs.append(np.stack(tr.trajectory.poses))
+        np.testing.assert_allclose(trajs[0], trajs[1], atol=1e-6)
+
+    def test_streams_force_slab_off(self):
+        """The vmapped multi-stream paths clear integrate_slab before
+        tracing (cond would become a both-branches select); results
+        must be identical with and without the knob set."""
+        from realsensetracker_tpu.align.projective import (
+            ProjectiveIcpConfig,
+        )
+        from realsensetracker_tpu.parallel import streams
+
+        depths, _ = synthetic.render_trajectory(
+            INTR, 2, scene=SCENE, seed=5, step_scale=0.008
+        )
+        seed = jnp.stack([depths[0]] * 2)  # 2 slots
+        step = jnp.stack([depths[1]] * 2)
+        icp = ProjectiveIcpConfig(iters=(3, 3), inner_iters=2,
+                                  samples=768, min_samples=192)
+        outs = []
+        for slab in (0, 48):
+            cfg = CFG._replace(integrate_slab=slab)
+            st = streams.init_tsdf_streams(seed, INTR, cfg)
+            st, _res = streams.step_tsdf_streams(st, step, INTR, cfg, icp)
+            outs.append(np.asarray(st.volume.weight))
+        np.testing.assert_array_equal(outs[0], outs[1])
