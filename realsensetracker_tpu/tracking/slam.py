@@ -32,17 +32,10 @@ from realsensetracker_tpu.tracking.keyframe import KeyframeTracker
 from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 
-@partial(jax.jit, static_argnames=("intr", "voxel_size", "normal_k",
-                                   "feature_radius", "max_neighbors",
-                                   "capacity", "depth_scale"))
-def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
-                         feature_radius, max_neighbors, capacity,
-                         depth_scale=1.0):
-    """Depth frame -> (keyframe cloud, FPFH features, place descriptor) as
-    ONE XLA program: unproject, voxel downsample, capacity slice, FPFH,
-    descriptor pooling. Through the axon relay every eager op costs ~45 ms
-    (CLAUDE.md gotcha 11), so the op-by-op version of this path dominated
-    keyframe-event latency on the real chip; fused it is one dispatch.
+def _prep_cloud_math(depth, *, intr, voxel_size, capacity,
+                     depth_scale=1.0):
+    """Depth frame -> capacity-bounded keyframe cloud (traced body).
+
     Raw integer frames convert to meters IN-program (half the upload
     bytes; float frames pass through)."""
     from realsensetracker_tpu.ops.pyramid import build_pyramid, depth_to_meters
@@ -61,12 +54,66 @@ def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
     # FPFH descriptor / overlap verifier would otherwise see viewpoint-
     # dependent croppings of the same place whenever the occupied-voxel
     # count exceeds capacity (ops.cloud.subsample_to_capacity).
-    kf_cloud = cloud_mod.subsample_to_capacity(c, capacity)
+    return cloud_mod.subsample_to_capacity(c, capacity)
+
+
+def _prep_features_math(kf_cloud, *, normal_k, feature_radius,
+                        max_neighbors):
+    """Keyframe cloud -> (FPFH features, place descriptor) (traced
+    body)."""
     feats = fpfh_mod.compute_fpfh(
         kf_cloud, jnp.zeros(3, jnp.float32), normal_k, feature_radius,
         max_neighbors,
     )
     desc = global_descriptor(feats, kf_cloud.mask)
+    return feats, desc
+
+
+@partial(jax.jit, static_argnames=("intr", "voxel_size", "capacity",
+                                   "depth_scale"))
+def _keyframe_prep_cloud(depth, *, intr, voxel_size, capacity,
+                         depth_scale=1.0):
+    """Stage-A prep program: unproject + voxel downsample + capacity
+    slice. The deferred-booking pipeline fires this on the EVENT frame
+    and the feature program one frame later, so each intervening frame's
+    stats fence absorbs only about half the prep's device time
+    (BENCHMARKS round-5: the whole fused prep riding one fence was the
+    residual ~130 ms p90 spike)."""
+    return _prep_cloud_math(depth, intr=intr, voxel_size=voxel_size,
+                            capacity=capacity, depth_scale=depth_scale)
+
+
+@partial(jax.jit, static_argnames=("normal_k", "feature_radius",
+                                   "max_neighbors"))
+def _keyframe_prep_features(kf_cloud, *, normal_k, feature_radius,
+                            max_neighbors):
+    """Stage-B prep program: FPFH + pooled place descriptor on the
+    device-resident stage-A cloud."""
+    return _prep_features_math(kf_cloud, normal_k=normal_k,
+                               feature_radius=feature_radius,
+                               max_neighbors=max_neighbors)
+
+
+@partial(jax.jit, static_argnames=("intr", "voxel_size", "normal_k",
+                                   "feature_radius", "max_neighbors",
+                                   "capacity", "depth_scale"))
+def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
+                         feature_radius, max_neighbors, capacity,
+                         depth_scale=1.0):
+    """Depth frame -> (keyframe cloud, FPFH features, place descriptor) as
+    ONE XLA program: unproject, voxel downsample, capacity slice, FPFH,
+    descriptor pooling. Through the axon relay every eager op costs ~45 ms
+    (CLAUDE.md gotcha 11), so the op-by-op version of this path dominated
+    keyframe-event latency on the real chip; fused it is one dispatch.
+    Used by the synchronous paths (relocalization, sync booking); the
+    deferred pipeline uses the split stage-A/stage-B programs above."""
+    kf_cloud = _prep_cloud_math(depth, intr=intr, voxel_size=voxel_size,
+                                capacity=capacity,
+                                depth_scale=depth_scale)
+    feats, desc = _prep_features_math(
+        kf_cloud, normal_k=normal_k, feature_radius=feature_radius,
+        max_neighbors=max_neighbors,
+    )
     return kf_cloud, feats, desc
 
 
@@ -175,22 +222,26 @@ class SlamConfig:
     # staleness). Set False for strict per-frame-identical behavior.
     window_defer_events: bool = True
     # PER-FRAME keyframe booking pipeline (the serving pending_seed
-    # pattern applied to SLAM): on a clean keyframe promotion the prep
-    # dispatch fires WITHOUT materializing and the event's host work
-    # spreads over the next two frames -- frame t+1 runs place
-    # recognition (the prep finished behind t+1's VO dispatch), inserts
-    # the keyframe, and FIRES loop verification; frame t+2 collects the
-    # verdicts (computed behind t+2's VO) and books the loop edges. The
-    # ~265 ms p90 spike of paying prep + query + verify + booking on one
-    # frame spreads into three ~dispatch-sized slices; every quantity is
-    # measured at event time (pose/span snapshots), so keyframes, loop
-    # edges, and the optimized trajectory are IDENTICAL to synchronous
-    # booking -- only the frame on which the host learns each verdict
-    # moves (and optimize_every corrections land <= 2 frames later).
-    # Reads (keyframe_count, optimize, world maps) and events that need
-    # current state (new keyframes, relocalization, lost mode) flush the
-    # pipeline first. Windowed processing ignores this (windows already
-    # amortize events).
+    # pattern applied to SLAM): on a clean keyframe promotion the
+    # stage-A prep program (unproject + voxel downsample + capacity)
+    # fires WITHOUT materializing and the event's work spreads over the
+    # next THREE frames -- t+1 fires the stage-B prep (FPFH +
+    # descriptor) on the device-resident cloud (stage-A's device time
+    # rode t+1's VO fence); t+2 runs place recognition, inserts the
+    # keyframe, and FIRES loop verification (stage-B rode t+2's fence);
+    # t+3 collects the verdicts and books the loop edges. The ~265 ms
+    # p90 spike of paying prep + query + verify + booking on one frame
+    # spreads into four slices, none larger than ~half the prep
+    # (round-5 stage timing located the residual ~130 ms spike as the
+    # WHOLE fused prep riding one fence -- hence the A/B split); every
+    # quantity is measured at event time (pose/span snapshots), so
+    # keyframes, loop edges, and the optimized trajectory are IDENTICAL
+    # to synchronous booking -- only the frame on which the host learns
+    # each verdict moves (and optimize_every corrections land <= 3
+    # frames later). Reads (keyframe_count, optimize, world maps) and
+    # events that need current state (new keyframes, relocalization,
+    # lost mode) flush the pipeline first. Windowed processing ignores
+    # this (windows already amortize events).
     defer_keyframe_booking: bool = True
 
 
@@ -450,34 +501,63 @@ class SlamTracker:
         if p is None:
             return
         if p["stage"] == 1:
+            self._pending_fire_features()
+        elif p["stage"] == 2:
             self._pending_stage2()
         else:
             self._pending_stage3()
 
     def _defer_keyframe(self, depth, res) -> None:
-        """Stage 1 (the event frame): fire the fused prep dispatch
-        without materializing and snapshot every event-time quantity the
-        later stages need. Costs the event frame only the dispatch
-        submission."""
+        """Stage 1 (the event frame): fire the stage-A prep dispatch
+        (unproject + voxel downsample + capacity) without materializing
+        and snapshot every event-time quantity the later stages need.
+        Costs the event frame only the dispatch submission; the stage-A
+        device time rides the NEXT frame's stats fence."""
+        cfg = self.config
         span = getattr(res, "span_failures", None)
         if span is None:
             span = self._vo.last_span_failures
         self._pending_kf = {
             "stage": 1,
-            "prep": self._prepare(depth),  # async: device arrays
+            "cloud": _keyframe_prep_cloud(
+                depth,
+                intr=cfg.intrinsics,
+                voxel_size=float(cfg.align.voxel_size),
+                capacity=int(cfg.keyframe_cloud_capacity),
+                depth_scale=float(cfg.depth_scale),
+            ),
             "pose": np.asarray(res.pose, np.float64),
             "frame_index": int(res.frame_index),
             "span": int(span),
             "depth": depth if self.config.keep_depths else None,
         }
 
-    def _pending_stage2(self) -> None:
-        """Stage 2 (one frame later): place recognition on the (now
-        device-complete) prep, keyframe + odometry-edge insertion, and
-        the loop-verification dispatch -- fired, not materialized."""
+    def _pending_fire_features(self) -> None:
+        """Stage 1.5 (one frame later): fire the stage-B prep program
+        (FPFH + descriptor) on the device-resident stage-A cloud --
+        submission only, no materialization; its device time rides the
+        FOLLOWING frame's fence. Splitting the prep across two fences is
+        what moved the residual p90 spike (the whole fused prep behind
+        one fence measured ~130 ms frames; see BENCHMARKS round-5)."""
         cfg = self.config
         p = self._pending_kf
-        cloud, feats, desc = p["prep"]
+        p["feat"] = _keyframe_prep_features(
+            p["cloud"],
+            normal_k=int(cfg.align.normal_k),
+            feature_radius=float(cfg.align.feature_radius),
+            max_neighbors=int(cfg.align.fpfh_max_neighbors),
+        )
+        p["stage"] = 2
+
+    def _pending_stage2(self) -> None:
+        """Stage 2 (two frames after the event): place recognition on
+        the (now device-complete) prep, keyframe + odometry-edge
+        insertion, and the loop-verification dispatch -- fired, not
+        materialized."""
+        cfg = self.config
+        p = self._pending_kf
+        cloud = p["cloud"]
+        feats, desc = p["feat"]
         kf_idx = len(self._keyframes)
         pose = p["pose"]
         kf = _Keyframe(
@@ -508,10 +588,10 @@ class SlamTracker:
         self._db.add(kf_idx, cloud, feats)
         self._keyframes.append(kf)
         p["kf_idx"] = kf_idx
-        p["stage"] = 2
+        p["stage"] = 3
 
     def _pending_stage3(self) -> None:
-        """Stage 3 (two frames after the event): collect the loop
+        """Stage 3 (three frames after the event): collect the loop
         verdicts (device-complete behind the intervening VO dispatch),
         book accepted edges, run the optimize cadence."""
         from realsensetracker_tpu.loop_closure.detector import (

@@ -67,7 +67,8 @@ def _instrument_stages():
     from realsensetracker_tpu.tracking import slam as slam_mod
 
     acc = {}
-    for name in ("_defer_keyframe", "_pending_stage2", "_pending_stage3",
+    for name in ("_defer_keyframe", "_pending_fire_features",
+                 "_pending_stage2", "_pending_stage3",
                  "_optimize_online"):
         orig = getattr(slam_mod.SlamTracker, name)
 
