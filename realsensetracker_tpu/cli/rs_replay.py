@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip this many frames first (with --resume-state: "
                         "continue exactly where the snapshot left off)")
     p.add_argument("--trajectory-out", default="")
+    p.add_argument("--slam-prep-scale", type=int, default=0, metavar="S",
+                   help="method=slam: build keyframe clouds from the "
+                        "1/S pyramid level (power of 2) -- cuts the "
+                        "keyframe-prep device cost ~S^2-fold (the "
+                        "per-frame p90 tail); clouds change slightly, "
+                        "so this is an explicit latency knob "
+                        "(0 = full res)")
     p.add_argument("--slam-rgb", action="store_true",
                    help="SLAM only: use the joint geometric+photometric "
                         "RGB-D odometry (requires a color stream); loop "
@@ -254,6 +261,8 @@ def main(argv=None) -> int:
         slam_kw = {}
         if depth_scale is not None:
             slam_kw["depth_scale"] = depth_scale
+        if args.slam_prep_scale > 1:
+            slam_kw["keyframe_prep_scale"] = args.slam_prep_scale
         tracker = SlamTracker(
             SlamConfig(intrinsics=intr, optimize_every=args.optimize_every,
                        use_rgb=args.slam_rgb,

@@ -33,20 +33,26 @@ from realsensetracker_tpu.tracking.trajectory import Trajectory
 
 
 def _prep_cloud_math(depth, *, intr, voxel_size, capacity,
-                     depth_scale=1.0):
+                     depth_scale=1.0, prep_scale=1):
     """Depth frame -> capacity-bounded keyframe cloud (traced body).
 
     Raw integer frames convert to meters IN-program (half the upload
-    bytes; float frames pass through)."""
+    bytes; float frames pass through). ``prep_scale`` (power of two)
+    builds the cloud from the 1/prep_scale pyramid level -- the same
+    validity-aware 2x2 pooling the ICP pyramid uses -- cutting the
+    voxel-downsample sort rows prep_scale^2-fold (the sort is the prep
+    program's dominant device cost; see SlamConfig.keyframe_prep_scale)."""
     from realsensetracker_tpu.ops.pyramid import build_pyramid, depth_to_meters
 
+    n_levels = max(int(prep_scale).bit_length(), 1)  # 1->1, 2->2, 4->3
     levels, _ = build_pyramid(
-        depth_to_meters(jnp.asarray(depth), depth_scale), intr, 1,
+        depth_to_meters(jnp.asarray(depth), depth_scale), intr, n_levels,
         with_normals=False, use_kernel=False,
     )
-    h, w = levels[0].vertex_valid.shape
-    pts = levels[0].vertex_map.reshape(h * w, 3)
-    ok = levels[0].vertex_valid.reshape(h * w)
+    lv = levels[n_levels - 1]
+    h, w = lv.vertex_valid.shape
+    pts = lv.vertex_map.reshape(h * w, 3)
+    ok = lv.vertex_valid.reshape(h * w)
     c = voxel_mod.downsample_voxel(
         cloud_mod.Cloud(points=pts, mask=ok), voxel_size
     )
@@ -70,9 +76,9 @@ def _prep_features_math(kf_cloud, *, normal_k, feature_radius,
 
 
 @partial(jax.jit, static_argnames=("intr", "voxel_size", "capacity",
-                                   "depth_scale"))
+                                   "depth_scale", "prep_scale"))
 def _keyframe_prep_cloud(depth, *, intr, voxel_size, capacity,
-                         depth_scale=1.0):
+                         depth_scale=1.0, prep_scale=1):
     """Stage-A prep program: unproject + voxel downsample + capacity
     slice. The deferred-booking pipeline fires this on the EVENT frame
     and the feature program one frame later, so each intervening frame's
@@ -80,7 +86,8 @@ def _keyframe_prep_cloud(depth, *, intr, voxel_size, capacity,
     (BENCHMARKS round-5: the whole fused prep riding one fence was the
     residual ~130 ms p90 spike)."""
     return _prep_cloud_math(depth, intr=intr, voxel_size=voxel_size,
-                            capacity=capacity, depth_scale=depth_scale)
+                            capacity=capacity, depth_scale=depth_scale,
+                            prep_scale=prep_scale)
 
 
 @partial(jax.jit, static_argnames=("normal_k", "feature_radius",
@@ -96,10 +103,11 @@ def _keyframe_prep_features(kf_cloud, *, normal_k, feature_radius,
 
 @partial(jax.jit, static_argnames=("intr", "voxel_size", "normal_k",
                                    "feature_radius", "max_neighbors",
-                                   "capacity", "depth_scale"))
+                                   "capacity", "depth_scale",
+                                   "prep_scale"))
 def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
                          feature_radius, max_neighbors, capacity,
-                         depth_scale=1.0):
+                         depth_scale=1.0, prep_scale=1):
     """Depth frame -> (keyframe cloud, FPFH features, place descriptor) as
     ONE XLA program: unproject, voxel downsample, capacity slice, FPFH,
     descriptor pooling. Through the axon relay every eager op costs ~45 ms
@@ -109,7 +117,8 @@ def _fused_keyframe_prep(depth, *, intr, voxel_size, normal_k,
     deferred pipeline uses the split stage-A/stage-B programs above."""
     kf_cloud = _prep_cloud_math(depth, intr=intr, voxel_size=voxel_size,
                                 capacity=capacity,
-                                depth_scale=depth_scale)
+                                depth_scale=depth_scale,
+                                prep_scale=prep_scale)
     feats, desc = _prep_features_math(
         kf_cloud, normal_k=normal_k, feature_radius=feature_radius,
         max_neighbors=max_neighbors,
@@ -243,6 +252,16 @@ class SlamConfig:
     # lost mode) flush the pipeline first. Windowed processing ignores
     # this (windows already amortize events).
     defer_keyframe_booking: bool = True
+    # Keyframe-cloud build resolution divisor (power of two). The prep
+    # program's dominant device cost is the voxel-downsample SORT over
+    # H*W unprojected pixels; at 2 the cloud builds from the half-res
+    # pyramid level (the ICP's own validity-aware 2x2 pooling), cutting
+    # sort rows 4x. With a 5 cm keyframe voxel the occupied-voxel set
+    # barely changes (several source pixels per voxel either way), but
+    # clouds are NOT bit-identical to prep_scale=1 -- this is an
+    # explicit latency knob, not a free default. Applies to keyframe
+    # prep AND relocalization (both must see the same cloud geometry).
+    keyframe_prep_scale: int = 1
 
 
 def _se3_log_np(T: np.ndarray) -> np.ndarray:
@@ -525,6 +544,7 @@ class SlamTracker:
                 voxel_size=float(cfg.align.voxel_size),
                 capacity=int(cfg.keyframe_cloud_capacity),
                 depth_scale=float(cfg.depth_scale),
+                prep_scale=int(cfg.keyframe_prep_scale),
             ),
             "pose": np.asarray(res.pose, np.float64),
             "frame_index": int(res.frame_index),
@@ -760,6 +780,7 @@ class SlamTracker:
             max_neighbors=int(cfg.align.fpfh_max_neighbors),
             capacity=int(cfg.keyframe_cloud_capacity),
             depth_scale=float(cfg.depth_scale),
+            prep_scale=int(cfg.keyframe_prep_scale),
         )
 
     def _on_keyframe(self, depth, res, precomputed=None, odom_weight=None,

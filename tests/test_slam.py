@@ -398,3 +398,45 @@ class TestU16Slam:
         oa, ob = a.optimize(), b.optimize()
         if oa is not None:
             np.testing.assert_allclose(oa, ob, atol=1e-4)
+
+
+class TestPrepScale:
+    """SlamConfig.keyframe_prep_scale: keyframe clouds from the reduced
+    pyramid level (latency knob for the prep program's sort cost)."""
+
+    def test_prep_scale_2_closes_loops(self):
+        tr = _make_tracker()
+        tr.config.keyframe_prep_scale = 2
+        depths, _poses = _loop_sequence()
+        for i in range(depths.shape[0]):
+            tr.process(depths[i], float(i))
+        assert tr.keyframe_count >= 3
+        assert tr.num_loop_closures >= 1
+
+    def test_prep_scale_cloud_geometry_close(self):
+        """The reduced-level cloud occupies (nearly) the same voxel set:
+        mean nearest-neighbor distance between the scale-1 and scale-2
+        keyframe clouds stays well under the keyframe voxel size."""
+        from realsensetracker_tpu.tracking import slam as slam_mod
+
+        cfg = _make_tracker().config
+        depths, _ = _loop_sequence()
+        clouds = []
+        for s in (1, 2):
+            c, _f, _d = slam_mod._fused_keyframe_prep(
+                depths[0],
+                intr=cfg.intrinsics,
+                voxel_size=float(cfg.align.voxel_size),
+                normal_k=int(cfg.align.normal_k),
+                feature_radius=float(cfg.align.feature_radius),
+                max_neighbors=int(cfg.align.fpfh_max_neighbors),
+                capacity=int(cfg.keyframe_cloud_capacity),
+                prep_scale=s,
+            )
+            clouds.append(c)
+        a, b = clouds
+        pa = np.asarray(a.points)[np.asarray(a.mask)]
+        pb = np.asarray(b.points)[np.asarray(b.mask)]
+        d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(-1)
+        nn = np.sqrt(d2.min(axis=1))
+        assert nn.mean() < cfg.align.voxel_size
