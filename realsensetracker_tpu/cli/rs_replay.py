@@ -421,6 +421,7 @@ def main(argv=None) -> int:
                 "rmse": float(res.rmse),
                 "inliers": float(res.inlier_fraction),
                 "ms": round(frame_ms, 2),
+                "kf": bool(getattr(res, "is_new_keyframe", False)),
                 "pose": pose_np.reshape(-1).round(6).tolist(),
             }))
         else:

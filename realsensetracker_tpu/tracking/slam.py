@@ -82,9 +82,10 @@ def _keyframe_prep_cloud(depth, *, intr, voxel_size, capacity,
     """Stage-A prep program: unproject + voxel downsample + capacity
     slice. The deferred-booking pipeline fires this on the EVENT frame
     and the feature program one frame later, so each intervening frame's
-    stats fence absorbs only about half the prep's device time
-    (BENCHMARKS round-5: the whole fused prep riding one fence was the
-    residual ~130 ms p90 spike)."""
+    stats fence absorbs only its share of the prep's device time
+    (round-5 event-offset profiling: prep absorbs cheaply at event+1/+2;
+    the tail lived at event+3 where verify device time stacked on the
+    collect round-trip -- see the wait stage in _advance_pending)."""
     return _prep_cloud_math(depth, intr=intr, voxel_size=voxel_size,
                             capacity=capacity, depth_scale=depth_scale,
                             prep_scale=prep_scale)
@@ -238,16 +239,18 @@ class SlamConfig:
     # descriptor) on the device-resident cloud (stage-A's device time
     # rode t+1's VO fence); t+2 runs place recognition, inserts the
     # keyframe, and FIRES loop verification (stage-B rode t+2's fence);
-    # t+3 collects the verdicts and books the loop edges. The ~265 ms
-    # p90 spike of paying prep + query + verify + booking on one frame
-    # spreads into four slices, none larger than ~half the prep
-    # (round-5 stage timing located the residual ~130 ms spike as the
-    # WHOLE fused prep riding one fence -- hence the A/B split); every
-    # quantity is measured at event time (pose/span snapshots), so
-    # keyframes, loop edges, and the optimized trajectory are IDENTICAL
-    # to synchronous booking -- only the frame on which the host learns
-    # each verdict moves (and optimize_every corrections land <= 3
-    # frames later). Reads (keyframe_count, optimize, world maps) and
+    # t+3 is a WAIT frame (the verification program's device time rides
+    # its fence); t+4 collects the verdicts and books the loop edges.
+    # The ~265 ms p90 spike of paying prep + query + verify + booking
+    # on one frame spreads into five slices; round-5 event-offset
+    # profiling located the residual ~135 ms tail as the event+3 frame
+    # absorbing verify device time AND the ~45 ms collect round-trip
+    # together -- hence the wait frame. Every quantity is measured at
+    # event time (pose/span snapshots), so keyframes, loop edges, and
+    # the optimized trajectory are IDENTICAL to synchronous booking --
+    # only the frame on which the host learns each verdict moves (and
+    # optimize_every corrections land <= 4 frames later). Reads
+    # (keyframe_count, optimize, world maps) and
     # events that need current state (new keyframes, relocalization,
     # lost mode) flush the pipeline first. Windowed processing ignores
     # this (windows already amortize events).
@@ -523,6 +526,15 @@ class SlamTracker:
             self._pending_fire_features()
         elif p["stage"] == 2:
             self._pending_stage2()
+        elif p["stage"] == 3:
+            # Wait frame: the verification program fired at the previous
+            # stage EXECUTES on the serial device behind THIS frame's VO
+            # fence (~its device time); collecting on the same frame
+            # would stack the ~45 ms materialization round-trip on top
+            # (measured: the event+3 frame carried the whole residual
+            # p90 tail at ~135 ms). One no-op stage splits absorb and
+            # collect across two frames.
+            p["stage"] = 4
         else:
             self._pending_stage3()
 
@@ -611,8 +623,8 @@ class SlamTracker:
         p["stage"] = 3
 
     def _pending_stage3(self) -> None:
-        """Stage 3 (three frames after the event): collect the loop
-        verdicts (device-complete behind the intervening VO dispatch),
+        """Final stage (four frames after the event): collect the loop
+        verdicts (device-complete behind the wait frame's VO dispatch),
         book accepted edges, run the optimize cadence."""
         from realsensetracker_tpu.loop_closure.detector import (
             KeyframeDatabase,

@@ -27,7 +27,7 @@ def run(method, extra, tag):
     with contextlib.redirect_stdout(buf):
         rc = rs_replay.main(argv)
     out = buf.getvalue()
-    ms, ate = [], None
+    ms, kfs, ate = [], [], None
     for line in out.splitlines():
         line = line.strip()
         if line.startswith("{"):
@@ -37,6 +37,7 @@ def run(method, extra, tag):
                 continue
             if "ms" in rec:
                 ms.append(rec["ms"])
+                kfs.append(bool(rec.get("kf", False)))
         elif line.startswith("ATE:"):
             ate = json.loads(line[4:])
     if rc != 0 or not ms:
@@ -48,11 +49,20 @@ def run(method, extra, tag):
     p90 = steady[int(0.9 * len(steady))]
     n = len(ms)
     wall = sum(ms)
-    # Spike profile: which frames carry the tail (keyframe cadence ~6 --
-    # pipeline stages land on event+1 / event+2 frames).
+    # Spike profile: which frames carry the tail, and their offset from
+    # the nearest PRECEDING keyframe event (pipeline stages land on
+    # event+1..event+3 frames).
+    ev = [i for i, k in enumerate(kfs) if k]
+
+    def off(i):
+        prev = [e for e in ev if e <= i]
+        return i - prev[-1] if prev else -1
+
     spikes = sorted(enumerate(ms), key=lambda kv: -kv[1])[:15]
-    print("top frames (idx, ms):",
-          [(i, round(v, 1)) for i, v in sorted(spikes)], flush=True)
+    print("top frames (idx, ms, evt_offset):",
+          [(i, round(v, 1), off(i)) for i, v in sorted(spikes)],
+          flush=True)
+    print(f"events at: {ev}", flush=True)
     print(f"== {tag}: frames={n} median={med:.1f} ms p90={p90:.1f} ms "
           f"agg={n / (wall / 1e3):.1f} fps ate={ate}", flush=True)
     return {"median_ms": round(med, 2), "p90_ms": round(p90, 2),
@@ -90,8 +100,8 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     variant = sys.argv[1] if len(sys.argv) > 1 else "pf"
     acc = _instrument_stages() if variant == "pfstage" else None
-    extra = {"pf": [], "pfstage": [], "w4": ["--window", "4"],
-             "w8": ["--window", "8"]}
+    extra = {"pf": [], "pfstage": [], "pfs2": ["--slam-prep-scale", "2"],
+             "w4": ["--window", "4"], "w8": ["--window", "8"]}
     res = run("slam", extra[variant],
               f"slam {variant} (u16, deferred events)")
     if acc is not None:
