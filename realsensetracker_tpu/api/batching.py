@@ -84,6 +84,11 @@ class BatchingConfig:
     # device-resident TSDF volume (KinectFusion loop per slot,
     # streams.step_tsdf_streams_masked). HBM = capacity * 2 * V^3 * 4
     # bytes -- size capacity accordingly. Mutually exclusive with rgbd.
+    # Measured guidance (BENCHMARKS round-5 dense serving): for DENSE
+    # sessions the vmapped batch loses to one serialized TsdfTracker
+    # per session (2.92 vs 2.09 s per round-of-8 at HEAD -- max-shaped
+    # programs + select-not-cond integrates per slot); prefer batching
+    # only when slots are many and sparse-duty, or shard the slot axis.
     tsdf_cfg: object = None  # mapping.tsdf.TsdfConfig | None (defaults)
     tsdf_submap_radius: float = 0.0  # tsdf slots: > 0 gives every session
     # UNBOUNDED extent via anchor-composed reseeds -- when the camera (or
